@@ -1,0 +1,92 @@
+"""SparkSession factory tuned for both the local test harness and the
+100 TB design point.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the configs below
+are the ones that transfer to a real cluster: AQE (runtime re-planning, skew-join
+splitting, partition coalescing), Arrow for every pandas-UDF exchange, and a
+shuffle-partition count sized to the substrate rather than Spark's legacy 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "mini-flink-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Scale notes (100 TB): on a real cluster the same builder applies —
+    ``spark.sql.shuffle.partitions`` should be ~2-3x total cores (AQE coalesces
+    the excess), ``maxPartitionBytes`` keeps scan tasks ~128-256 MB, and AQE
+    skew-join handles hot keys without manual salting in the common case.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def testdata_dir(sf: str = "0.001") -> str:
+    return f"/root/testdata/sf{sf}"
+
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one synthetic table, normalizing physical quirks.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; we read nanos as long (legacy conf, runtime-settable) and truncate
+    to microseconds — the same truncation DuckDB applies when casting its
+    TIMESTAMP_NS to TIMESTAMP, so oracle comparisons agree.
+    """
+    from pyspark.sql import functions as F
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # integer div: ns values exceed double's 53-bit mantissa, so no `/`
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
+    """Read every synthetic table and register it as a temp view.
+
+    Parquet scans here get predicate pushdown + column pruning for free as long
+    as downstream code stays declarative (no early .cache()/collect()).
+    """
+    out = {}
+    for name in TABLES:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

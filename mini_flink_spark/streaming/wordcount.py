@@ -1,0 +1,76 @@
+"""WordCount — the reference's canonical (and only) end-to-end program.
+
+Reference: WordCount.java:12-35 —
+``fromElements("hello world","hello world") -> flatMap(Tokenizer) ->
+filter(f0=="hello") -> keyBy(f0) -> reduce(sum) -> print``.
+
+Batch rendering: explode(split) -> filter -> groupBy -> sum, pure Catalyst.
+Streaming rendering: the same lineage over a file stream in update output
+mode — each trigger emits updated counts for keys seen in that batch, the
+microbatch analogue of the reference's per-record running emission
+(StreamGroupedReduce.java:40-54); converged counts are identical.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def tokenize(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """flatMap(Tokenizer): line -> (word, 1) pairs (WordCount.java Tokenizer).
+
+    Columnar: lower + split on non-alphanumeric runs + explode; empty tokens
+    (from leading/trailing separators) are dropped, matching the reference's
+    `token.length() > 0` guard.
+    """
+    return (
+        lines.select(
+            F.explode(F.split(F.lower(F.col(line_col)), r"\W+")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .withColumn("count", F.lit(1))
+    )
+
+
+def wordcount_batch(lines: DataFrame, line_col: str = "line", only_word: str | None = None) -> DataFrame:
+    """Full reference pipeline, converged counts."""
+    words = tokenize(lines, line_col)
+    if only_word is not None:
+        words = words.filter(F.col("word") == only_word)
+    return words.groupBy("word").agg(F.sum("count").alias("count"))
+
+
+def wordcount_stream_update(stream_lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """Streaming wordcount: update-mode aggregation over an unbounded source."""
+    return (
+        tokenize(stream_lines, line_col)
+        .groupBy("word")
+        .agg(F.sum("count").alias("count"))
+    )
+
+
+def run_stream_to_memory(
+    result: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "update",
+    query_name: str | None = None,
+) -> DataFrame:
+    """Run a (bounded) streaming DataFrame to completion with AvailableNow and
+    return the memory-sink table as a batch DataFrame.
+
+    AvailableNow drains all currently-available input then stops — the
+    bounded-stream termination analogue (EndOfPartitionEvent cascade,
+    StreamTaskNetworkInput.java:170).
+    """
+    name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -1,0 +1,109 @@
+"""Operator-level golden tests for the DataStream API surface (SURVEY.md §2)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mini_flink_spark import StreamExecutionEnvironment
+
+
+def env(spark):
+    return StreamExecutionEnvironment(spark)
+
+
+def test_from_elements_scalars(spark):
+    ds = env(spark).from_elements("hello world", "hello world")
+    rows = ds.collect()
+    assert [r.value for r in rows] == ["hello world", "hello world"]
+
+
+def test_from_elements_tuples(spark):
+    ds = env(spark).from_elements(("a", 1), ("b", 2), schema="word string, n bigint")
+    assert sorted((r.word, r.n) for r in ds.collect()) == [("a", 1), ("b", 2)]
+
+
+def test_map_columnar_and_callable(spark):
+    ds = env(spark).from_elements(1, 2, 3)
+    doubled = ds.map("value * 2 as doubled")
+    assert sorted(r.doubled for r in doubled.collect()) == [2, 4, 6]
+
+    tripled = ds.map(fn=lambda pdf: pdf.assign(value=pdf.value * 3), schema="value bigint")
+    assert sorted(r.value for r in tripled.collect()) == [3, 6, 9]
+
+
+def test_flat_map_explode_and_callable(spark):
+    ds = env(spark).from_elements("a b", "c")
+    toks = ds.flat_map("explode(split(value, ' ')) as tok")
+    assert sorted(r.tok for r in toks.collect()) == ["a", "b", "c"]
+
+    def dup(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([pdf, pdf])
+
+    doubled = ds.flat_map(fn=dup, schema="value string")
+    assert len(doubled.collect()) == 4
+
+
+def test_filter_fast_and_slow(spark):
+    ds = env(spark).from_elements(1, 2, 3, 4)
+    assert sorted(r.value for r in ds.filter("value % 2 = 0").collect()) == [2, 4]
+    odd = ds.filter(fn=lambda v: v % 2 == 1)
+    assert sorted(r.value for r in odd.collect()) == [1, 3]
+
+
+def test_keyby_reduce_sum_converged(spark):
+    data = [("a", 1), ("a", 2), ("b", 5), ("a", 4)]
+    ds = env(spark).from_collection(data, "k string, v bigint")
+    out = ds.key_by("k").sum("v")
+    assert dict((r.k, r.sum_v) for r in out.collect()) == {"a": 7, "b": 5}
+
+
+def test_keyby_reduce_callable_fold(spark):
+    # Opaque binary ReduceFunction parity: left fold in arrival order per key.
+    data = [(0, "a", 1), (1, "a", 2), (2, "b", 5), (3, "a", 4)]
+    ds = env(spark).from_collection(data, "seq bigint, k string, v bigint")
+
+    def sub(acc, row):  # non-commutative on purpose: order matters
+        return {"v": acc["v"] - row["v"]}
+
+    out = ds.key_by("k").reduce(fn=sub, value_cols=["v"], order_col="seq", schema="v bigint")
+    got = {}
+    for r in out.collect():
+        got[len(got)] = r.v
+    assert sorted(r.v for r in out.collect()) == sorted([1 - 2 - 4, 5])
+
+
+def test_min_by_max_by_tiebreak(spark):
+    # Two records tie on v; `first` must pick the earlier arrival (seq).
+    data = [(0, "a", 5, "x"), (1, "a", 5, "y"), (2, "a", 9, "z"), (3, "b", 1, "w")]
+    ds = env(spark).from_collection(data, "seq bigint, k string, v bigint, payload string")
+    first = ds.key_by("k").min_by("v", order_col="seq", first=True)
+    by_k = {r.k: r for r in first.collect()}
+    assert by_k["a"].payload == "x" and by_k["b"].payload == "w"
+
+    last = ds.key_by("k").min_by("v", order_col="seq", first=False)
+    assert {r.k: r.payload for r in last.collect()}["a"] == "y"
+
+    mx_first = ds.key_by("k").max_by("v", order_col="seq", first=True)
+    assert {r.k: r.payload for r in mx_first.collect()}["a"] == "z"
+
+
+def test_union_and_rebalance(spark):
+    a = env(spark).from_elements(1, 2)
+    b = env(spark).from_elements(3)
+    u = a.union(b).rebalance(4)
+    assert sorted(r.value for r in u.collect()) == [1, 2, 3]
+
+
+def test_events_aggregates_match_pandas(spark, sf_dir):
+    from mini_flink_spark.session import read_table
+    from mini_flink_spark.operators.aggregations import keyed_aggregates
+
+    events = read_table(spark, sf_dir, "events")
+    got = {
+        r.user_id: (r.sum_value, r.min_value, r.max_value, r.cnt)
+        for r in keyed_aggregates(events, [F.col("user_id")], "value").collect()
+    }
+    exp = events.toPandas().groupby("user_id")["value"].agg(["sum", "min", "max", "count"])
+    for uid, row in exp.iterrows():
+        s, mn, mx, c = got[uid]
+        assert abs(s - row["sum"]) < 1e-9
+        assert mn == row["min"] and mx == row["max"] and c == row["count"]
