@@ -1,0 +1,387 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB (the whole point of these):
+
+- *Exact*: hash-groupBy on a 56-bit content fingerprint — one shuffle on a
+  fixed-width key instead of full text; keep the min doc_id per group.
+- *MinHash+LSH*: signatures are computed **without any shuffle** (nested array
+  expressions over the shingle array, whole-stage codegen); only the LSH
+  band→bucket self-join shuffles, and it shuffles 8-byte band keys, not text.
+  Candidate pairs are then verified with an exact Jaccard join (inverted-index
+  style, no cross join anywhere).
+- *SimHash*: one explode + two keyed aggregations on integer bit positions;
+  pair extraction blocks on band keys (pigeonhole: hamming ≤ k ⇒ some band of
+  (k+1) bands equal), never a cross join.
+- *n-gram Jaccard*: inverted-index join on shingles — the classic
+  candidate-pair plan; a shingle shared by half the corpus would explode the
+  join, so a document-frequency cap drops ubiquitous shingles (tunable).
+- *Embedding near-dup*: see similarity.py (block via LSH hyperplane buckets).
+
+Every operator is expressible in the DuckDB oracle because all hashing goes
+through functions.hashing.portable_hash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mini_flink_spark.functions.hashing import portable_hash64_sql
+from mini_flink_spark.functions.text import (
+    fingerprint,
+    fingerprint_sql,
+    tokens,
+    tokens_sql,
+)
+
+# ----------------------------------------------------------------- shingles
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles (array<string>) of the normalized text.
+
+    Built from the token array with transform+slice — per-row expression work,
+    no explode/shuffle.
+    """
+    t = tokens(col)
+    k = F.array_size(t) - (n - 1)
+    # sequence(1, 0) would *descend* in Spark — guard the short-doc case
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+    )
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )
+
+
+# -------------------------------------------------------------- exact dedup
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on normalized content: one representative (min id) per
+    fingerprint + the group size. Shuffles 8-byte fingerprints, not text."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def exact_dedup_sql(id_col: str, text_col: str, table: str = "documents") -> str:
+    return (
+        f"SELECT {fingerprint_sql(text_col)} AS fp, min({id_col}) AS keep_id, "
+        f"count(*) AS n_dups FROM {table} GROUP BY 1"
+    )
+
+
+# ------------------------------------------------------------ MinHash + LSH
+
+MINHASH_K = 16  # signature length
+LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
+
+
+def minhash_signature(col: Column | str, k: int = MINHASH_K, n: int = 3) -> Column:
+    """k-element MinHash signature (array<bigint>) of the shingle set.
+
+    h_i(doc) = min over shingles s of H(s || '#i') — computed as nested array
+    transforms: zero shuffle, zero Python.
+    """
+    sh = shingles(col, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(s, F.lit("#"), i.cast("string"))), 1, 14),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ),
+    )
+
+
+def minhash_signature_sql(expr: str, k: int = MINHASH_K, n: int = 3) -> str:
+    sh = shingles_sql(expr, n)
+    h = portable_hash64_sql("(s || '#' || i::VARCHAR)")
+    return (
+        f"list_transform(range(0, {k}), "
+        f"i -> list_min(list_transform({sh}, s -> {h})))"
+    )
+
+
+def minhash_bands(sig_col: Column, k: int = MINHASH_K, bands: int = LSH_BANDS) -> Column:
+    """Band keys (array<string>) — band j is the joined slice of the signature;
+    docs sharing any band key are LSH candidates."""
+    rows = k // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.concat(
+            j.cast("string"),
+            F.lit(":"),
+            F.array_join(F.slice(sig_col, j * rows + 1, rows), ","),
+        ),
+    )
+
+
+def minhash_bands_sql(sig_expr: str, k: int = MINHASH_K, bands: int = LSH_BANDS) -> str:
+    rows = k // bands
+    return (
+        f"list_transform(range(0, {bands}), "
+        f"j -> j::VARCHAR || ':' || "
+        f"array_to_string(list_slice({sig_expr}, j * {rows} + 1, j * {rows} + {rows}), ','))"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) whose exact shingle-Jaccard ≥ threshold,
+    restricted to LSH band-bucket candidates.
+
+    Plan shape: project signatures (no shuffle) → explode bands → self-join on
+    band key (shuffle on short strings) → distinct candidate pairs → verify
+    exact Jaccard via inverted-index semi-plan. No cross join at any scale.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles(text_col, n).alias("sh"),
+        minhash_signature(text_col, k, n).alias("sig"),
+    ).withColumn("n_sh", F.array_size("sh"))
+    banded = base.select(
+        "id", F.explode(minhash_bands(F.col("sig"), k, bands)).alias("band")
+    )
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), on="band")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    lhs = base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
+    rhs = base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
+    verified = (
+        cand.join(lhs, "a")
+        .join(rhs, "b")
+        .withColumn("inter", F.array_size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return verified
+
+
+def minhash_lsh_pairs_sql(
+    id_col: str,
+    text_col: str,
+    table: str = "documents",
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+) -> str:
+    sig = minhash_signature_sql(text_col, k, n)
+    sh = shingles_sql(text_col, n)
+    bands_expr = minhash_bands_sql("sig", k, bands)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {sh} AS sh, {sig} AS sig FROM {table}
+),
+banded AS (
+  SELECT id, unnest({bands_expr}) AS band FROM base
+),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM banded l JOIN banded r USING (band)
+  WHERE l.id < r.id
+)
+SELECT a, b,
+       round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE, 6)
+         AS jaccard
+FROM cand
+JOIN base x ON x.id = cand.a
+JOIN base y ON y.id = cand.b
+WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE, 6)
+      >= {threshold}
+"""
+
+
+# ------------------------------------------------------------------ SimHash
+
+SIMHASH_BITS = 56  # portable hash width
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """56-bit SimHash per document from distinct-token hashes.
+
+    Plan: explode distinct tokens (rows ≈ total tokens) → explode bit index →
+    sum ±1 per (doc, bit) → assemble integer. Integer-only arithmetic, two
+    hash-aggregations, no Python.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    ).withColumn(
+        "h",
+        F.conv(F.substring(F.md5("tok"), 1, 14), 16, 10).cast("bigint"),
+    )
+    bits = tok.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        F.col("h"),
+    ).withColumn(
+        "contrib", F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END")
+    )
+    return (
+        bits.groupBy("id", "b")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN s > 0 THEN shiftleft(cast(1 as bigint), b) "
+                    "ELSE cast(0 as bigint) END"
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_sql(id_col: str, text_col: str, table: str = "documents") -> str:
+    h = portable_hash64_sql("tok")
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS id, unnest(list_distinct({tokens_sql(text_col)})) AS tok
+  FROM {table}
+),
+hashed AS (SELECT id, {h} AS h FROM tok),
+bits AS (
+  SELECT id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+  FROM hashed, range(0, {SIMHASH_BITS}) r(b)
+),
+per_bit AS (SELECT id, b, sum(contrib) AS s FROM bits GROUP BY id, b)
+SELECT id, (sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+FROM per_bit GROUP BY id
+"""
+
+
+def simhash_pairs(
+    sim: DataFrame, max_hamming: int = 3, n_blocks: int = 4
+) -> DataFrame:
+    """Pairs within `max_hamming` via pigeonhole band blocking: split the 56
+    bits into `n_blocks` bands (must be > max_hamming); any pair within the
+    distance shares at least one exact band."""
+    assert n_blocks > max_hamming
+    width = SIMHASH_BITS // n_blocks
+    mask = (1 << width) - 1
+    banded = sim.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_blocks - 1}), j -> "
+                f"concat(cast(j as string), ':', "
+                f"cast((shiftright(simhash, j * {width}) & {mask}) as string)))"
+            )
+        ).alias("band"),
+    )
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), "band")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.simhash").alias("ha"),
+            F.col("r.simhash").alias("hb"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+    return pairs
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-Jaccard ≥ threshold via inverted-index join.
+
+    `max_df` drops shingles occurring in more than that many docs (stopword
+    shingles would otherwise quadratically blow up the join at scale).
+    """
+    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s"))
+    if max_df is not None:
+        keep = sh.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
+        sh = sh.join(F.broadcast(keep), "s")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), "s")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    id_col: str,
+    text_col: str,
+    table: str = "documents",
+    threshold: float = 0.8,
+    n: int = 3,
+) -> str:
+    sh = shingles_sql(text_col, n)
+    return f"""
+WITH sh AS (SELECT {id_col} AS id, unnest({sh}) AS s FROM {table}),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT l.id AS a, r.id AS b, count(*) AS inter
+  FROM sh l JOIN sh r USING (s) WHERE l.id < r.id GROUP BY 1, 2
+)
+SELECT a, b,
+       round(inter::DOUBLE / (x.n_sh + y.n_sh - inter)::DOUBLE, 6) AS jaccard
+FROM inter JOIN sizes x ON x.id = a JOIN sizes y ON y.id = b
+WHERE round(inter::DOUBLE / (x.n_sh + y.n_sh - inter)::DOUBLE, 6) >= {threshold}
+"""

@@ -1,0 +1,42 @@
+"""Portable 56-bit hash — one definition, two engines.
+
+Every hash-dependent operator (minhash, simhash, LSH, fingerprints) must be
+*checkable against the DuckDB oracle*, so the hash has to produce identical
+values in Spark SQL and DuckDB SQL. Neither engine's native hash matches the
+other (Spark: murmur3/xxhash64; DuckDB: its own), but both expose md5 as a hex
+string, and 14 hex chars (56 bits) fit a signed BIGINT in both. This costs a
+few cycles vs xxhash64 but buys bit-exact cross-engine verifiability; at 100 TB
+you may swap `portable_hash64` for `F.xxhash64` (one line) once verified.
+
+Spark :  cast(conv(substr(md5(s), 1, 14), 16, 10) as bigint)
+DuckDB:  ('0x' || substr(md5(s), 1, 14))::BIGINT
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+HASH_BITS = 56
+HASH_MOD = 1 << HASH_BITS
+
+
+def portable_hash64(col: Column | str) -> Column:
+    """56-bit deterministic hash of a string column (Spark side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 14), 16, 10).cast("bigint")
+
+
+def portable_hash64_sql(expr: str) -> str:
+    """Same hash, DuckDB SQL rendering."""
+    return f"(('0x' || substr(md5({expr}), 1, 14))::BIGINT)"
+
+
+def seeded_hash(col: Column | str, seed: int) -> Column:
+    """Family of independent hashes h_i(x) = H(x || '#' || i) — the minhash
+    'permutation' family."""
+    c = F.col(col) if isinstance(col, str) else col
+    return portable_hash64(F.concat(c, F.lit(f"#{seed}")))
+
+
+def seeded_hash_sql(expr: str, seed: int) -> str:
+    return portable_hash64_sql(f"({expr} || '#{seed}')")

@@ -1,0 +1,129 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns with
+typed metadata.
+
+The container has no image/audio codecs, so the *decode* steps are stubbed
+(NotImplementedError or a deterministic fake, clearly marked), while the
+Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF signatures —
+is real and tested:
+
+- media records: struct(payload binary, meta struct(kind, byte_len, sha256))
+- decode_*: mapInPandas over Arrow batches (the shape a real libjpeg/ffmpeg
+  UDF would use: iterator of pandas batches, never per-row Python)
+- fake_image_features: deterministic md5-derived vector standing in for a
+  CNN/CLIP embedding so downstream similarity plumbing is exercisable.
+
+At scale: binary payloads ride Parquet binary columns; size-aware
+repartitioning (`repartition_by_bytes`) keeps Arrow batches bounded —
+`maxRecordsPerBatch` alone misjudges wide binary rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+MEDIA_META_SCHEMA = "kind string, byte_len bigint, sha256 string"
+
+
+def to_media(payload: Column, kind: str) -> Column:
+    """Wrap a binary payload with typed metadata."""
+    return F.struct(
+        payload.alias("payload"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.length(payload).cast("bigint").alias("byte_len"),
+            F.sha2(payload, 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def text_as_media(df: DataFrame, text_col: str = "text", kind: str = "image") -> DataFrame:
+    """Test fixture builder: encode a text column as the binary payload (the
+    codec-free stand-in for real image bytes)."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.withColumn("media", to_media(payload, kind))
+
+
+def decode_image(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Real decode is unavailable in this container.
+
+    The implementation below is the exact mapInPandas skeleton a PIL/libjpeg
+    decode would use; it raises at first batch to make the stub explicit.
+    """
+
+    out_schema = "doc_id bigint, width int, height int, pixels binary"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for _ in batches:
+            raise NotImplementedError(
+                "image codec not available in this environment; "
+                "plug PIL.Image.open over media.payload here"
+            )
+
+    return df.mapInPandas(decode, out_schema)
+
+
+def fake_image_features(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media", dim: int = 16
+) -> DataFrame:
+    """Deterministic fake feature extractor (CLIP-embedding stand-in).
+
+    feature[d] = (md5(payload_hex || '#d') mod 2001 - 1000) / 1000 — stable
+    across engines/runs, so downstream ANN plumbing is testable. Arrow-batched
+    mapInPandas: the real model inference would swap the body, keep the shape.
+    """
+    import hashlib
+
+    out_schema = f"{id_col} bigint, features array<double>"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                h0 = hashlib.md5(bytes(payload)).hexdigest()
+                feats.append(
+                    [
+                        (int(hashlib.md5(f"{h0}#{d}".encode()).hexdigest()[:14], 16) % 2001 - 1000)
+                        / 1000.0
+                        for d in range(dim)
+                    ]
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    flat = df.select(F.col(id_col), F.col(f"{media_col}.payload").alias("payload"))
+    return flat.mapInPandas(extract, out_schema)
+
+
+def frame_sample_stub(df: DataFrame, media_col: str = "media", every_n: int = 30) -> DataFrame:
+    """Video frame-sampling plumbing: emits (doc_id, frame_no) rows 0..k per
+    video based on byte_len as a deterministic duration proxy (1 'frame' per
+    1 KiB). Real ffmpeg sampling would replace the arithmetic, keep the 1→N
+    mapInPandas shape."""
+
+    out_schema = "doc_id bigint, frame_no int"
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_no": []}
+            for doc_id, blen in zip(pdf["doc_id"], pdf["byte_len"]):
+                n_frames = max(1, int(blen) // 1024)
+                for f_no in range(0, n_frames, every_n):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(f_no)
+            yield pd.DataFrame(rows)
+
+    flat = df.select("doc_id", F.col(f"{media_col}.meta.byte_len").alias("byte_len"))
+    return flat.mapInPandas(sample, out_schema)
+
+
+def media_meta_table(df: DataFrame, id_col: str = "doc_id", media_col: str = "media") -> DataFrame:
+    """Pure-expression metadata projection (no Python): the query-able face of
+    the multimodal column."""
+    return df.select(
+        F.col(id_col),
+        F.col(f"{media_col}.meta.kind").alias("kind"),
+        F.col(f"{media_col}.meta.byte_len").alias("byte_len"),
+        F.col(f"{media_col}.meta.sha256").alias("sha256"),
+    )

@@ -1,0 +1,153 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+All fast-path (pure Catalyst expressions — whole-stage codegen, no Python),
+each with a DuckDB-SQL twin for the oracle. Operators: normalization,
+tokenization, token counting, language ID (stopword-hit heuristic), quality
+scoring, document fingerprinting.
+
+Scale note: every function here is a per-row projection — no shuffle, no
+state; at 100 TB they run map-side inside the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from mini_flink_spark.functions.hashing import portable_hash64, portable_hash64_sql
+
+# Stopword lists for the language-ID heuristic (deterministic, tiny — the
+# container has no langid/fasttext; this is the classic stopword-hit method).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es": ("el", "la", "los", "de", "y", "es", "un", "una", "en", "por"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "zhe4", "bu4", "ren2"),
+}
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower → non-alphanumerics to spaces → collapse runs → trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def normalize_text_sql(expr: str) -> str:
+    return (
+        "trim(regexp_replace(regexp_replace(lower(" + expr + "), "
+        "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>, no empties)."""
+    return F.split(normalize_text(col), " ")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"string_split({normalize_text_sql(expr)}, ' ')"
+
+
+def token_count(col: Column | str) -> Column:
+    return F.array_size(tokens(col))
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len({tokens_sql(expr)})"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish proxy: count of subword-ish units — words plus extra units for
+    every 4 chars beyond the first 4 of each word (≈ GPT-style 1 token / ~4
+    chars). Pure integer arithmetic so the oracle can mirror it exactly."""
+    t = tokens(col)
+    return F.aggregate(
+        t,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + 1 + F.floor((F.length(w) - 1) / 4).cast("bigint"),
+    )
+
+
+def bpe_ish_token_count_sql(expr: str) -> str:
+    return (
+        f"list_sum(list_transform({tokens_sql(expr)}, "
+        "w -> 1 + (length(w) - 1) // 4))"
+    )
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of `lang`."""
+    sw = LANG_STOPWORDS[lang]
+    t = tokens(col)
+    arr = F.array(*[F.lit(w) for w in sw])
+    return F.size(F.filter(t, lambda w: F.array_contains(arr, w)))
+
+
+def stopword_hits_sql(expr: str, lang: str) -> str:
+    sw = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter({tokens_sql(expr)}, w -> list_contains([{sw}], w)))"
+    )
+
+
+def langid(col: Column | str) -> Column:
+    """argmax over per-language stopword hit counts; deterministic tie-break
+    by language code ascending. Emits the 2-letter code."""
+    pairs = [
+        F.struct(
+            (-stopword_hits(col, lang)).alias("neg_hits"), F.lit(lang).alias("lang")
+        )
+        for lang in sorted(LANG_STOPWORDS)
+    ]
+    return F.array_min(F.array(*pairs)).getField("lang")
+
+
+def langid_sql(expr: str) -> str:
+    structs = ", ".join(
+        "{'neg_hits': -(" + stopword_hits_sql(expr, lang) + "), 'lang': '" + lang + "'}"
+        for lang in sorted(LANG_STOPWORDS)
+    )
+    return f"(list_min([{structs}])).lang"
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic quality heuristic in [0, 100]:
+
+    50 * stopword_ratio  (fluency proxy)
+    + 30 * min(n_tokens, 200)/200  (length credit)
+    + 20 * distinct_ratio  (repetition penalty)
+
+    Pure integer/double arithmetic on counts → bit-identical across engines.
+    """
+    t = tokens(col)
+    n = F.array_size(t).cast("double")
+    en_hits = stopword_hits(col, "en").cast("double")
+    distinct_n = F.array_size(F.array_distinct(t)).cast("double")
+    score = (
+        F.lit(50.0) * en_hits / n
+        + F.lit(30.0) * F.least(n, F.lit(200.0)) / F.lit(200.0)
+        + F.lit(20.0) * distinct_n / n
+    )
+    return F.round(score, 4)
+
+
+def quality_score_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"round(50.0 * ({stopword_hits_sql(expr, 'en')})::DOUBLE / len({toks})::DOUBLE"
+        f" + 30.0 * least(len({toks})::DOUBLE, 200.0) / 200.0"
+        f" + 20.0 * len(list_distinct({toks}))::DOUBLE / len({toks})::DOUBLE, 4)"
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: 56-bit hash of the normalized text (content-
+    defined identity — robust to case/punct/whitespace variation)."""
+    return portable_hash64(normalize_text(col))
+
+
+def fingerprint_sql(expr: str) -> str:
+    return portable_hash64_sql(normalize_text_sql(expr))

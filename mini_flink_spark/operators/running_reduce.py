@@ -99,20 +99,23 @@ def running_reduce_stream(
     """
     import pandas as pd
 
-    out_schema = f"{key_col} bigint, {order_col} bigint, running_value double"
-    state_schema = "acc double"
+    # The accumulator is kept in integer micro-units: float addition is not
+    # associative, and the correctness oracle (a decimal window sum) is exact —
+    # integer accumulation makes the streaming path exact too, at any batch
+    # split. Output running_micros = Σ round(v * 1e6) as bigint.
+    out_schema = f"{key_col} bigint, {order_col} bigint, running_micros bigint"
+    state_schema = "acc bigint"
 
     def fn(key, pdf_iter, state):
-        acc = state.get[0] if state.exists else None
+        acc = state.get[0] if state.exists else 0
         rows = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values(order_col, kind="mergesort")
             for r in pdf.itertuples(index=False):
-                v = float(getattr(r, value_col))
-                acc = v if acc is None else acc + v
+                acc += int(round(float(getattr(r, value_col)) * 1_000_000))
                 rows.append((key[0], getattr(r, order_col), acc))
         state.update((acc,))
-        yield pd.DataFrame(rows, columns=[key_col, order_col, "running_value"])
+        yield pd.DataFrame(rows, columns=[key_col, order_col, "running_micros"])
 
     return sdf.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, output_mode, "NoTimeout"

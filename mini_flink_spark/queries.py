@@ -1,0 +1,514 @@
+"""The §2-inventory query registry: every operator capability as a
+(spark_fn, oracle_sql) pair.
+
+This is the correctness surface the driver grades (CORRECTNESS_r{N}.json):
+each entry's Spark DataFrame result must hash-match its DuckDB oracle at
+sf0.01 — row count, schema, and order-insensitive value hash, with columns
+matched by *name*. Conventions that make that work:
+
+- every computed column is aliased identically on both sides;
+- money/measure sums go through DECIMAL so they are order-independent and
+  bit-identical across engines (double addition is not associative);
+- every hash-dependent operator uses functions.hashing.portable_hash64
+  (identical in both engines);
+- floating outputs (cosines, scores) are rounded to a fixed scale on both
+  sides before compare/threshold.
+
+Reference coverage map (SURVEY.md §2): sources → the parquet loads; map/
+flatMap/filter → map_project / flatmap_tokens / filter_predicate; keyBy+reduce
+→ keyed_* and running_reduce; aggregators SUM/MIN/MAX/MINBY/MAXBY → keyed_agg
+/ keyed_minby / keyed_maxby; WordCount end-to-end → wordcount; sinks are
+exercised by the driver collecting results. Everything beyond (joins, sort/
+limit, windows, dedup/similarity/text/multimodal) is the Spark-native surface
+the reference lacks, exposed as first-class capabilities.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_flink_spark.session import read_table
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(name, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# Decimal-exact sum rendered to double — order-independent on both engines.
+def dsum(col: str, scale: str = "(28,10)") -> F.Column:
+    return F.sum(F.col(col).cast(f"decimal{scale}")).cast("double")
+
+
+def dsum_sql(col: str, scale: str = "(28,10)") -> str:
+    return f"(sum(({col})::DECIMAL{scale}))::DOUBLE"
+
+
+# =========================================================================
+# Core mini-flink surface
+# =========================================================================
+
+
+@register(
+    "map_project",
+    """
+    SELECT event_id, value * 2.0 AS doubled, upper(event_type) AS type_u
+    FROM events
+    """,
+    ("core", "map"),
+)
+def q_map_project(spark, sf_dir):
+    """map (StreamMap.java:40-43): 1→1 columnar projection."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (F.col("value") * 2.0).alias("doubled"),
+        F.upper("event_type").alias("type_u"),
+    )
+
+
+@register(
+    "filter_predicate",
+    """
+    SELECT event_id, user_id, value FROM events
+    WHERE event_type = 'purchase' AND value > 50.0
+    """,
+    ("core", "filter"),
+)
+def q_filter_predicate(spark, sf_dir):
+    """filter (StreamFilter.java:38-42): predicate pushed to the parquet scan."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 50.0)).select(
+        "event_id", "user_id", "value"
+    )
+
+
+@register(
+    "flatmap_tokens",
+    """
+    SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(
+        lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+    FROM documents
+    """,
+    ("core", "flatmap"),
+)
+def q_flatmap_tokens(spark, sf_dir):
+    """flatMap (StreamFlatMap.java:48-52): 1→N via explode."""
+    from mini_flink_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+
+
+@register(
+    "keyed_agg",
+    f"""
+    SELECT user_id,
+           {dsum_sql('value')} AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           count(*) AS cnt
+    FROM events GROUP BY user_id
+    """,
+    ("core", "keyby", "reduce"),
+)
+def q_keyed_agg(spark, sf_dir):
+    """keyBy + reduce with SUM/MIN/MAX aggregators (StreamGroupedReduce.java:
+    35-56, SumAggregator.java:33-72, ComparableAggregator.java:31-93),
+    converged state. One shuffle, map-side partials."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        dsum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "keyed_minby",
+    """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    ("core", "minby"),
+)
+def q_keyed_minby(spark, sf_dir):
+    """MINBY with first-arrival tie-break (ComparableAggregator.java:78-86):
+    whole record of the minimal value — single-pass min_by aggregation, not a
+    window sort."""
+    from mini_flink_spark.operators.aggregations import min_by_record
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return min_by_record(ev, [F.col("user_id")], "value", "event_id", first=True).select(
+        "user_id", "event_id", "value"
+    )
+
+
+@register(
+    "keyed_maxby",
+    """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    ("core", "maxby"),
+)
+def q_keyed_maxby(spark, sf_dir):
+    from mini_flink_spark.operators.aggregations import max_by_record
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return max_by_record(ev, [F.col("user_id")], "value", "event_id", first=True).select(
+        "user_id", "event_id", "value"
+    )
+
+
+@register(
+    "running_reduce",
+    """
+    SELECT user_id, event_id,
+           (sum(value::DECIMAL(28,10)) OVER (
+              PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS running_sum
+    FROM events
+    """,
+    ("core", "running-reduce"),
+)
+def q_running_reduce(spark, sf_dir):
+    """The reference's per-record cumulative emission (StreamGroupedReduce.java:
+    40-54) — batch rendering: one row per input record carrying the running
+    per-key sum in arrival (event_id) order."""
+    from mini_flink_spark.operators.running_reduce import running_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return running_agg(
+        ev, ["user_id"], "event_id",
+        running_sum=F.sum(F.col("value").cast("decimal(28,10)")),
+    ).select("user_id", "event_id", F.col("running_sum").cast("double").alias("running_sum"))
+
+
+@register(
+    "wordcount",
+    """
+    SELECT tok AS word, count(*) AS count FROM (
+      SELECT unnest(string_split(trim(regexp_replace(regexp_replace(
+          lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ) GROUP BY tok
+    """,
+    ("core", "e2e"),
+)
+def q_wordcount(spark, sf_dir):
+    """The reference's canonical program (WordCount.java:12-35) over the
+    documents corpus: source → flatMap → keyBy → reduce, converged counts."""
+    from mini_flink_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+@register(
+    "distinct_event_types",
+    "SELECT DISTINCT event_type FROM events",
+    ("relational",),
+)
+def q_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT json_extract_string(props, '$.k')::BIGINT AS k_val, count(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+    ("relational", "json"),
+)
+def q_events_json(spark, sf_dir):
+    """JSON payload extraction (the props column is the reference's opaque
+    flatMap payload; here a columnar json path, no UDF)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("bigint").alias("k_val"))
+        .groupBy("k_val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# =========================================================================
+# Relational breadth (Spark-native surface; reference has none of these)
+# =========================================================================
+
+
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity', '(18,2)')} AS sum_qty,
+           {dsum_sql('l_extendedprice', '(18,2)')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', '(28,6)')} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', '(28,8)')} AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    ("relational", "bench"),
+)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary — filter + wide aggregation. Decimal
+    accumulation; predicate reaches the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "(18,2)").alias("sum_qty"),
+            dsum("l_extendedprice", "(18,2)").alias("sum_base_price"),
+            F.sum(disc.cast("decimal(28,6)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(28,8)")).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    ("relational", "sort"),
+)
+def q_top_orders(spark, sf_dir):
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps +
+    driver merge, no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "join_revenue_by_segment",
+    f"""
+    SELECT c.c_mktsegment,
+           {dsum_sql('o.o_totalprice', '(18,2)')} AS revenue,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    ("relational", "join", "bench"),
+)
+def q_join_revenue(spark, sf_dir):
+    """Fact-dim join: customer is broadcast (no shuffle of orders)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            dsum("o_totalprice", "(18,2)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "join_customer_nation_region",
+    f"""
+    SELECT r.r_name,
+           count(*) AS n_customers,
+           {dsum_sql('c.c_acctbal', '(18,2)')} AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    ("relational", "join"),
+)
+def q_join_cnr(spark, sf_dir):
+    """Snowflake join chain, both dims broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "(18,2)").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "semi_join_customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    ("relational", "join"),
+)
+def q_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_parts_never_ordered",
+    """
+    SELECT p_partkey, p_name FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+    ("relational", "join"),
+)
+def q_anti_join(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_name")
+
+
+@register(
+    "set_union_nation_keys",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    ("relational", "setop"),
+)
+def q_set_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+# =========================================================================
+# Time windows (the live rendering of the reference's dead watermark/timer
+# machinery, SURVEY.md §2.8)
+# =========================================================================
+
+
+@register(
+    "window_tumbling_hourly",
+    f"""
+    SELECT date_trunc('hour', ts::TIMESTAMP) AS hour_start,
+           count(*) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM events GROUP BY 1
+    """,
+    ("window", "bench"),
+)
+def q_window_tumbling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "window_sliding",
+    """
+    SELECT w_start, count(*) AS n_events FROM (
+      SELECT unnest([
+          time_bucket(INTERVAL 30 MINUTE, ts::TIMESTAMP),
+          time_bucket(INTERVAL 30 MINUTE, ts::TIMESTAMP) - INTERVAL 30 MINUTE
+      ]) AS w_start
+      FROM events
+    ) GROUP BY w_start
+    """,
+    ("window",),
+)
+def q_window_sliding(spark, sf_dir):
+    """1-hour windows sliding every 30 min: each event lands in 2 windows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "n_events")
+    )
+
+
+@register(
+    "window_session",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts::TIMESTAMP AS ts,
+             CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER (
+                    PARTITION BY user_id ORDER BY ts) > INTERVAL 10 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+    ("window", "session"),
+)
+def q_window_session(spark, sf_dir):
+    """Session windows (10-min gap) — Spark's session_window vs the classic
+    gaps-and-islands oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}
+
+
+# extension-layer registrations live in their own module to keep this file
+# focused on the reference surface; importing it populates QUERIES.
+from mini_flink_spark import queries_ext  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,244 @@
+"""Extension-layer query registrations: text analysis, dedup, similarity
+search, multimodal, streaming. Imported by queries.py for its registration
+side effect; same QuerySpec contract (alias parity, portable hashing, rounded
+floats)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mini_flink_spark.functions import dedup as D
+from mini_flink_spark.functions import similarity as S
+from mini_flink_spark.functions import text as T
+from mini_flink_spark.queries import _t, register
+
+# =========================================================================
+# Text analysis
+# =========================================================================
+
+
+@register(
+    "text_token_count",
+    f"""
+    SELECT doc_id, {T.token_count_sql('text')} AS n_tokens,
+           {T.bpe_ish_token_count_sql('text')} AS n_bpe_tokens
+    FROM documents
+    """,
+    ("text", "bench"),
+)
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id, {T.quality_score_sql('text')} AS quality
+    FROM documents
+    """,
+    ("text",),
+)
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+@register(
+    "text_langid",
+    f"""
+    SELECT doc_id, {T.langid_sql('text')} AS lang_pred
+    FROM documents
+    """,
+    ("text",),
+)
+def q_text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.langid("text").alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, {T.fingerprint_sql('text')} AS fp
+    FROM documents
+    """,
+    ("text",),
+)
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+# =========================================================================
+# Deduplication
+# =========================================================================
+
+
+@register(
+    "dedup_exact",
+    D.exact_dedup_sql("doc_id", "text"),
+    ("dedup", "bench"),
+)
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_minhash_lsh",
+    D.minhash_lsh_pairs_sql("doc_id", "text", threshold=0.4),
+    ("dedup", "bench"),
+)
+def q_dedup_minhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4)
+
+
+@register(
+    "dedup_simhash",
+    D.simhash_sql("doc_id", "text"),
+    ("dedup",),
+)
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    D.ngram_jaccard_pairs_sql("doc_id", "text", threshold=0.6),
+    ("dedup",),
+)
+def q_dedup_ngram(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+
+
+@register(
+    "dedup_embedding_cosine",
+    S.embedding_neardup_pairs_sql(threshold=0.9, blocked=True),
+    ("dedup", "embedding"),
+)
+def q_dedup_embedding(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs(emb, threshold=0.9, blocked=True)
+
+
+# =========================================================================
+# Similarity search
+# =========================================================================
+
+
+@register(
+    "ann_topk_bruteforce",
+    S.brute_force_topk_sql(k=5, query_pred="vec_id < 10"),
+    ("similarity", "bench"),
+)
+def q_ann_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "ann_topk_lsh",
+    S.lsh_topk_sql(k=5, query_pred="vec_id < 10"),
+    ("similarity",),
+)
+def q_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, k=5, query_pred="vec_id < 10")
+
+
+# =========================================================================
+# Multimodal (binary payload plumbing; decode stubbed — SURVEY.md §7 Phase 3)
+# =========================================================================
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id, 'image' AS kind,
+           octet_length(encode(text)) AS byte_len,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    ("multimodal",),
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Binary payload + typed metadata projection (pure expressions). The
+    payload here is utf-8 text standing in for image bytes (no codecs in the
+    container); schema/plumbing identical for real media."""
+    from mini_flink_spark.functions.multimodal import media_meta_table, text_as_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return media_meta_table(text_as_media(docs, "text", kind="image"))
+
+
+# =========================================================================
+# Streaming (run to completion via AvailableNow, memory sink -> DataFrame)
+# =========================================================================
+
+
+@register(
+    "streaming_wordcount",
+    """
+    SELECT tok AS word, count(*) AS count FROM (
+      SELECT unnest(string_split(trim(regexp_replace(regexp_replace(
+          lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ) GROUP BY tok
+    """,
+    ("streaming",),
+)
+def q_streaming_wordcount(spark, sf_dir):
+    """The canonical program on the *streaming* path: file stream → update-mode
+    aggregation → memory sink, drained with AvailableNow. Converged counts
+    equal the batch oracle."""
+    from mini_flink_spark.sources import parquet_stream, write_stream_fixture
+    from mini_flink_spark.streaming import run_stream_to_memory, wordcount_stream_update
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("text").alias("line"))
+    fixture = write_stream_fixture(docs, tempfile.mkdtemp(prefix="q_stream_wc_"), n_files=4)
+    stream = parquet_stream(spark, fixture, "line string")
+    return run_stream_to_memory(wordcount_stream_update(stream), spark, "update").select(
+        "word", "count"
+    )
+
+
+@register(
+    "streaming_running_reduce",
+    """
+    SELECT user_id, event_id,
+           sum((round(value * 1000000))::BIGINT) OVER (
+              PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_micros
+    FROM events
+    """,
+    ("streaming", "stateful"),
+)
+def q_streaming_running_reduce(spark, sf_dir):
+    """Per-record cumulative emission on the streaming path:
+    applyInPandasWithState keyed accumulator (the reference's ValueState,
+    StreamGroupedReduce.java:35-56), one output row per input record."""
+    from mini_flink_spark.operators.running_reduce import running_reduce_stream
+    from mini_flink_spark.sources import parquet_stream, write_stream_fixture
+    from mini_flink_spark.streaming import run_stream_to_memory
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    fixture = write_stream_fixture(ev, tempfile.mkdtemp(prefix="q_stream_rr_"), n_files=2)
+    stream = parquet_stream(
+        spark, fixture, "event_id bigint, user_id bigint, value double"
+    )
+    out = running_reduce_stream(stream, "user_id", "value", "event_id")
+    return run_stream_to_memory(out, spark, "update").select(
+        "user_id", "event_id", "running_micros"
+    )

@@ -1,0 +1,101 @@
+"""Replicates the driver's correctness gate locally: for every registered
+query, run the Spark DataFrame and the DuckDB oracle on the same parquet
+tables and compare row count, column names, and an order-insensitive value
+hash (columns sorted by name, rows sorted, values canonicalized).
+
+Run at sf0.001 by default (fast); set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01
+to mirror the driver's exact scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from mini_flink_spark.queries import QUERIES
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(v):
+    """Canonicalize a cell for comparison (mirror of a value-hash with type
+    coercion: ints vs floats, timestamps vs datetimes, float rounding)."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (int,)):
+        return str(v)
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # 12 significant digits: catches real mismatches, forgives last-ulp
+        return f"{v:.12g}"
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def compare(spark_df, duck_rel):
+    import pandas as pd
+
+    spdf = spark_df.toPandas()
+    ddf = duck_rel.fetchdf()
+    assert sorted(c.lower() for c in spdf.columns) == sorted(
+        c.lower() for c in ddf.columns
+    ), f"columns differ: {sorted(spdf.columns)} vs {sorted(ddf.columns)}"
+    cols = sorted(spdf.columns, key=str.lower)
+    spdf = spdf[cols]
+    ddf = ddf[[c for c in ddf.columns if c.lower() in [x.lower() for x in cols]]]
+    ddf.columns = [c for c in ddf.columns]
+    ddf = ddf[sorted(ddf.columns, key=str.lower)]
+    assert len(spdf) == len(ddf), f"row counts differ: {len(spdf)} vs {len(ddf)}"
+    s_rows = sorted(tuple(canon(v) for v in row) for row in spdf.itertuples(index=False))
+    d_rows = sorted(tuple(canon(v) for v in row) for row in ddf.itertuples(index=False))
+    mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
+    assert not mismatches, f"{len(mismatches)} row mismatches; first: {mismatches[0]}"
+
+
+@pytest.mark.parametrize("name", [n for n, s in QUERIES.items() if s.oracle])
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    spec = QUERIES[name]
+    spark_df = spec.fn(spark, sf_dir)
+    duck_rel = duck.execute(spec.oracle)
+    compare(spark_df, duck_rel)
+
+
+def test_every_query_runs(spark, sf_dir):
+    # queries without an oracle still must run and return a stable schema
+    for name, spec in QUERIES.items():
+        if spec.oracle is None:
+            df = spec.fn(spark, sf_dir)
+            assert df.columns, name
+            assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0 and df.columns

@@ -63,17 +63,20 @@ def test_streaming_running_reduce_per_record_emission(spark, sf_dir):
     result = run_stream_to_memory(out, spark, "update")
     # one output row per input record
     assert result.count() == events.count()
-    # within each key, cumulative values in event_id order match the batch
-    # window rendering (arrival order := event_id order, single batch here)
+    # within each key, cumulative micro-unit sums in event_id order match the
+    # batch window rendering exactly (integer accumulation on both paths)
     got = result.toPandas().sort_values(["user_id", "event_id"])
     exp = (
-        running_agg(events, ["user_id"], "event_id", running_sum=F.sum("value"))
+        running_agg(
+            events,
+            ["user_id"],
+            "event_id",
+            running_micros=F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")),
+        )
         .toPandas()
         .sort_values(["user_id", "event_id"])
     )
     pd.testing.assert_series_equal(
-        got.reset_index()["running_value"],
-        exp.reset_index()["running_sum"].rename("running_value"),
-        check_exact=False,
-        rtol=1e-9,
+        got.reset_index()["running_micros"],
+        exp.reset_index()["running_micros"],
     )
