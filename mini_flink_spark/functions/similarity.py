@@ -100,8 +100,17 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
 
 
 # ------------------------------------------------- LSH (random hyperplanes)
+#
+# Multi-table OR-amplified LSH: a single table of b hyperplanes has recall
+# p(cos)^b per pair (p = 1 - θ/π), which collapses for mid-similarity
+# neighbors; L independent tables raise it to 1 - (1 - p^b)^L at L× candidate
+# cost — the standard tradeoff. Defaults (6 tables × 6 planes) give ~95%
+# bucket-collision probability at cosine 0.9 while pruning ~91% of random
+# pairs; tune per corpus density.
 
-N_PLANES = 8  # bucket space 2^8; tune per corpus density
+N_PLANES = 8  # single-table bucket width (kept for bucket-id helpers)
+L_TABLES = 6
+PLANES_PER_TABLE = 6
 
 
 def _plane_component(j: int, d: int) -> float:
@@ -116,6 +125,42 @@ def _plane_component(j: int, d: int) -> float:
 
 def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
     return [[_plane_component(j, d) for d in range(dim)] for j in range(n_planes)]
+
+
+def multi_table_buckets(
+    vec: Column, tables: int = L_TABLES, planes: int = PLANES_PER_TABLE, dim: int = DIM
+) -> Column:
+    """Array of L bucket keys 't:<sign-pattern>' — one per hash table. A pair
+    is an LSH candidate iff the arrays intersect (join on the exploded key)."""
+    all_planes = hyperplanes(tables * planes, dim)
+    keys = []
+    for t in range(tables):
+        acc = F.lit(0)
+        for i in range(planes):
+            p = all_planes[t * planes + i]
+            plane_arr = F.array(*[F.lit(x) for x in p])
+            acc = acc + F.when(dot(vec, plane_arr) > 0, F.lit(1 << i)).otherwise(0)
+        keys.append(F.concat(F.lit(f"{t}:"), acc.cast("string")))
+    return F.array(*keys)
+
+
+def multi_table_buckets_sql(
+    vec: str, tables: int = L_TABLES, planes: int = PLANES_PER_TABLE, dim: int = DIM
+) -> str:
+    all_planes = hyperplanes(tables * planes, dim)
+    keys = []
+    for t in range(tables):
+        terms = []
+        for i in range(planes):
+            p = all_planes[t * planes + i]
+            arr = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+            dotp = (
+                f"list_sum(list_transform(list_zip({vec}::DOUBLE[], {arr}), "
+                f"p -> p[1] * p[2]))"
+            )
+            terms.append(f"(CASE WHEN {dotp} > 0 THEN {1 << i} ELSE 0 END)")
+        keys.append(f"('{t}:' || (" + " + ".join(terms) + ")::VARCHAR)")
+    return "[" + ", ".join(keys) + "]"
 
 
 def lsh_bucket(vec: Column, n_planes: int = N_PLANES, dim: int = DIM) -> Column:
@@ -147,26 +192,40 @@ def lsh_topk(
     query_pred: str = "vec_id < 10",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = N_PLANES,
+    tables: int = L_TABLES,
+    planes: int = PLANES_PER_TABLE,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine ranking restricted to same-bucket
-    candidates. Recall trades off with n_planes; multi-probe (flipping one
-    bit) would raise recall at 2× candidate cost."""
+    """Approximate top-k: exact cosine ranking restricted to multi-table LSH
+    candidates (pairs sharing ≥1 of L bucket keys).
+
+    Plan: project bucket arrays (no shuffle) → explode keys → join with the
+    query keys (shuffle on short strings) → distinct candidate ids → rejoin
+    vectors → exact score + per-query top-k window.
+    """
     from pyspark.sql import Window
 
-    with_bucket = corpus.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), n_planes).alias("bucket")
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        multi_table_buckets(F.col(vec_col), tables, planes).alias("bkeys"),
     )
-    q = with_bucket.filter(query_pred).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.col("bucket").alias("qb"),
+    keyed = base.select("id", F.explode("bkeys").alias("bkey"))
+    q_keyed = base.filter(query_pred).select(
+        F.col("id").alias("query_id"), F.explode("bkeys").alias("bkey")
     )
+    cand = (
+        keyed.join(F.broadcast(q_keyed), "bkey")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = base.filter(query_pred).select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+    nv = base.select(F.col("id").alias("neighbor_id"), F.col("v").alias("nv"))
     scored = (
-        with_bucket.alias("c")
-        .join(F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col(id_col) != F.col("query_id")))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col(vec_col)), 6))
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos")
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        .select("query_id", "neighbor_id", "cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -180,16 +239,25 @@ def lsh_topk_sql(
     table: str = "embeddings",
     k: int = 5,
     query_pred: str = "vec_id < 10",
-    n_planes: int = N_PLANES,
+    tables: int = L_TABLES,
+    planes: int = PLANES_PER_TABLE,
 ) -> str:
-    bucket = lsh_bucket_sql("embedding", n_planes)
-    cos = cosine_sql("q.qv", "c.embedding")
+    buckets = multi_table_buckets_sql("embedding", tables, planes)
+    cos = cosine_sql("qv.embedding", "nv.embedding")
     return f"""
-WITH wb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM {table}),
-q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qb FROM wb WHERE {query_pred}),
+WITH base AS (SELECT vec_id, embedding, {buckets} AS bkeys FROM {table}),
+keyed AS (SELECT vec_id AS id, unnest(bkeys) AS bkey FROM base),
+q_keyed AS (SELECT vec_id AS query_id, unnest(bkeys) AS bkey FROM base WHERE {query_pred}),
+cand AS (
+  SELECT DISTINCT q.query_id, k.id AS neighbor_id
+  FROM keyed k JOIN q_keyed q USING (bkey)
+  WHERE k.id <> q.query_id
+),
 scored AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id, round({cos}, 6) AS cos
-  FROM wb c JOIN q ON c.bucket = q.qb AND c.vec_id <> q.query_id
+  SELECT cand.query_id, cand.neighbor_id, round({cos}, 6) AS cos
+  FROM cand
+  JOIN {table} qv ON qv.vec_id = cand.query_id
+  JOIN {table} nv ON nv.vec_id = cand.neighbor_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cos,
@@ -205,45 +273,66 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = N_PLANES,
+    n_tables: int = L_TABLES,
+    n_planes_per_table: int = PLANES_PER_TABLE,
     blocked: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
 
-    blocked=True restricts to same-LSH-bucket candidates (the scale path —
-    high-cosine pairs almost always share all hyperplane signs); blocked=False
-    is the exact quadratic variant for small corpora / oracle checks.
+    blocked=True restricts to multi-table LSH candidates (the scale path —
+    ~95% bucket-collision probability at cosine 0.9 with the defaults);
+    blocked=False is the exact quadratic variant for small corpora / oracle
+    checks.
     """
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if blocked:
-        c = c.withColumn("bucket", lsh_bucket(F.col("v"), n_planes))
-        l, r = c.alias("l"), c.alias("r")
-        cand = l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        keyed = c.select(
+            "id", F.explode(multi_table_buckets(F.col("v"), n_tables, n_planes_per_table)).alias("bkey")
+        )
+        ids = (
+            keyed.alias("l")
+            .join(keyed.alias("r"), "bkey")
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+            .distinct()
+        )
+        cand = (
+            ids.join(c.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
+            .join(c.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
+        )
     else:
-        l, r = c.alias("l"), c.alias("r")
-        cand = l.join(r, F.col("l.id") < F.col("r.id"))
+        l = c.select(F.col("id").alias("a"), F.col("v").alias("va"))
+        r = c.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+        cand = l.join(r, F.col("a") < F.col("b"))
     return (
-        cand.withColumn("cos", F.round(cosine(F.col("l.v"), F.col("r.v")), 6))
+        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), "cos")
+        .select("a", "b", "cos")
     )
 
 
 def embedding_neardup_pairs_sql(
     table: str = "embeddings", threshold: float = 0.95, blocked: bool = True,
-    n_planes: int = N_PLANES,
+    n_tables: int = L_TABLES, n_planes_per_table: int = PLANES_PER_TABLE,
 ) -> str:
-    cos = cosine_sql("l.embedding", "r.embedding")
+    cos = cosine_sql("x.embedding", "y.embedding")
     if blocked:
-        bucket = lsh_bucket_sql("embedding", n_planes)
+        buckets = multi_table_buckets_sql("embedding", n_tables, n_planes_per_table)
         return f"""
-WITH wb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM {table})
-SELECT l.vec_id AS a, r.vec_id AS b, round({cos.replace('l.embedding','l.embedding').replace('r.embedding','r.embedding')}, 6) AS cos
-FROM wb l JOIN wb r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WITH keyed AS (
+  SELECT vec_id AS id, unnest({buckets}) AS bkey FROM {table}
+),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM keyed l JOIN keyed r USING (bkey) WHERE l.id < r.id
+)
+SELECT a, b, round({cos}, 6) AS cos
+FROM cand JOIN {table} x ON x.vec_id = a JOIN {table} y ON y.vec_id = b
 WHERE round({cos}, 6) >= {threshold}
 """
+    cos_lr = cosine_sql("l.embedding", "r.embedding")
     return f"""
-SELECT l.vec_id AS a, r.vec_id AS b, round({cos}, 6) AS cos
+SELECT l.vec_id AS a, r.vec_id AS b, round({cos_lr}, 6) AS cos
 FROM {table} l JOIN {table} r ON l.vec_id < r.vec_id
-WHERE round({cos}, 6) >= {threshold}
+WHERE round({cos_lr}, 6) >= {threshold}
 """

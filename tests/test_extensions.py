@@ -1,0 +1,151 @@
+"""Behavioral tests for the LLM-data-pipeline layer: planted near-duplicates
+are found, LSH recall is sane vs brute force, multimodal plumbing has the
+right shapes. (Cross-engine value parity is covered by test_oracle_parity.)"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mini_flink_spark.functions import dedup as D
+from mini_flink_spark.functions import multimodal as M
+from mini_flink_spark.functions import similarity as S
+from mini_flink_spark.functions import text as T
+
+
+# --------------------------------------------------------------------- text
+def test_token_count_matches_python(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    got = {r.doc_id: r.n for r in docs.select("doc_id", T.token_count("text").alias("n")).collect()}
+    import re
+
+    for r in docs.collect():
+        norm = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", r.text.lower())).strip()
+        assert got[r.doc_id] == len(norm.split(" "))
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = docs.select(T.quality_score("text").alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= stats.lo <= stats.hi <= 100.0
+
+
+# -------------------------------------------------------------------- dedup
+@pytest.fixture(scope="module")
+def docs_with_planted_dups(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = docs.limit(5).collect()
+    planted = []
+    for i, r in enumerate(base):
+        # exact copy and a near-copy (one token changed)
+        planted.append((100000 + i, r.text))
+        planted.append((200000 + i, r.text.replace(" ", " ", 1) + " zzz"))
+    extra = spark.createDataFrame(planted, "doc_id bigint, text string")
+    return docs.union(extra)
+
+
+def test_exact_dedup_groups_planted_copies(spark, docs_with_planted_dups):
+    out = D.exact_dedup(docs_with_planted_dups, "doc_id", "text")
+    dup_groups = out.filter(F.col("n_dups") >= 2)
+    assert dup_groups.count() >= 5  # the 5 exact copies collapse
+    # representative is the min doc_id (the original, not the 100k clone)
+    assert dup_groups.filter(F.col("keep_id") >= 100000).count() == 0
+
+
+def test_minhash_finds_planted_neardups(spark, docs_with_planted_dups):
+    pairs = D.minhash_lsh_pairs(
+        docs_with_planted_dups, "doc_id", "text", threshold=0.8
+    ).collect()
+    found = {(r.a, r.b) for r in pairs}
+    # each original (id < 500) must pair with its exact clone (100000+i)
+    exact_clone_pairs = sum(1 for a, b in found if b == a + 100000 or (b >= 100000 and b < 200000))
+    assert exact_clone_pairs >= 5
+    # near-copies (one appended token) are also ≥0.8 jaccard on 3-shingles
+    near = [p for p in pairs if p.b >= 200000]
+    assert len(near) >= 4
+
+
+def test_simhash_identical_docs_distance_zero(spark, docs_with_planted_dups):
+    sim = D.simhash(docs_with_planted_dups, "doc_id", "text")
+    pairs = D.simhash_pairs(sim, max_hamming=3)
+    found = {(r.a, r.b): r.hamming for r in pairs.collect()}
+    # original (a < 500) vs its exact clone (a + 100000): identical simhash
+    zero_pairs = [h for (a, b), h in found.items() if a < 500 and b == a + 100000]
+    assert zero_pairs and all(h == 0 for h in zero_pairs)
+
+
+def test_ngram_jaccard_on_planted(spark, docs_with_planted_dups):
+    pairs = D.ngram_jaccard_pairs(
+        docs_with_planted_dups, "doc_id", "text", threshold=0.9, max_df=400
+    ).collect()
+    exact = [p for p in pairs if p.a < 500 and p.b == p.a + 100000]
+    assert exact and all(p.jaccard == 1.0 for p in exact)
+
+
+# --------------------------------------------------------------- similarity
+def test_lsh_finds_planted_near_neighbors(spark, sf_dir):
+    # On uniform random vectors, true top-k neighbors are barely closer than
+    # the bulk — no LSH can beat that (it's a data property, not a bug). The
+    # behavioral guarantee worth testing: genuinely-near vectors (planted
+    # perturbed clones, cos ≈ 0.99) are recalled with high probability.
+    import random
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rng = random.Random(42)
+    base = emb.filter("vec_id < 20").collect()
+    planted = [
+        (10000 + r.vec_id, [x + rng.uniform(-0.02, 0.02) for x in r.embedding], r.label)
+        for r in base
+    ]
+    aug = emb.union(
+        spark.createDataFrame(planted, "vec_id bigint, embedding array<float>, label int")
+    )
+    approx = S.lsh_topk(aug, k=5, query_pred="vec_id < 20").collect()
+    top1 = {r.query_id: r.neighbor_id for r in approx if r.rank == 1}
+    hits = sum(1 for qid, nid in top1.items() if nid == qid + 10000)
+    assert hits >= 16, f"only {hits}/20 planted near-neighbors recalled at rank 1"
+
+
+def test_embedding_neardup_blocked_subset_of_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    blocked = {(r.a, r.b) for r in S.embedding_neardup_pairs(emb, 0.9, blocked=True).collect()}
+    exact = {(r.a, r.b) for r in S.embedding_neardup_pairs(emb, 0.9, blocked=False).collect()}
+    assert blocked <= exact
+
+
+# --------------------------------------------------------------- multimodal
+def test_media_struct_and_meta(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    media = M.text_as_media(docs, "text", kind="image")
+    meta = M.media_meta_table(media)
+    rows = meta.collect()
+    assert {r.kind for r in rows} == {"image"}
+    for r in rows:
+        assert r.byte_len > 0 and len(r.sha256) == 64
+
+
+def test_decode_image_is_explicit_stub(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2)
+    media = M.text_as_media(docs, "text")
+    with pytest.raises(Exception) as ei:
+        M.decode_image(media).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_fake_image_features_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = M.text_as_media(docs, "text")
+    f1 = {r.doc_id: r.features for r in M.fake_image_features(media).collect()}
+    f2 = {r.doc_id: r.features for r in M.fake_image_features(media).collect()}
+    assert f1 == f2
+    assert all(len(v) == 16 and all(-1 <= x <= 1 for x in v) for v in f1.values())
+
+
+def test_frame_sample_shape(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    media = M.text_as_media(docs, "text", kind="video")
+    frames = M.frame_sample_stub(media, every_n=1)
+    pdf = frames.toPandas()
+    assert set(pdf.columns) == {"doc_id", "frame_no"}
+    assert (pdf.groupby("doc_id").size() >= 1).all()
