@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the `noop` sink (full execution, no
+driver-side collect), so the number measures scan + shuffle + compute — the
+part that scales — not result serialization to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Representative spread: core operator surface, relational joins/sort, windows,
+# and the LLM-pipeline extension layer (dedup, ANN, text). Streaming queries are
+# excluded — their latency is trigger-interval-bound, not throughput-bound.
+HEADLINE = [
+    "pricing_summary",
+    "keyed_agg",
+    "wordcount",
+    "running_reduce",
+    "top_orders",
+    "join_revenue_by_segment",
+    "window_tumbling_hourly",
+    "text_quality",
+    "dedup_minhash_lsh",
+    "ann_topk_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from mini_flink_spark.queries import QUERIES  # populates the registry
+    from mini_flink_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-sf{sf}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/session outside the clock: codegen via a trivial agg, and
+    # the parquet datasource path via the 5-row region table (initializes
+    # reader classes without touching the benchmarked tables' data).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from mini_flink_spark.functions.hashing import portable_hash64_sql
+from mini_flink_spark.functions.hashing import portable_hash64_sql, seeded_hash
 from mini_flink_spark.functions.text import (
     fingerprint,
     fingerprint_sql,
@@ -37,13 +37,12 @@ from mini_flink_spark.functions.text import (
 # ----------------------------------------------------------------- shingles
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct n-token shingles (array<string>) of the normalized text.
-
-    Built from the token array with transform+slice — per-row expression work,
-    no explode/shuffle.
-    """
-    t = tokens(col)
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles (array<string>) from a *materialized* token
+    array column. `t` must be a plain column reference: interpreted lambda
+    evaluation re-evaluates the referenced expression per element, so inlining
+    the tokenizer here would re-run its regexes once per shingle position
+    (measured 16× slower at sf0.1)."""
     k = F.array_size(t) - (n - 1)
     # sequence(1, 0) would *descend* in Spark — guard the short-doc case
     idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
@@ -52,6 +51,36 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
     )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles (array<string>) of the normalized text.
+
+    Prefer materializing tokens first (see `shingled`) in hot paths — this
+    inline form re-tokenizes per shingle position under interpreted lambdas.
+    """
+    return shingles_from_tokens(tokens(col), n)
+
+
+def shingled(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, sh) with the shingle set materialized cheaply: repartition the raw
+    rows to cluster parallelism first (a small parquet file scans as ONE task
+    otherwise — the tokenizer would run single-threaded), then tokenize once
+    per row, then build shingles from the token *attribute* in a separate
+    projection. CollapseProject keeps the two projections apart because the
+    token array is referenced more than once by a non-trivial consumer, so the
+    tokenizer's regexes run once per row, not once per shingle position.
+
+    Docs too short to have an n-shingle keep an empty array — do NOT filter
+    them here: a pushed-down `array_size(sh) >= 1` predicate gets substituted
+    through both projections and re-runs the whole pipeline below the exchange
+    (single-threaded, measured 25× slower). Explode-based consumers drop empty
+    arrays for free; the DuckDB oracles carry an explicit `len(sh) >= 1` where
+    the Spark side relies on that drop."""
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    raw = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text")).repartition(parts)
+    toks = raw.select("id", tokens("_text").alias("t"))
+    return toks.select("id", shingles_from_tokens(F.col("t"), n).alias("sh"))
 
 
 def shingles_sql(expr: str, n: int = 3) -> str:
@@ -154,16 +183,24 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs (a < b) whose exact shingle-Jaccard ≥ threshold,
     restricted to LSH band-bucket candidates.
 
-    Plan shape: project signatures (no shuffle) → explode bands → self-join on
-    band key (shuffle on short strings) → distinct candidate pairs → verify
-    exact Jaccard via inverted-index semi-plan. No cross join at any scale.
+    Plan shape: materialize shingle sets (one tokenizer pass, exchange
+    barrier) → explode shingles and compute the k hash family as *flat*
+    codegen-able expressions per (doc, shingle) row → per-doc min-aggregate
+    into the signature (shuffle of 8-byte hashes) → explode bands → self-join
+    on band key → distinct candidate pairs → verify exact Jaccard. No cross
+    join, no nested higher-order functions, at any scale. (The nested-lambda
+    signature expression this replaces re-tokenized per hash function:
+    64× slower at sf0.1.)
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingles(text_col, n).alias("sh"),
-        minhash_signature(text_col, k, n).alias("sig"),
-    ).withColumn("n_sh", F.array_size("sh"))
-    banded = base.select(
+    base = shingled(df, id_col, text_col, n).withColumn("n_sh", F.array_size("sh"))
+    sh_rows = base.select("id", F.explode("sh").alias("s"))
+    hash_cols = [seeded_hash(F.col("s"), i).alias(f"h{i}") for i in range(k)]
+    sig = (
+        sh_rows.select("id", *hash_cols)
+        .groupBy("id")
+        .agg(F.array(*[F.min(f"h{i}") for i in range(k)]).alias("sig"))
+    )
+    banded = sig.select(
         "id", F.explode(minhash_bands(F.col("sig"), k, bands)).alias("band")
     )
     cand = (
@@ -205,7 +242,9 @@ def minhash_lsh_pairs_sql(
     bands_expr = minhash_bands_sql("sig", k, bands)
     return f"""
 WITH base AS (
-  SELECT {id_col} AS id, {sh} AS sh, {sig} AS sig FROM {table}
+  SELECT * FROM (
+    SELECT {id_col} AS id, {sh} AS sh, {sig} AS sig FROM {table}
+  ) WHERE len(sh) >= 1
 ),
 banded AS (
   SELECT id, unnest({bands_expr}) AS band FROM base
@@ -341,7 +380,7 @@ def ngram_jaccard_pairs(
     `max_df` drops shingles occurring in more than that many docs (stopword
     shingles would otherwise quadratically blow up the join at scale).
     """
-    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s"))
+    sh = shingled(df, id_col, text_col, n).select("id", F.explode("sh").alias("s"))
     if max_df is not None:
         keep = sh.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
         sh = sh.join(F.broadcast(keep), "s")

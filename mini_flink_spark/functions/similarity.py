@@ -66,7 +66,10 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    parts = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(parts).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
@@ -204,7 +207,10 @@ def lsh_topk(
     """
     from pyspark.sql import Window
 
-    base = corpus.select(
+    # Small parquet inputs scan as ONE task; spread the 36-dot-product bucket
+    # computation across the cluster before doing it.
+    parts = corpus.sparkSession.sparkContext.defaultParallelism
+    base = corpus.repartition(parts).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         multi_table_buckets(F.col(vec_col), tables, planes).alias("bkeys"),
@@ -284,7 +290,8 @@ def embedding_neardup_pairs(
     blocked=False is the exact quadratic variant for small corpora / oracle
     checks.
     """
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    parts = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(parts).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if blocked:
         keyed = c.select(
             "id", F.explode(multi_table_buckets(F.col("v"), n_tables, n_planes_per_table)).alias("bkey")

@@ -42,6 +42,16 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate turns explode(computed_array) into a
+        # size()>0 filter that predicate-pushdown then substitutes — full
+        # expression tree and all — below the exchange, re-running the array
+        # computation once per row on the (often single-task) scan side.
+        # Measured 25× slowdown on the shingle/minhash pipelines; the rule
+        # buys nothing for this workload.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.stateStore.providerClass",
                 "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
