@@ -501,6 +501,238 @@ def q_window_session(spark, sf_dir):
     )
 
 
+# =========================================================================
+# Temporal joins (as-of / interval — operators Spark lacks as built-ins,
+# implemented shuffle-friendly in operators/asof.py)
+# =========================================================================
+
+
+@register(
+    "asof_click_attribution",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts::TIMESTAMP AS ts, 1 AS side, event_id,
+             NULL::BIGINT AS c_eid, NULL::TIMESTAMP AS c_ts
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts::TIMESTAMP, 0, event_id, event_id, ts::TIMESTAMP
+      FROM events WHERE event_type = 'click'
+    ),
+    carried AS (
+      SELECT side, event_id, user_id, ts,
+             last_value(c_eid IGNORE NULLS) OVER w AS click_event_id,
+             last_value(c_ts IGNORE NULLS) OVER w AS click_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, c_eid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, click_event_id,
+           epoch_us(ts) - epoch_us(click_ts) AS gap_us
+    FROM carried WHERE side = 1
+    """,
+    ("temporal", "asof"),
+)
+def q_asof_attribution(spark, sf_dir):
+    """As-of join: each purchase attributed to the user's latest prior click.
+    Union + keyed ordered window — one shuffle, no inequality join."""
+    from mini_flink_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "ts"], tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_asof").alias("click_event_id"),
+        (F.unix_micros("ts") - F.unix_micros("ts_asof")).alias("gap_us"),
+    )
+
+
+@register(
+    "interval_join_click_purchase",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP) AS gap_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts::TIMESTAMP >= c.ts::TIMESTAMP
+     AND p.ts::TIMESTAMP <= c.ts::TIMESTAMP + INTERVAL 30 MINUTE
+    """,
+    ("temporal", "interval-join"),
+)
+def q_interval_join(spark, sf_dir):
+    """Interval join: (click, purchase) pairs of the same user within 30 min —
+    bucketed equi-join, never a nested-loop inequality join."""
+    from mini_flink_spark.operators.asof import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    out = interval_join(
+        clicks, purchases, on="user_id", left_ts="c_ts", right_ts="p_ts",
+        lower_s=0, upper_s=1800,
+    )
+    return out.select(
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+
+
+# =========================================================================
+# Multidimensional aggregation & window analytics
+# =========================================================================
+
+
+@register(
+    "rollup_region_nation",
+    f"""
+    SELECT r.r_name, n.n_name,
+           count(*) AS n_customers,
+           {dsum_sql('c.c_acctbal', '(18,2)')} AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    ("relational", "rollup"),
+)
+def q_rollup(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "(18,2)").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "cube_daily_events",
+    f"""
+    SELECT event_type, strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d'))
+    """,
+    ("relational", "cube"),
+)
+def q_cube(spark, sf_dir):
+    # day rendered as a string: cube's grand-total rows carry NULL grouping
+    # keys, and a null timestamp column round-trips badly (pandas NaT) through
+    # hash comparators
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .cube("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_user_event_counts",
+    "SELECT user_id, "
+    + ", ".join(
+        f"count(*) FILTER (event_type = '{t}') AS n_{t}" for t in EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+    ("relational", "pivot"),
+)
+def q_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    piv = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+@register(
+    "topn_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    ("relational", "window-fn"),
+)
+def q_topn_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "user_event_gaps",
+    """
+    SELECT event_id, user_id,
+           epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+    FROM events
+    """,
+    ("relational", "window-fn"),
+)
+def q_user_gaps(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+@register(
+    "value_percentiles_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+    ("relational", "percentile"),
+)
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (sort-based — deterministic, unlike
+    float-sum aggregates)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -37,7 +37,9 @@ def canon(v):
     import datetime
     import decimal
 
-    if v is None:
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
         return "NULL"
     if isinstance(v, bool):
         return str(int(v))
