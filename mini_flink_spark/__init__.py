@@ -12,13 +12,14 @@ the reference's scheduler/network/state plumbing entirely.
 
 from mini_flink_spark.session import get_spark
 from mini_flink_spark.operators.environment import StreamExecutionEnvironment
-from mini_flink_spark.operators.stream import DataStream, KeyedStream
+from mini_flink_spark.operators.stream import DataStream, KeyedStream, WindowedStream
 
 __all__ = [
     "get_spark",
     "StreamExecutionEnvironment",
     "DataStream",
     "KeyedStream",
+    "WindowedStream",
 ]
 
 __version__ = "0.1.0"

@@ -58,6 +58,30 @@ class StreamExecutionEnvironment:
             data = [(x,) for x in data]
         return DataStream(self.spark.createDataFrame(data, schema))
 
+    def read_csv(self, path: str, schema: Any = None, header: bool = True) -> DataStream:
+        reader = self.spark.read.option("header", str(header).lower())
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", "true")
+        return DataStream(reader.csv(path))
+
+    def read_json(self, path: str, schema: Any = None) -> DataStream:
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return DataStream(reader.json(path))
+
+    def socket_stream(self, host: str = "localhost", port: int = 9999) -> DataStream:
+        """Unbounded line stream from a TCP socket (single `value` column —
+        the shape of the reference's socketTextStream upstream cousin)."""
+        return DataStream(
+            self.spark.readStream.format("socket")
+            .option("host", host)
+            .option("port", str(port))
+            .load()
+        )
+
     def read_parquet(self, path: str) -> DataStream:
         """File source; filters/projections applied downstream are pushed into
         the scan by Catalyst (checked in tests/test_plans.py)."""

@@ -95,6 +95,29 @@ class DataStream:
         """
         return KeyedStream(self.df, _as_columns(keys))
 
+    def assign_timestamps_and_watermarks(
+        self, ts_col: str, max_out_of_orderness: str = "0 seconds"
+    ) -> "DataStream":
+        """Bounded-out-of-orderness event-time watermark.
+
+        The live rendering of the reference's dead watermark machinery
+        (SURVEY.md §2.8: Watermark.java:42-50 exists but the surviving
+        NonTimestampContext never emits one — StreamSourceContexts.java:41-52).
+        Spark's global watermark is min-across-partitions, the same alignment
+        rule as the reference's StatusWatermarkValve.java:86-142.
+
+        Streaming: `withWatermark` — windows stay open (and state is kept) at
+        least until watermark = max(event_ts) - delay passes their end; rows
+        arriving after that are dropped once the advanced watermark has
+        propagated (Spark filters late events against the *previous* batch's
+        watermark, so the contract is "at least this long", not "exactly
+        then"). Batch: identity (a bounded input is complete, watermark =
+        +inf — the MAX_WATERMARK emitted at end-of-stream, Watermark.java:45).
+        """
+        if self.df.isStreaming:
+            return DataStream(self.df.withWatermark(ts_col, max_out_of_orderness))
+        return self
+
     def rebalance(self, n: int | None = None) -> "DataStream":
         """Round-robin redistribution (RebalancePartitioner.java:35-45)."""
         return DataStream(self.df.repartition(n) if n else self.df.repartition(self.df.rdd.getNumPartitions()))
@@ -134,6 +157,12 @@ class DataStream:
         w.parquet(path)
 
     # ------------------------------------------------------------------ misc
+    def write_csv(self, path: str, mode: str = "overwrite", header: bool = True):
+        self.df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+    def write_json(self, path: str, mode: str = "overwrite"):
+        self.df.write.mode(mode).json(path)
+
     def with_arrival_index(self, order_col: str | None = None) -> "DataStream":
         """Attach an arrival-order column.
 
@@ -225,3 +254,50 @@ class KeyedStream(DataStream):
 
     def count(self, alias: str = "count") -> DataStream:
         return self.reduce(F.count(F.lit(1)).alias(alias))
+
+    # ----------------------------------------------------- event-time windows
+    # The reference kept only the Time duration helper of its window stack
+    # (fsj:streaming/api/windowing/time/Time.java; no WindowOperator/assigner
+    # survives — SURVEY.md §2.6). These are the live Spark-native rendering:
+    # F.window/F.session_window group-bys, streaming-safe under a watermark.
+    def tumbling_window(self, ts_col: str, size: str) -> "WindowedStream":
+        return WindowedStream(self.df, self.keys, F.window(ts_col, size))
+
+    def sliding_window(self, ts_col: str, size: str, slide: str) -> "WindowedStream":
+        return WindowedStream(self.df, self.keys, F.window(ts_col, size, slide))
+
+    def session_window(self, ts_col: str, gap: str) -> "WindowedStream":
+        return WindowedStream(self.df, self.keys, F.session_window(ts_col, gap))
+
+
+class WindowedStream:
+    """Keyed + windowed view; aggregations group by (keys, window) and flatten
+    the window struct into `window_start`/`window_end` columns."""
+
+    def __init__(self, df: DataFrame, keys: list[Column], window: Column):
+        self.df = df
+        self.keys = keys
+        self.window = window.alias("__w")
+
+    def aggregate(self, *aggs: Any) -> DataStream:
+        out = self.df.groupBy(*self.keys, self.window).agg(*_as_columns(aggs))
+        cols = [c for c in out.columns if c != "__w"]
+        return DataStream(
+            out.select(
+                *cols,
+                F.col("__w.start").alias("window_start"),
+                F.col("__w.end").alias("window_end"),
+            )
+        )
+
+    def sum(self, field: str, alias: str | None = None) -> DataStream:
+        return self.aggregate(F.sum(field).alias(alias or f"sum_{field}"))
+
+    def min(self, field: str, alias: str | None = None) -> DataStream:
+        return self.aggregate(F.min(field).alias(alias or f"min_{field}"))
+
+    def max(self, field: str, alias: str | None = None) -> DataStream:
+        return self.aggregate(F.max(field).alias(alias or f"max_{field}"))
+
+    def count(self, alias: str = "count") -> DataStream:
+        return self.aggregate(F.count(F.lit(1)).alias(alias))
