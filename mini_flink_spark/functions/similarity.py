@@ -343,3 +343,132 @@ SELECT l.vec_id AS a, r.vec_id AS b, round({cos_lr}, 6) AS cos
 FROM {table} l JOIN {table} r ON l.vec_id < r.vec_id
 WHERE round({cos_lr}, 6) >= {threshold}
 """
+
+
+# ---------------------------------------------------------- IVF (inverted file)
+#
+# The other standard ANN scale path: partition the corpus into Voronoi cells
+# around centroids, search only the nprobe cells nearest each query. Cells are
+# disjoint (vs LSH's overlapping buckets), so the index is a plain partitioned
+# table — at 100 TB this becomes `PARTITIONED BY (cell)` parquet and a probe
+# is partition pruning, which is why IVF is the warehouse-native choice.
+#
+# Centroids here are deterministic (the first `n_cells` corpus vectors by id)
+# rather than k-means-trained: identical search plan and contract, and the
+# DuckDB oracle can reproduce the index bit-for-bit. Swap in pyspark.ml
+# KMeans(seed=...) centroids for production recall without touching the plan.
+
+IVF_CELLS = 16
+IVF_NPROBE = 3
+
+
+def _assign_cells(
+    vecs: DataFrame, centroids: DataFrame, n: int, id_out: str,
+    vec_col: str = "v", rank_col: str = "crank",
+) -> DataFrame:
+    """Rank centroids per vector by cosine (desc, centroid id asc) and keep the
+    top n — cell assignment (n=1) and query probing (n=nprobe) are the same op."""
+    from pyspark.sql import Window
+
+    scored = vecs.join(F.broadcast(centroids), how="cross").withColumn(
+        "ccos", F.round(cosine(F.col(vec_col), F.col("cv")), 6)
+    )
+    w = Window.partitionBy(id_out).orderBy(F.desc("ccos"), F.asc("cell"))
+    return (
+        scored.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+        .drop("cv", "ccos")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    query_pred: str = "vec_id < 10",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to the nprobe
+    nearest cells of each query.
+
+    Plan: broadcast the (tiny) centroid set → assign every corpus vector to
+    its nearest cell (one broadcast-join pass, no shuffle of the corpus) →
+    probe-join queries to their nprobe cells → equi-join on cell → exact
+    score + per-query top-k window. The corpus-side shuffle is on the cell
+    key only; at rest the assignment is precomputed once per index build.
+    """
+    from pyspark.sql import Window
+
+    parts = corpus.sparkSession.sparkContext.defaultParallelism
+    base = corpus.repartition(parts).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    centroids = (
+        corpus.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+    )
+    assigned = _assign_cells(base, centroids, 1, "id").select("id", "v", "cell")
+    probes = _assign_cells(
+        base.filter(query_pred).select(F.col("id").alias("query_id"), F.col("v").alias("qv")),
+        centroids, nprobe, "query_id", vec_col="qv",
+    ).select("query_id", "qv", "cell")
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .select("query_id", F.col("id").alias("neighbor_id"), "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    query_pred: str = "vec_id < 10",
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    asg_cos = cosine_sql("b.embedding", "c.embedding")
+    q_cos = cosine_sql("q.embedding", "c.embedding")
+    cos = cosine_sql("qv.embedding", "nv.embedding")
+    return f"""
+WITH centroids AS (
+  SELECT vec_id AS cell, embedding FROM {table} WHERE vec_id < {n_cells}
+),
+assigned AS (
+  SELECT id, cell FROM (
+    SELECT b.vec_id AS id, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY round({asg_cos}, 6) DESC, c.cell ASC) AS crank
+    FROM {table} b, centroids c
+  ) WHERE crank = 1
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round({q_cos}, 6) DESC, c.cell ASC) AS crank
+    FROM {table} q, centroids c WHERE {query_pred}
+  ) WHERE crank <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.id AS neighbor_id, round({cos}, 6) AS cos
+  FROM assigned a JOIN probes p USING (cell)
+  JOIN {table} qv ON qv.vec_id = p.query_id
+  JOIN {table} nv ON nv.vec_id = a.id
+  WHERE a.id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+"""

@@ -157,6 +157,18 @@ def q_ann_lsh(spark, sf_dir):
     return S.lsh_topk(emb, k=5, query_pred="vec_id < 10")
 
 
+@register(
+    "ann_topk_ivf",
+    S.ivf_topk_sql(k=5, query_pred="vec_id < 10"),
+    ("similarity",),
+)
+def q_ann_ivf(spark, sf_dir):
+    """IVF probe search: disjoint Voronoi cells -> partition-prunable index;
+    the warehouse-native ANN layout (see similarity.py IVF section)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, k=5, query_pred="vec_id < 10")
+
+
 # =========================================================================
 # Multimodal (binary payload plumbing; decode stubbed — SURVEY.md §7 Phase 3)
 # =========================================================================

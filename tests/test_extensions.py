@@ -149,3 +149,25 @@ def test_frame_sample_shape(spark, sf_dir):
     pdf = frames.toPandas()
     assert set(pdf.columns) == {"doc_id", "frame_no"}
     assert (pdf.groupby("doc_id").size() >= 1).all()
+
+
+def test_ivf_finds_planted_near_neighbors(spark, sf_dir):
+    # same planted-clone protocol as the LSH test: a perturbed copy at
+    # cos ≈ 0.99 must be recalled at rank 1 for most queries (IVF assigns
+    # clone and original to the same Voronoi cell with high probability)
+    import random
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rng = random.Random(7)
+    base = emb.filter("vec_id >= 20 AND vec_id < 40").collect()
+    planted = [
+        (10000 + r.vec_id, [x + rng.uniform(-0.02, 0.02) for x in r.embedding], r.label)
+        for r in base
+    ]
+    aug = emb.union(
+        spark.createDataFrame(planted, "vec_id bigint, embedding array<float>, label int")
+    )
+    approx = S.ivf_topk(aug, k=5, query_pred="vec_id >= 20 AND vec_id < 40").collect()
+    top1 = {r.query_id: r.neighbor_id for r in approx if r.rank == 1}
+    hits = sum(1 for qid, nid in top1.items() if nid == qid + 10000)
+    assert hits >= 16, f"only {hits}/20 planted near-neighbors recalled at rank 1"
