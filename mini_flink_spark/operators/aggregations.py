@@ -67,3 +67,39 @@ def keyed_aggregates(df: DataFrame, keys: Sequence[Column], field: str) -> DataF
         F.max(field).alias(f"max_{field}"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    field: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-proof SUM/MIN/MAX/COUNT: aggregate on (keys, salt) first,
+    then merge per key.
+
+    Spark's map-side partial aggregation already absorbs most key skew; the
+    residual failure mode at 100 TB is a reduce-side hot key whose partials
+    from thousands of map tasks still converge on one reducer. Salting splits
+    that key across `n_salts` reducers and merges the (tiny) salted partials
+    in a second, uniform aggregation. Result is bit-identical for these
+    decomposable aggregates (sums re-associate over integer/decimal types;
+    use DECIMAL accumulation for money — see queries.dsum).
+
+    AQE's skew-join splitting does NOT cover aggregation skew — this is the
+    manual strategy for it, worth its extra (cheap) shuffle only on skewed
+    keyspaces.
+    """
+    salted = df.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.sum(field).alias("_s"),
+        F.min(field).alias("_mn"),
+        F.max(field).alias("_mx"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_s").alias(f"sum_{field}"),
+        F.min("_mn").alias(f"min_{field}"),
+        F.max("_mx").alias(f"max_{field}"),
+        F.sum("_c").alias("cnt"),
+    )

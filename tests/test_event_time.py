@@ -158,3 +158,36 @@ def test_csv_json_roundtrip(spark):
     exp = sorted(map(tuple, ds.collect()))
     assert sorted(map(tuple, got_csv.collect())) == exp
     assert sorted(map(tuple, got_json.collect())) == exp
+
+
+def test_timer_based_inactivity_sessions(spark):
+    """Event-time timers (the live InternalTimerServiceImpl rendering): a
+    key's session row is emitted when the watermark passes last_event + gap;
+    keys whose timers the final watermark never reaches stay unflushed."""
+    from mini_flink_spark.streaming.sessions import keyed_inactivity_sessions
+
+    path = tempfile.mkdtemp(prefix="sess_")
+    now = time.time()
+    _write_one_file(
+        spark,
+        [("a", ts("2024-01-01 10:00:00"), 1), ("a", ts("2024-01-01 10:05:00"), 2)],
+        path, "f1.parquet", now - 180,
+    )
+    _write_one_file(spark, [("b", ts("2024-01-01 12:00:00"), 5)], path, "f2.parquet", now - 120)
+    _write_one_file(spark, [("c", ts("2024-01-01 13:00:00"), 7)], path, "f3.parquet", now - 60)
+
+    stream = parquet_stream(spark, path, SCHEMA, max_files_per_trigger=1).withWatermark(
+        "ts", "0 seconds"
+    )
+    out = keyed_inactivity_sessions(stream, "user", "value", "ts", gap_seconds=1800)
+    got = run_stream_to_memory(out, spark, "append").toPandas()
+
+    rows = {r.user: r for r in got.itertuples()}
+    # a timed out (timer 10:35 < watermark 12:00 at batch 3)
+    assert rows["a"].n_events == 2 and rows["a"].sum_value == 3.0
+    assert rows["a"].session_start == ts("2024-01-01 10:00:00")
+    assert rows["a"].session_end == ts("2024-01-01 10:05:00")
+    # b timed out in the trailing no-data batch (timer 12:30 < watermark 13:00)
+    assert rows["b"].n_events == 1
+    # c's timer (13:30) is past the final watermark (13:00): not flushed
+    assert "c" not in rows

@@ -1,0 +1,112 @@
+"""Keyed-semantics property tests (SURVEY.md §5 item 3): for random keyed
+integer streams, the engine's keyed reduce must equal the sequential
+left-fold in arrival order per key — guaranteed in the reference by
+single-threaded per-key processing, and here by per-key grouping.
+
+Hypothesis drives the inputs; one shared SparkSession keeps each example
+cheap (deadline disabled — Spark latency is not the property under test).
+"""
+
+from collections import defaultdict
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from mini_flink_spark.operators.aggregations import keyed_aggregates, salted_agg
+from mini_flink_spark.operators.running_reduce import running_agg
+
+KV = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(-1000, 1000)),
+    min_size=1,
+    max_size=60,
+)
+
+PROP = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def seq_folds(data):
+    """Sequential per-key folds in arrival order — the reference semantics."""
+    acc = defaultdict(list)
+    for k, v in data:
+        acc[k].append(v)
+    return {
+        k: {
+            "sum": sum(vs),
+            "min": min(vs),
+            "max": max(vs),
+            "cnt": len(vs),
+            "running": [sum(vs[: i + 1]) for i in range(len(vs))],
+        }
+        for k, vs in acc.items()
+    }
+
+
+@given(data=KV)
+@PROP
+def test_keyed_aggregates_equal_sequential_fold(spark, data):
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(data)], "arr bigint, k bigint, v bigint"
+    )
+    exp = seq_folds(data)
+    got = {
+        r.k: (r.sum_v, r.min_v, r.max_v, r.cnt)
+        for r in keyed_aggregates(df, [F.col("k")], "v").collect()
+    }
+    assert got == {k: (e["sum"], e["min"], e["max"], e["cnt"]) for k, e in exp.items()}
+
+
+@given(data=KV)
+@PROP
+def test_salted_agg_equals_plain_agg(spark, data):
+    df = spark.createDataFrame(
+        [(k, v) for k, v in data], "k bigint, v bigint"
+    )
+    exp = seq_folds(data)
+    got = {
+        r.k: (r.sum_v, r.min_v, r.max_v, r.cnt)
+        for r in salted_agg(df, ["k"], "v", n_salts=4).collect()
+    }
+    assert got == {k: (e["sum"], e["min"], e["max"], e["cnt"]) for k, e in exp.items()}
+
+
+@given(data=KV)
+@PROP
+def test_running_reduce_is_prefix_fold(spark, data):
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(data)], "arr bigint, k bigint, v bigint"
+    )
+    out = running_agg(df, ["k"], "arr", running_sum=F.sum("v")).collect()
+    exp = seq_folds(data)
+    per_key = defaultdict(list)
+    for r in sorted(out, key=lambda r: (r.k, r.arr)):
+        per_key[r.k].append(r.running_sum)
+    assert dict(per_key) == {k: e["running"] for k, e in exp.items()}
+
+
+@given(data=KV)
+@PROP
+def test_python_fold_reduce_matches_builtin_sum(spark, data):
+    """The opaque-ReduceFunction slow path (applyInPandas fold) agrees with
+    the columnar fast path — the two renderings of KeyedStream.reduce."""
+    from mini_flink_spark.operators.environment import StreamExecutionEnvironment
+
+    env = StreamExecutionEnvironment(spark)
+    ds = env.from_collection(
+        [(i, k, v) for i, (k, v) in enumerate(data)], "arr bigint, k bigint, v bigint"
+    )
+    slow = (
+        ds.key_by("k")
+        .reduce(
+            fn=lambda a, b: {"arr": b["arr"], "k": b["k"], "v": a["v"] + b["v"]},
+            order_col="arr",
+        )
+        .to_df()
+        .collect()
+    )
+    exp = seq_folds(data)
+    assert {r.k: r.v for r in slow} == {k: e["sum"] for k, e in exp.items()}
