@@ -30,9 +30,12 @@ HEADLINE = [
     "top_orders",
     "join_revenue_by_segment",
     "window_tumbling_hourly",
+    "asof_click_attribution",
+    "interval_join_click_purchase",
     "text_quality",
     "dedup_minhash_lsh",
     "ann_topk_lsh",
+    "ann_topk_ivf",
 ]
 
 

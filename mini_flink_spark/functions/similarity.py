@@ -208,7 +208,11 @@ def lsh_topk(
     from pyspark.sql import Window
 
     # Small parquet inputs scan as ONE task; spread the 36-dot-product bucket
-    # computation across the cluster before doing it.
+    # computation across the cluster before doing it. (The bucket projection
+    # is consumed by two join branches and recomputed per branch — column
+    # pruning gives each branch a different subtree, so ReuseExchange cannot
+    # dedupe them; at index scale you'd materialize the bucketed corpus once
+    # instead of recomputing per query batch.)
     parts = corpus.sparkSession.sparkContext.defaultParallelism
     base = corpus.repartition(parts).select(
         F.col(id_col).alias("id"),

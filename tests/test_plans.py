@@ -1,0 +1,79 @@
+"""Physical-plan shape assertions: the scale properties README claims are
+pinned here so a refactor can't silently regress them — predicate pushdown
+reaching the parquet scan, column pruning in ReadSchema, broadcast (not
+shuffle) joins for dims, top-k as TakeOrderedAndProject, no nested-loop
+joins in the temporal operators, and whole-stage codegen on the hot path."""
+
+import pytest
+
+from mini_flink_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return QUERIES[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_predicate")
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "GreaterThan(value,50.0)" in plan
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "map_project")
+    # only the three referenced columns reach ReadSchema
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "event_id" in rs and "event_type" in rs and "value" in rs
+    assert "props" not in rs and "user_id" not in rs
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # map-side partial aggregation before the exchange (the combiner the
+    # reference never had)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dim_joins_broadcast_not_shuffle(spark, sf_dir):
+    for q in ("join_revenue_by_segment", "join_customer_nation_region"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "BroadcastHashJoin" in plan, q
+        assert "SortMergeJoin" not in plan, q
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "top_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_temporal_joins_avoid_nested_loop(spark, sf_dir):
+    for q in ("interval_join_click_purchase", "asof_click_attribution"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_hot_paths_whole_stage_codegen(spark, sf_dir):
+    # AQE plans only show codegen spans after execution; explain("codegen")
+    # compiles them up front
+    import contextlib
+    import io
+
+    for q in ("pricing_summary", "keyed_agg", "wordcount"):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            QUERIES[q].fn(spark, sf_dir).explain("codegen")
+        out = buf.getvalue()
+        assert "WholeStageCodegen" in out, q
+
+
+def test_no_python_udfs_in_core_queries(spark, sf_dir):
+    # every core/relational query stays JVM-side (UDFs would appear as
+    # BatchEvalPython / ArrowEvalPython)
+    for name, spec in QUERIES.items():
+        if "dedup" in name or "ann" in name or "streaming" in name or "multimodal" in name:
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        assert "EvalPython" not in plan, name
