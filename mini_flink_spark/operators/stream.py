@@ -128,6 +128,22 @@ class DataStream:
         return self.rebalance(n)
 
     # -------------------------------------------------------------- set ops
+    def distinct(self) -> "DataStream":
+        return DataStream(self.df.distinct())
+
+    def drop_duplicates(self, subset: Sequence[str] | None = None) -> "DataStream":
+        """Exact dedup on a column subset (content-hash dedup for documents
+        lives in functions.dedup.exact_dedup)."""
+        return DataStream(self.df.dropDuplicates(list(subset) if subset else None))
+
+    def join(self, other: "DataStream", on: Any, how: str = "inner",
+             broadcast_other: bool = False) -> "DataStream":
+        """Relational join (absent in the reference — SURVEY.md §2.6; native
+        here). `broadcast_other` hints the dim-table pattern explicitly;
+        otherwise AQE picks the strategy."""
+        right = F.broadcast(other.df) if broadcast_other else other.df
+        return DataStream(self.df.join(right, on, how))
+
     def union(self, *others: "DataStream") -> "DataStream":
         out = self.df
         for o in others:

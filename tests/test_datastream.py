@@ -107,3 +107,15 @@ def test_events_aggregates_match_pandas(spark, sf_dir):
         s, mn, mx, c = got[uid]
         assert abs(s - row["sum"]) < 1e-9
         assert mn == row["min"] and mx == row["max"] and c == row["count"]
+
+
+def test_distinct_dropdup_join(spark):
+    env = StreamExecutionEnvironment(spark)
+    a = env.from_collection([(1, "x"), (1, "x"), (2, "y")], "id bigint, s string")
+    assert a.distinct().to_df().count() == 2
+    assert a.drop_duplicates(["id"]).to_df().count() == 2
+    b = env.from_collection([(1, 10.0), (3, 30.0)], "id bigint, v double")
+    j = a.join(b, "id", "inner", broadcast_other=True).to_df()
+    assert {(r.id, r.s, r.v) for r in j.collect()} == {(1, "x", 10.0), (1, "x", 10.0)} or j.count() == 2
+    left = a.join(b, "id", "left").to_df()
+    assert left.count() == 3 and left.filter("v IS NULL").count() == 1

@@ -80,3 +80,49 @@ def test_streaming_running_reduce_per_record_emission(spark, sf_dir):
         got.reset_index()["running_micros"],
         exp.reset_index()["running_micros"],
     )
+
+
+def test_checkpoint_recovery_restores_keyed_state(spark):
+    """The reference kept checkpoint scaffolding but no coordinator — state
+    dies with the process (SURVEY.md §4). Here the state store + checkpoint
+    give real recovery: a restarted query reads ONLY new input yet its
+    update-mode counts continue from the restored per-key state."""
+    import os
+
+    base = tempfile.mkdtemp(prefix="ckpt_")
+    data_dir = os.path.join(base, "data")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(data_dir)
+
+    spark.createDataFrame([("hello world hello",)], "line string").coalesce(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+
+    def run_once():
+        stream = parquet_stream(spark, data_dir, "line string")
+        out = wordcount_stream_update(stream)
+        batches = []
+        q = (
+            out.writeStream.foreachBatch(lambda df, eid: batches.append(df.toPandas()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = [r for b in batches for r in b.itertuples(index=False)]
+        return {w: c for w, c in rows}, sum(len(b) for b in batches)
+
+    first, _ = run_once()
+    assert first == {"hello": 2, "world": 1}
+
+    # new input after "failure"; restart from the same checkpoint
+    spark.createDataFrame([("hello again",)], "line string").coalesce(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    second, n_updates = run_once()
+
+    # only the new file was read (no re-emission of unchanged 'world'),
+    # but 'hello' continues from restored state: 2 + 1
+    assert second == {"hello": 3, "again": 1}
+    assert n_updates == 2
