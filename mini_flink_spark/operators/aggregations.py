@@ -74,6 +74,7 @@ def salted_agg(
     keys: Sequence[str],
     field: str,
     n_salts: int = 16,
+    sum_cast: str | None = None,
 ) -> DataFrame:
     """Two-phase skew-proof SUM/MIN/MAX/COUNT: aggregate on (keys, salt) first,
     then merge per key.
@@ -90,9 +91,10 @@ def salted_agg(
     manual strategy for it, worth its extra (cheap) shuffle only on skewed
     keyspaces.
     """
+    sum_col = F.col(field).cast(sum_cast) if sum_cast else F.col(field)
     salted = df.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
     partial = salted.groupBy(*keys, "__salt").agg(
-        F.sum(field).alias("_s"),
+        F.sum(sum_col).alias("_s"),
         F.min(field).alias("_mn"),
         F.max(field).alias("_mx"),
         F.count(F.lit(1)).alias("_c"),

@@ -501,6 +501,36 @@ def q_window_session(spark, sf_dir):
     )
 
 
+@register(
+    "salted_keyed_agg",
+    f"""
+    SELECT user_id,
+           {dsum_sql('value')} AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           count(*) AS cnt
+    FROM events GROUP BY user_id
+    """,
+    ("core", "skew"),
+)
+def q_salted_keyed_agg(spark, sf_dir):
+    """The skew-proof two-phase (key, salt) -> key aggregation, proven
+    result-identical to the plain keyed aggregate (same oracle as keyed_agg).
+    Decimal accumulation keeps the sum order-independent across the extra
+    re-association the salting introduces."""
+    from mini_flink_spark.operators.aggregations import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(ev, ["user_id"], "value", n_salts=8, sum_cast="decimal(28,10)")
+    return out.select(
+        "user_id",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+        "cnt",
+    )
+
+
 # =========================================================================
 # Temporal joins (as-of / interval — operators Spark lacks as built-ins,
 # implemented shuffle-friendly in operators/asof.py)
