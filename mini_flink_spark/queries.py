@@ -763,6 +763,314 @@ def q_percentiles(spark, sf_dir):
     )
 
 
+# =========================================================================
+# Analytical breadth: TPC-H-shaped multi-join aggregates, grouping sets,
+# scalar subqueries, window analytics, and function batteries. All Spark
+# built-ins end-to-end (no Python in the hot path).
+# =========================================================================
+
+
+@register(
+    "shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', '(28,6)')} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10
+    """,
+    ("relational", "join", "bench"),
+)
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
+    customer is small relative to lineitem, so the filtered side broadcasts
+    (AQE picks it below the 10 MB threshold); top-k is TakeOrderedAndProject,
+    never a global sort."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev.cast("decimal(28,6)")).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "returned_item_revenue",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', '(28,6)')} AS revenue,
+           count(*) AS n_items
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20
+    """,
+    ("relational", "join"),
+)
+def q_returned_item_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: lost-revenue-per-customer over returned items.
+    Two broadcastable dims (customer, nation) against the lineitem→orders
+    fact join; the returnflag filter reaches the scan."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev.cast("decimal(28,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+           {dsum_sql('o_totalprice', '(18,2)')} AS revenue, count(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    ("relational", "multidim"),
+)
+def q_grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS (complements the rollup/cube queries): one
+    shuffle, Expand feeds all three groupings — not three scans."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(dsum("o_totalprice", "(18,2)").alias("revenue"), F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "parts_above_avg_price",
+    """
+    SELECT p.p_partkey, p.p_retailprice
+    FROM part p,
+         (SELECT sum(p_retailprice::DECIMAL(18,4)) AS total, count(*) AS cnt FROM part) s
+    WHERE p.p_retailprice::DECIMAL(18,4) * s.cnt > s.total
+    """,
+    ("relational", "subquery"),
+)
+def q_parts_above_avg(spark, sf_dir):
+    """Scalar-subquery shape (price above global mean). The mean comparison is
+    done multiplicatively in DECIMAL (price*cnt > sum) so it is exact on both
+    engines — no decimal-division scale differences. The 1-row aggregate is
+    broadcast; the fact side never collects to the driver."""
+    p = _t(spark, sf_dir, "part")
+    s = p.agg(
+        F.sum(F.col("p_retailprice").cast("decimal(18,4)")).alias("total"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        p.crossJoin(F.broadcast(s))
+        .filter(F.col("p_retailprice").cast("decimal(18,4)") * F.col("cnt") > F.col("total"))
+        .select("p_partkey", "p_retailprice")
+    )
+
+
+@register(
+    "datetime_battery",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           quarter(o_orderdate) AS qtr,
+           day(o_orderdate) AS dom,
+           date_trunc('month', o_orderdate) AS month_start,
+           date_diff('day', o_orderdate::DATE, DATE '2000-01-01') AS days_to_y2k
+    FROM orders
+    """,
+    ("functions", "datetime"),
+)
+def q_datetime_battery(spark, sf_dir):
+    """Date/time scalar-function battery (the reference's 'expression
+    language' is opaque Java lambdas; here the columnar equivalents)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_y2k"
+        ),
+    )
+
+
+@register(
+    "string_battery",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_u,
+           length(p_name) AS name_len,
+           substring(p_name, 1, 8) AS name_pre,
+           replace(p_type, ' ', '_') AS type_snake,
+           concat(p_brand, '#', p_type) AS brand_type,
+           lpad(p_partkey::VARCHAR, 12, '0') AS key_pad,
+           split_part(p_name, ' ', 1) AS first_word
+    FROM part
+    """,
+    ("functions", "string"),
+)
+def q_string_battery(spark, sf_dir):
+    """String scalar-function battery — all JVM-side expressions inside one
+    whole-stage-codegen span."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_u"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_pre"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_partkey").cast("string"), 12, "0").alias("key_pad"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+    )
+
+
+@register(
+    "sample_hash_deterministic",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE substring(md5(doc_id::VARCHAR), 1, 2) < '1a'
+    """,
+    ("extension", "sampling"),
+)
+def q_sample_hash(spark, sf_dir):
+    """Deterministic ~10% hash sample — the training-pipeline sampling
+    primitive. Unlike rand()-based sampling it is reproducible across engines,
+    runs, and partitionings (the hash depends only on the row key), composable
+    with incremental reruns, and embarrassingly parallel (no RNG state)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x))), 4) + 0.0
+             AS l2_norm,
+           round(list_sum(list_transform(embedding, x -> x::DOUBLE)) / len(embedding), 4) + 0.0
+             AS mean_component
+    FROM embeddings
+    """,
+    ("extension", "vector"),
+)
+def q_embedding_norms(spark, sf_dir):
+    """Higher-order array functions over the embedding column (no UDF): the
+    fold stays JVM-side. Rounded to 4 dp — float-sum association noise is far
+    below that at dim=64."""
+    e = _t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    tot = F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double"))
+    return e.select(
+        "vec_id",
+        (F.round(F.sqrt(sq), 4) + F.lit(0.0)).alias("l2_norm"),
+        (F.round(tot / F.size("embedding"), 4) + F.lit(0.0)).alias("mean_component"),
+    )
+
+
+@register(
+    "running_total_per_customer",
+    """
+    SELECT o_orderkey, o_custkey,
+           (sum(o_totalprice::DECIMAL(18,2)) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))::DOUBLE
+             AS running_spend
+    FROM orders
+    """,
+    ("relational", "window-fn"),
+)
+def q_running_total(spark, sf_dir):
+    """Cumulative per-key running total — the window-function face of the
+    reference's running reduce (StreamGroupedReduce.java:40-54): same
+    per-key-in-order accumulation, expressed as a batch window. Partitioned
+    by customer, so it scales horizontally (no global window)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "ntile_price_quartiles",
+    """
+    SELECT o_orderpriority, bucket, count(*) AS cnt,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    GROUP BY o_orderpriority, bucket
+    """,
+    ("relational", "window-fn"),
+)
+def q_ntile_quartiles(spark, sf_dir):
+    """ntile bucketing per partition key (quartile stats per priority).
+    Partitioned windows only — a global ntile would serialize through one
+    task at 100 TB; per-key windows shard across executors."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("bucket"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
