@@ -267,6 +267,86 @@ WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
 """
 
 
+# ----------------------------------------------- connected-component groups
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """(id, component) for every node in the undirected pair graph; component
+    = min node id reachable. Turns near-dup *pairs* into dedup *groups* (keep
+    one doc per component).
+
+    Min-label propagation: each round every node takes the min label in its
+    closed neighborhood; converges in O(cluster diameter) rounds — near-dup
+    clusters are band-join cliques in practice, so 2-3 rounds. Each round is
+    one shuffle join + one aggregation on 8-byte ids; `localCheckpoint`
+    truncates the lineage so the plan doesn't grow with iterations. The
+    convergence test is a cheap count over changed labels.
+
+    At 1000-executor scale the same loop holds (it is the textbook BSP CC);
+    for adversarial graphs with long chains, swap the body for the
+    large-star/small-star edge rewriting of Kiveris et al. "Connected
+    Components in MapReduce" (SoCC'14) — same driver loop, fewer rounds.
+    """
+    sym = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).union(
+        pairs.select(F.col(b).alias("u"), F.col(a).alias("v"))
+    )
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.u, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def connected_components_sql(pairs_sql: str, a: str = "a", b: str = "b") -> str:
+    """DuckDB oracle twin: transitive closure by recursive CTE, component =
+    min reachable id. UNION (not UNION ALL) dedups visited states, so the
+    recursion terminates on cyclic graphs."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT {a} AS u, {b} AS v FROM pairs
+  UNION
+  SELECT {b} AS u, {a} AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
 # ------------------------------------------------------------------ SimHash
 
 SIMHASH_BITS = 56  # portable hash width

@@ -122,6 +122,57 @@ def q_dedup_ngram(spark, sf_dir):
 
 
 @register(
+    "dedup_components",
+    D.connected_components_sql(D.minhash_lsh_pairs_sql("doc_id", "text", threshold=0.4)),
+    ("dedup", "iterative"),
+)
+def q_dedup_components(spark, sf_dir):
+    """Near-dup *groups*: connected components over the MinHash-LSH pair graph
+    (iterative min-label propagation; oracle is a recursive CTE computing the
+    same min-reachable-id labeling). Downstream dedup keeps min(id) per
+    component."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4)
+    return D.connected_components(pairs)
+
+
+@register(
+    "curation_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, {T.quality_score_sql('text')} AS quality,
+             {T.token_count_sql('text')} AS n_tokens,
+             {T.fingerprint_sql('text')} AS fp
+      FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 21.0 AND n_tokens >= 20)
+    SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups,
+           round(max(quality), 4) AS best_quality
+    FROM kept GROUP BY fp
+    """,
+    ("extension", "pipeline"),
+)
+def q_curation_pipeline(spark, sf_dir):
+    """The composite training-data curation path in one plan: quality score +
+    token-count gate, then exact dedup of the survivors (one representative
+    per content fingerprint). Single scan, one shuffle on the 8-byte
+    fingerprint — the shape this pipeline must have at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        T.quality_score("text").alias("quality"),
+        T.token_count("text").alias("n_tokens"),
+        T.fingerprint("text").alias("fp"),
+    )
+    kept = scored.filter((F.col("quality") >= 21.0) & (F.col("n_tokens") >= 20))
+    return kept.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+        F.round(F.max("quality"), 4).alias("best_quality"),
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     S.embedding_neardup_pairs_sql(threshold=0.9, blocked=True),
     ("dedup", "embedding"),

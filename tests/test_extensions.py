@@ -171,3 +171,14 @@ def test_ivf_finds_planted_near_neighbors(spark, sf_dir):
     top1 = {r.query_id: r.neighbor_id for r in approx if r.rank == 1}
     hits = sum(1 for qid, nid in top1.items() if nid == qid + 10000)
     assert hits >= 16, f"only {hits}/20 planted near-neighbors recalled at rank 1"
+
+
+def test_connected_components_known_graph(spark):
+    # chain 1-2-3-4 (diameter > 1 exercises multi-round propagation),
+    # triangle 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a bigint, b bigint",
+    )
+    got = {r.id: r.component for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
