@@ -305,3 +305,36 @@ def q_streaming_running_reduce(spark, sf_dir):
     return run_stream_to_memory(out, spark, "update").select(
         "user_id", "event_id", "running_micros"
     )
+
+
+@register(
+    "streaming_window_counts",
+    """
+    SELECT user_id, date_trunc('hour', ts::TIMESTAMP) AS window_start,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    ("streaming", "event-time"),
+)
+def q_streaming_window_counts(spark, sf_dir):
+    """Event-time tumbling window on the *streaming* path: file stream →
+    watermark → windowed keyed count → memory sink, drained with AvailableNow.
+    The reference's watermark/timer machinery is dead code (SURVEY §2.8,
+    StreamSourceContexts.java:41-52 pins processing time); this is the live
+    Spark equivalent — withWatermark bounds state, late rows past the
+    watermark are dropped, and the converged counts equal the batch oracle."""
+    from pyspark.sql import functions as F
+
+    from mini_flink_spark.sources import parquet_stream, write_stream_fixture
+    from mini_flink_spark.streaming import run_stream_to_memory
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    fixture = write_stream_fixture(ev, tempfile.mkdtemp(prefix="q_stream_win_"), n_files=3)
+    stream = parquet_stream(spark, fixture, "user_id bigint, ts timestamp")
+    windowed = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("window_start"), "n_events")
+    )
+    return run_stream_to_memory(windowed, spark, "update")
