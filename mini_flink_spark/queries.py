@@ -420,6 +420,62 @@ def q_set_union(spark, sf_dir):
     return c.union(s).distinct()
 
 
+@register(
+    "set_intersect_nation_keys",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    ("relational", "setop"),
+)
+def q_set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except_late_orders",
+    """
+    SELECT o_orderkey AS orderkey FROM orders
+    EXCEPT
+    SELECT l_orderkey AS orderkey FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    ("relational", "setop"),
+)
+def q_set_except(spark, sf_dir):
+    """EXCEPT: orders with no lineitem shipped before 1997 (plans as a
+    left-anti hash join after distinct — no sort)."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("orderkey"))
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select(F.col("l_orderkey").alias("orderkey"))
+    )
+    return o.subtract(li)  # subtract == EXCEPT (distinct) semantics
+
+
+@register(
+    "distinct_users_per_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    ("relational", "agg"),
+)
+def q_distinct_users(spark, sf_dir):
+    """COUNT(DISTINCT) — Catalyst expands to a two-phase partial-distinct
+    aggregate (Expand + two HashAggregates), so the distinct set never
+    concentrates on one task."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # =========================================================================
 # Time windows (the live rendering of the reference's dead watermark/timer
 # machinery, SURVEY.md §2.8)

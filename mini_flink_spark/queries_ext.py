@@ -338,3 +338,88 @@ def q_streaming_window_counts(spark, sf_dir):
         .select("user_id", F.col("w.start").alias("window_start"), "n_events")
     )
     return run_stream_to_memory(windowed, spark, "update")
+
+
+@register(
+    "streaming_dedup",
+    """
+    SELECT event_type, count(*) AS n_unique_users FROM (
+      SELECT DISTINCT event_type, user_id FROM events
+    ) GROUP BY event_type
+    """,
+    ("streaming", "dedup"),
+)
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming dropDuplicates with watermark: state holds one entry per
+    (event_type, user_id) within the watermark horizon, so memory is bounded
+    even on unbounded streams (the batch path would need the full distinct
+    set). Converged distinct counts equal the batch oracle."""
+    from mini_flink_spark.sources import parquet_stream, write_stream_fixture
+    from mini_flink_spark.streaming import run_stream_to_memory
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    fixture = write_stream_fixture(ev, tempfile.mkdtemp(prefix="q_stream_dd_"), n_files=3)
+    stream = parquet_stream(spark, fixture, "event_type string, user_id bigint, ts timestamp")
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+    )
+    return run_stream_to_memory(deduped, spark, "update")
+
+
+@register(
+    "streaming_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP) AS gap_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts::TIMESTAMP >= c.ts::TIMESTAMP
+     AND p.ts::TIMESTAMP <= c.ts::TIMESTAMP + INTERVAL 30 MINUTE
+    """,
+    ("streaming", "stream-join"),
+)
+def q_streaming_stream_join(spark, sf_dir):
+    """Stream-stream interval join (the streaming twin of
+    interval_join_click_purchase): both sides watermarked, join condition
+    time-bounded on both ends so Spark can evict state — the watermark plus
+    the 30-minute bound cap how long a click is retained waiting for its
+    purchase. Append mode; the drained result equals the batch oracle."""
+    from mini_flink_spark.sources import parquet_stream, write_stream_fixture
+    from mini_flink_spark.streaming import run_stream_to_memory
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    fixture = write_stream_fixture(ev, tempfile.mkdtemp(prefix="q_stream_ssj_"), n_files=2)
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    clicks = (
+        parquet_stream(spark, fixture, schema)
+        .filter("event_type = 'click'")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+        .alias("clicks")
+    )
+    purchases = (
+        parquet_stream(spark, fixture, schema)
+        .filter("event_type = 'purchase'")
+        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+        .alias("purchases")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            clicks.user_id = purchases.user_id AND
+            p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes
+            """
+        ),
+    )
+    out = joined.select(
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    return run_stream_to_memory(out, spark, "append")
