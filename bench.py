@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # excluded — their latency is trigger-interval-bound, not throughput-bound.
 HEADLINE = [
     "pricing_summary",
+    "shipping_priority",
+    "returned_item_revenue",
+    "curation_pipeline",
     "keyed_agg",
     "wordcount",
     "running_reduce",
