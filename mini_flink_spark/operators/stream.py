@@ -194,6 +194,32 @@ class DataStream:
             return DataStream(self.df.withColumn(ARRIVAL_COL, F.col(order_col)))
         return DataStream(self.df.withColumn(ARRIVAL_COL, F.monotonically_increasing_id()))
 
+    def map_partitions(
+        self, fn: Callable, schema: Any, open_fn: Callable | None = None
+    ) -> "DataStream":
+        """Per-partition imperative escape hatch (the reference's `transform`
+        on one-input operators, DataStream.java:187-216) with RichFunction
+        lifecycle parity (RichFunction.open/close,
+        AbstractRichFunction — SURVEY.md §2.7):
+
+        - `open_fn()` runs once per task before the first batch (open());
+          its return value is passed to every `fn(pdf, ctx)` call — the slot
+          for loading a model, a dictionary, a connection.
+        - `fn(pdf, ctx)` receives each Arrow batch as a pandas DataFrame and
+          yields 0..N output rows (returns a pandas DataFrame).
+
+        Arrow-batched (mapInPandas) — never row-at-a-time Python.
+        """
+
+        def gen(it):
+            ctx = open_fn() if open_fn is not None else None
+            for pdf in it:
+                out = fn(pdf, ctx) if open_fn is not None else fn(pdf)
+                if out is not None:
+                    yield out
+
+        return DataStream(self.df.mapInPandas(gen, schema))
+
     def to_df(self) -> DataFrame:
         return self.df
 
@@ -270,6 +296,39 @@ class KeyedStream(DataStream):
 
     def count(self, alias: str = "count") -> DataStream:
         return self.reduce(F.count(F.lit(1)).alias(alias))
+
+    def process(
+        self,
+        fn: Callable,
+        output_schema: Any,
+        state_schema: Any = None,
+        output_mode: str = "append",
+        timeout: str = "NoTimeout",
+    ) -> DataStream:
+        """Generic keyed process function — the live rendering of the
+        reference's dead ProcessFunction/KeyedProcessFunction surface
+        (ProcessFunction.java / KeyedProcessFunction.java, unreachable per
+        SURVEY.md §2.7) and of the `transform` escape hatch on keyed streams.
+
+        Streaming input: `fn(key, pdf_iter, state)` runs under
+        applyInPandasWithState — per-key ValueState (`state.get/update/
+        remove`), optional timers via `timeout` ('EventTimeTimeout' /
+        'ProcessingTimeTimeout') and `state.setTimeoutTimestamp` — the full
+        KeyedProcessFunction contract (onTimer == the state.hasTimedOut
+        branch). Requires `state_schema`.
+
+        Batch input: `fn(pdf)` runs under applyInPandas per key group (state
+        is just local variables — a batch group sees all its records).
+        """
+        if self.df.isStreaming:
+            if state_schema is None:
+                raise ValueError("streaming process() requires state_schema")
+            return DataStream(
+                self.df.groupBy(*self.keys).applyInPandasWithState(
+                    fn, output_schema, state_schema, output_mode, timeout
+                )
+            )
+        return DataStream(self.df.groupBy(*self.keys).applyInPandas(fn, output_schema))
 
     # ----------------------------------------------------- event-time windows
     # The reference kept only the Time duration helper of its window stack

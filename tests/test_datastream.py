@@ -119,3 +119,66 @@ def test_distinct_dropdup_join(spark):
     assert {(r.id, r.s, r.v) for r in j.collect()} == {(1, "x", 10.0), (1, "x", 10.0)} or j.count() == 2
     left = a.join(b, "id", "left").to_df()
     assert left.count() == 3 and left.filter("v IS NULL").count() == 1
+
+
+def test_map_partitions_open_lifecycle(spark):
+    # RichFunction.open parity: open_fn runs once per task; its result is
+    # threaded into every batch call
+    ds = env(spark).from_elements(1, 2, 3, 4)
+
+    def open_fn():
+        return {"offset": 100}  # stands in for loading a model/dict
+
+    def fn(pdf, ctx):
+        return pdf.assign(value=pdf.value + ctx["offset"])
+
+    out = ds.map_partitions(fn, "value bigint", open_fn=open_fn)
+    assert sorted(r.value for r in out.collect()) == [101, 102, 103, 104]
+
+
+def test_keyed_process_batch(spark):
+    # generic process function on a batch keyed stream: emit every 2nd
+    # element per key in event order (not expressible as a plain aggregate)
+    rows = [("a", i) for i in range(1, 6)] + [("b", i) for i in range(1, 4)]
+    ds = env(spark).from_collection(rows, "k string, seq bigint")
+
+    def fn(pdf):
+        pdf = pdf.sort_values("seq")
+        return pdf.iloc[1::2][["k", "seq"]]
+
+    out = ds.key_by("k").process(fn, "k string, seq bigint")
+    got = sorted((r.k, r.seq) for r in out.collect())
+    assert got == [("a", 2), ("a", 4), ("b", 2)]
+
+
+def test_keyed_process_streaming_stateful(spark, tmp_path):
+    # KeyedProcessFunction parity on the streaming path: per-key ValueState
+    # counting records across triggers
+    import pandas as pd
+
+    from mini_flink_spark.operators.stream import DataStream
+    from mini_flink_spark.sources import parquet_stream, write_stream_fixture
+    from mini_flink_spark.streaming import run_stream_to_memory
+
+    data = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0), ("a", 4.0)], "k string, v double"
+    )
+    fixture = write_stream_fixture(data, str(tmp_path / "proc_stream"), n_files=2)
+    stream = parquet_stream(spark, fixture, "k string, v double")
+
+    def fn(key, pdf_iter, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf.v.sum())
+        state.update((n, s))
+        yield pd.DataFrame([(key[0], n, s)], columns=["k", "n", "s"])
+
+    out = DataStream(stream).key_by("k").process(
+        fn, "k string, n bigint, s double", state_schema="n long, s double",
+        output_mode="update",
+    )
+    got = run_stream_to_memory(out.to_df(), spark, "update").toPandas()
+    last = got.groupby("k").last()  # converged state per key
+    assert last.loc["a", "n"] == 3 and last.loc["a", "s"] == 7.0
+    assert last.loc["b", "n"] == 1 and last.loc["b", "s"] == 5.0
