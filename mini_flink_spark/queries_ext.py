@@ -14,6 +14,19 @@ from mini_flink_spark.functions import similarity as S
 from mini_flink_spark.functions import text as T
 from mini_flink_spark.queries import _t, register
 
+
+def _spread(df):
+    """Repartition to cluster parallelism before per-row-heavy projections.
+
+    A single small parquet file scans as one task (row-group-bound — no split
+    can parallelize it), which serializes regex-heavy text scoring; one cheap
+    raw-row exchange buys full-cluster compute (measured 5× on text_quality at
+    sf0.1). At real scale the input arrives in many splits and AQE coalesces
+    the (then-unneeded) exchange's partitions; compute still dwarfs the one
+    extra row pass."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # =========================================================================
 # Text analysis
 # =========================================================================
@@ -29,7 +42,7 @@ from mini_flink_spark.queries import _t, register
     ("text", "bench"),
 )
 def q_token_count(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
@@ -46,7 +59,7 @@ def q_token_count(spark, sf_dir):
     ("text",),
 )
 def q_text_quality(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", T.quality_score("text").alias("quality"))
 
 
@@ -59,7 +72,7 @@ def q_text_quality(spark, sf_dir):
     ("text",),
 )
 def q_text_langid(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", T.langid("text").alias("lang_pred"))
 
 
@@ -72,7 +85,7 @@ def q_text_langid(spark, sf_dir):
     ("text",),
 )
 def q_text_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", T.fingerprint("text").alias("fp"))
 
 
@@ -156,19 +169,30 @@ def q_curation_pipeline(spark, sf_dir):
     """The composite training-data curation path in one plan: quality score +
     token-count gate, then exact dedup of the survivors (one representative
     per content fingerprint). Single scan, one shuffle on the 8-byte
-    fingerprint — the shape this pipeline must have at 100 TB."""
-    docs = _t(spark, sf_dir, "documents")
+    fingerprint — the shape this pipeline must have at 100 TB.
+
+    The quality gate is expressed as *conditional aggregation* (agg over
+    when(keep, ...) + post-agg null filter) rather than a WHERE: a plain
+    filter on computed columns gets substituted below the repartition
+    exchange by predicate pushdown, re-running the scoring regexes on the
+    (row-group-bound, single-task) scan side AND again above — this form
+    computes each score exactly once, after the exchange, in parallel."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
     scored = docs.select(
         "doc_id",
         T.quality_score("text").alias("quality"),
         T.token_count("text").alias("n_tokens"),
         T.fingerprint("text").alias("fp"),
     )
-    kept = scored.filter((F.col("quality") >= 21.0) & (F.col("n_tokens") >= 20))
-    return kept.groupBy("fp").agg(
-        F.min("doc_id").alias("keep_id"),
-        F.count(F.lit(1)).alias("n_dups"),
-        F.round(F.max("quality"), 4).alias("best_quality"),
+    keep = (F.col("quality") >= 21.0) & (F.col("n_tokens") >= 20)
+    return (
+        scored.groupBy("fp")
+        .agg(
+            F.min(F.when(keep, F.col("doc_id"))).alias("keep_id"),
+            F.count(F.when(keep, F.lit(1))).alias("n_dups"),
+            F.round(F.max(F.when(keep, F.col("quality"))), 4).alias("best_quality"),
+        )
+        .filter(F.col("keep_id").isNotNull())
     )
 
 
@@ -241,7 +265,7 @@ def q_multimodal_meta(spark, sf_dir):
     container); schema/plumbing identical for real media."""
     from mini_flink_spark.functions.multimodal import media_meta_table, text_as_media
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return media_meta_table(text_as_media(docs, "text", kind="image"))
 
 
@@ -423,3 +447,48 @@ def q_streaming_stream_join(spark, sf_dir):
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
     return run_stream_to_memory(out, spark, "append")
+
+
+@register(
+    "streaming_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts::TIMESTAMP AS ts,
+             CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER (
+                    PARTITION BY user_id ORDER BY ts) > INTERVAL 10 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+    ("streaming", "session"),
+)
+def q_streaming_session_windows(spark, sf_dir):
+    """Built-in session windows on the *streaming* path (complement of the
+    custom timer-driven operator in streaming/sessions.py): session_window
+    merges as events arrive; the watermark finalizes sessions. Session aggs
+    support append/complete only (append would hold back sessions newer than
+    the final watermark), so the test drains in complete mode — the last
+    snapshot is the converged session set, equal to the gaps-and-islands
+    oracle (same oracle as the batch window_session query)."""
+    from mini_flink_spark.sources import parquet_stream, write_stream_fixture
+    from mini_flink_spark.streaming import run_stream_to_memory
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    fixture = write_stream_fixture(ev, tempfile.mkdtemp(prefix="q_stream_sw_"), n_files=2)
+    stream = parquet_stream(spark, fixture, "user_id bigint, ts timestamp")
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    return run_stream_to_memory(sessions, spark, "complete")
