@@ -77,3 +77,41 @@ def test_no_python_udfs_in_core_queries(spark, sf_dir):
             continue
         plan = plan_of(spark, sf_dir, name)
         assert "EvalPython" not in plan, name
+
+
+def test_tpch_shapes_broadcast_and_takeordered(spark, sf_dir):
+    # Q3/Q10 shapes: dims broadcast (no fact-side shuffle for the join),
+    # top-k via TakeOrderedAndProject, partial+final agg around one exchange
+    for q in ("shipping_priority", "returned_item_revenue"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "BroadcastHashJoin" in plan, q
+        assert "TakeOrderedAndProject" in plan, q
+        assert plan.count("HashAggregate") >= 2, q
+
+
+def test_grouping_sets_single_expand_not_three_scans(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "grouping_sets_orders")
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_scalar_subquery_broadcasts_aggregate(spark, sf_dir):
+    # the 1-row global aggregate joins via broadcast; the fact side never
+    # collects to the driver
+    plan = plan_of(spark, sf_dir, "parts_above_avg_price")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_pipeline_single_shuffle_after_spread(spark, sf_dir):
+    # spread exchange + aggregate exchange only; the quality gate must NOT
+    # appear as a Filter below the first exchange (conditional-agg form)
+    plan = plan_of(spark, sf_dir, "curation_pipeline")
+    assert plan.count("Exchange") == 2
+    body = plan.split("Exchange", 1)[1]  # everything below the agg exchange
+    assert "Filter (" not in body or "isnotnull(keep_id" not in body
+
+
+def test_count_distinct_expands_two_phase(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "distinct_users_per_type")
+    assert "Expand" in plan or plan.count("HashAggregate") >= 3
