@@ -114,6 +114,27 @@ class StreamExecutionEnvironment:
             reader = reader.schema(schema)
         return DataStream(reader.load(path))
 
+    # ------------------------------------------------------------------- SQL
+    def register_table(self, name: str, stream: "DataStream | DataFrame") -> None:
+        """Expose a stream as a named view for env.sql() — the Table-API
+        bridge the reference never had (SURVEY.md §2.6: no SQL surface;
+        Spark gives it natively)."""
+        df = stream.df if isinstance(stream, DataStream) else stream
+        df.createOrReplaceTempView(name)
+
+    def sql(self, query: str) -> DataStream:
+        """Run ANSI SQL over registered tables, returning a DataStream (full
+        Catalyst planning — the same engine path as the fluent API)."""
+        return DataStream(self.spark.sql(query))
+
+    # ----------------------------------------------------------- accumulators
+    def int_counter(self, initial: int = 0):
+        """Distributed counter — parity with the reference's accumulator
+        surface (RuntimeContext + IntCounter, fc:api/common/accumulators/;
+        SURVEY.md §2.7). Updated from UDF/foreach code on executors, read on
+        the driver with ``.value`` after an action."""
+        return self.spark.sparkContext.accumulator(initial)
+
     def execute(self, job_name: str = "job") -> None:
         """No-op kept for API familiarity: Spark executes on sink/action."""
         return None

@@ -182,3 +182,25 @@ def test_keyed_process_streaming_stateful(spark, tmp_path):
     last = got.groupby("k").last()  # converged state per key
     assert last.loc["a", "n"] == 3 and last.loc["a", "s"] == 7.0
     assert last.loc["b", "n"] == 1 and last.loc["b", "s"] == 5.0
+
+
+def test_sql_over_registered_streams(spark):
+    e = env(spark)
+    ds = e.from_elements(("a", 1), ("b", 2), ("a", 3), schema="k string, v bigint")
+    e.register_table("kv", ds)
+    out = e.sql("SELECT k, sum(v) AS s FROM kv GROUP BY k")
+    assert sorted((r.k, r.s) for r in out.collect()) == [("a", 4), ("b", 2)]
+
+
+def test_int_counter_accumulator(spark):
+    # IntCounter parity: incremented on executors, read on the driver
+    e = env(spark)
+    acc = e.int_counter()
+    ds = e.from_elements(1, 2, 3, 4, 5)
+
+    def fn(pdf):
+        acc.add(len(pdf))
+        return pdf
+
+    ds.map(fn=fn, schema="value bigint").collect()
+    assert acc.value == 5
