@@ -204,3 +204,40 @@ def test_int_counter_accumulator(spark):
 
     ds.map(fn=fn, schema="value bigint").collect()
     assert acc.value == 5
+
+
+def test_add_sink_foreach_batch(spark, tmp_path):
+    # addSink parity (StreamSink.java:54-58): user sink fn invoked per batch
+    from mini_flink_spark.operators.stream import DataStream
+    from mini_flink_spark.sources import parquet_stream, write_stream_fixture
+
+    data = spark.createDataFrame([(i,) for i in range(10)], "v bigint")
+    fixture = write_stream_fixture(data, str(tmp_path / "sink_stream"), n_files=2)
+    stream = DataStream(parquet_stream(spark, fixture, "v bigint"))
+
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.append((batch_id, sorted(r.v for r in batch_df.collect())))
+
+    q = stream.add_sink(sink)
+    q.awaitTermination(120)
+    got = sorted(v for _, vs in seen for v in vs)
+    assert got == list(range(10))
+
+
+def test_partitioned_parquet_write_prunes_on_read(spark, sf_dir, tmp_path):
+    # the write-side half of the scale story: hive-partitioned layout →
+    # partition pruning on read (only matching directories scanned)
+    from mini_flink_spark.operators.stream import DataStream
+    from mini_flink_spark.session import read_table
+
+    out = str(tmp_path / "events_by_type")
+    ev = DataStream(read_table(spark, sf_dir, "events"))
+    ev.write_parquet(out, partition_by=["event_type"])
+
+    back = spark.read.parquet(out).filter("event_type = 'click'")
+    n_click = back.count()
+    assert n_click == read_table(spark, sf_dir, "events").filter("event_type = 'click'").count()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
