@@ -53,6 +53,15 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
 
 
 def _t(spark, sf_dir, name) -> DataFrame:
+    # The queries must behave on ANY caller-provided session (the driver uses
+    # its own), so runtime-settable confs the plans depend on are (re)applied
+    # here, not only in session.get_spark: InferFiltersFromGenerate clones
+    # whole expression pipelines below exchanges (25× on shingle/minhash
+    # paths — see session.py for the full story).
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     return read_table(spark, sf_dir, name)
 
 
