@@ -1144,6 +1144,7 @@ def all_oracles() -> dict[str, str]:
     return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}
 
 
-# extension-layer registrations live in their own module to keep this file
-# focused on the reference surface; importing it populates QUERIES.
+# extension-layer registrations live in their own modules to keep this file
+# focused on the reference surface; importing them populates QUERIES.
 from mini_flink_spark import queries_ext  # noqa: E402,F401  (registration side effect)
+from mini_flink_spark import queries_tpch  # noqa: E402,F401  (registration side effect)

@@ -115,3 +115,53 @@ def test_curation_pipeline_single_shuffle_after_spread(spark, sf_dir):
 def test_count_distinct_expands_two_phase(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "distinct_users_per_type")
     assert "Expand" in plan or plan.count("HashAggregate") >= 3
+
+
+def test_q6_shape_min_io_scan(spark, sf_dir):
+    # all three predicates reach the parquet reader; only the 4 referenced
+    # columns are read; partial+final agg around a single-partition exchange
+    plan = plan_of(spark, sf_dir, "forecast_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in rs and "l_tax" not in rs and "l_orderkey" not in rs
+    assert plan.count("HashAggregate") == 2
+
+
+def test_q4_shape_semi_join_with_range_conjunct(spark, sf_dir):
+    # EXISTS compiles to a LeftSemi hash join carrying the non-equi
+    # shipdate conjunct — not a nested loop
+    plan = plan_of(spark, sf_dir, "order_priority_checking")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q7_shape_dims_broadcast_nation_filter_pushed(spark, sf_dir):
+    # five-way join: every dim side broadcast, no sort-merge; the nation
+    # name filters are pushed into the nation scans (semi-reduction)
+    plan = plan_of(spark, sf_dir, "volume_shipping")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "In(n_name" in plan
+
+
+def test_q18_shape_aggregates_before_join(spark, sf_dir):
+    # the HAVING reduces lineitem to a handful of keys before orders/customer
+    # are touched: the grouped aggregate must sit below the joins
+    plan = plan_of(spark, sf_dir, "large_volume_orders")
+    join_pos = plan.find("Join")
+    agg_pos = plan.find("HashAggregate")
+    assert join_pos != -1 and agg_pos != -1 and join_pos < agg_pos
+    assert "Scan parquet" in plan.split("HashAggregate", 1)[1]
+
+
+def test_q19_shape_derives_single_side_predicates(spark, sf_dir):
+    # Catalyst extracts brand/size and quantity bands from the OR'd bands
+    # and pushes them below the join into BOTH scans
+    plan = plan_of(spark, sf_dir, "disjunctive_brand_revenue")
+    lines = plan.splitlines()
+    li_scan = [l for l in lines if "Scan parquet" in l and "l_quantity" in l][0]
+    p_scan = [l for l in lines if "Scan parquet" in l and "p_brand" in l][0]
+    # quantity bands derived from the disjunction, pushed into the fact scan
+    assert "l_quantity" in li_scan.split("DataFilters:", 1)[1]
+    # brand/size disjunction pushed into the dim scan
+    assert "p_brand" in p_scan.split("DataFilters:", 1)[1]
