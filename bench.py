@@ -32,6 +32,10 @@ HEADLINE = [
     "running_reduce",
     "top_orders",
     "join_revenue_by_segment",
+    "forecast_revenue",
+    "volume_shipping",
+    "large_volume_orders",
+    "customer_order_distribution",
     "window_tumbling_hourly",
     "asof_click_attribution",
     "interval_join_click_purchase",

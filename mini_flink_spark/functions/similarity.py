@@ -147,6 +147,28 @@ def multi_table_buckets(
     return F.array(*keys)
 
 
+def multi_table_buckets_expr(
+    vec_name: str, tables: int = L_TABLES, planes: int = PLANES_PER_TABLE, dim: int = DIM
+) -> Column:
+    """Same bucket array as `multi_table_buckets`, built as ONE SQL string →
+    one `F.expr` parse. The Column-API version materializes tables×planes×dim
+    literal Column objects (~2.3k py4j round-trips, ~3 s of driver time per
+    call); a single parsed string costs milliseconds and yields the identical
+    Catalyst tree. Always prefer this form in query paths."""
+    all_planes = hyperplanes(tables * planes, dim)
+    v = f"cast({vec_name} as array<double>)"
+    keys = []
+    for t in range(tables):
+        bits = []
+        for i in range(planes):
+            p = all_planes[t * planes + i]
+            arr = "array(" + ", ".join(f"{x!r}D" for x in p) + ")"
+            d = f"aggregate(zip_with({v}, {arr}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+            bits.append(f"if({d} > 0, {1 << i}, 0)")
+        keys.append(f"concat('{t}:', cast(({' + '.join(bits)}) as string))")
+    return F.expr("array(" + ", ".join(keys) + ")")
+
+
 def multi_table_buckets_sql(
     vec: str, tables: int = L_TABLES, planes: int = PLANES_PER_TABLE, dim: int = DIM
 ) -> str:
@@ -217,7 +239,7 @@ def lsh_topk(
     base = corpus.repartition(parts).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        multi_table_buckets(F.col(vec_col), tables, planes).alias("bkeys"),
+        multi_table_buckets_expr(vec_col, tables, planes).alias("bkeys"),
     )
     keyed = base.select("id", F.explode("bkeys").alias("bkey"))
     q_keyed = base.filter(query_pred).select(
