@@ -492,3 +492,82 @@ def q_streaming_session_windows(spark, sf_dir):
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
     return run_stream_to_memory(sessions, spark, "complete")
+
+
+# =========================================================================
+# Stream-static enrichment + sketch aggregates
+# =========================================================================
+
+
+@register(
+    "streaming_enrich_join",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_purchases,
+           (sum(value::DECIMAL(28,10)))::DOUBLE AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    GROUP BY c_mktsegment
+    """,
+    ("streaming", "join"),
+)
+def q_streaming_enrich_join(spark, sf_dir):
+    """Stream-static enrichment: the purchase stream joins the static customer
+    dimension *inside* the streaming query (per-microbatch broadcast hash
+    join — the Structured Streaming idiom for dimension enrichment; the
+    reference has no two-input operators at all, SURVEY.md §2.6), then a
+    keyed update-mode aggregation. Converged totals equal the batch oracle."""
+    from mini_flink_spark.sources import parquet_stream, write_stream_fixture
+    from mini_flink_spark.streaming import run_stream_to_memory
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    fixture = write_stream_fixture(ev, tempfile.mkdtemp(prefix="q_stream_enrich_"), n_files=2)
+    stream = parquet_stream(
+        spark, fixture, "event_id bigint, user_id bigint, event_type string, value double"
+    )
+    cust = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
+    enriched = (
+        stream.filter(F.col("event_type") == "purchase")
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
+        )
+    )
+    return run_stream_to_memory(enriched, spark, "update").select(
+        "c_mktsegment", "n_purchases", "total_value"
+    )
+
+
+@register(
+    "sketch_distinct_users",
+    None,  # HLL estimates are engine-specific; accuracy pinned in tests instead
+    ("sketch",),
+)
+def q_sketch_distinct_users(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) per event type — the sketch the
+    exact count-distinct queries fall back from at 100 TB, where a single
+    hot key's exact distinct set no longer fits an executor. rsd=2%;
+    tests/test_extensions.py asserts the estimate lands within 3×rsd of the
+    exact count (no DuckDB oracle — sketch values are engine-specific)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@register(
+    "sketch_value_percentiles",
+    None,  # KLL/GK summaries are engine-specific; accuracy pinned in tests
+    ("sketch",),
+)
+def q_sketch_value_percentiles(spark, sf_dir):
+    """percentile_approx (Greenwald-Khanna summary) of purchase values —
+    mergeable quantile sketch, the scale path where exact percentiles
+    (a full sort per group) stop being feasible. Accuracy asserted in
+    tests/test_extensions.py against the exact percentile."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pcts")
+    )

@@ -182,3 +182,54 @@ def test_connected_components_known_graph(spark):
     )
     got = {r.id: r.component for r in D.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+# ---------------------------------------------------------------- sketches
+
+
+def test_sketch_distinct_within_rsd(spark, sf_dir):
+    from mini_flink_spark.queries import QUERIES
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["sketch_distinct_users"].fn(spark, sf_dir).collect()
+    }
+    from mini_flink_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(2, 0.06 * n), (et, approx[et], n)
+
+
+def test_sketch_percentiles_close_to_exact(spark, sf_dir):
+    from mini_flink_spark.queries import QUERIES
+    from mini_flink_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    approx = {
+        r["event_type"]: r["pcts"]
+        for r in QUERIES["sketch_value_percentiles"].fn(spark, sf_dir).collect()
+    }
+    # the GK sketch guarantees *rank* accuracy, not value accuracy: the
+    # returned value's quantile rank must be within eps (+ order-statistic
+    # granularity 1/n) of the requested quantile
+    vals = {
+        r["event_type"]: sorted(v["value"] for v in r["vs"])
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.collect_list(F.struct("value")).alias("vs"))
+        .collect()
+    }
+    for et, data in vals.items():
+        n = len(data)
+        for a, q in zip(approx[et], (0.5, 0.95, 0.99)):
+            rank = sum(1 for v in data if v <= a) / n
+            assert abs(rank - q) <= 0.02 + 2.0 / n, (et, q, a, rank)
