@@ -21,6 +21,13 @@ Spark renderings (SURVEY.md §4 'honest list' item 2):
    survives across batches (checkpointable), the analogue of the reference's
    HeapKeyedStateBackend ValueState (HeapValueState.java:34,72,83) but
    fault-tolerant.
+
+Spark 4's transformWithStateInPandas (StatefulProcessor + named ValueState —
+an even closer ValueState analogue) was evaluated and is NOT used: its driver
+worker imports google.protobuf, which this container lacks (verified: the
+query crashes in StateMessage_pb2 at pre-init). applyInPandasWithState has no
+such dependency and covers the same semantics; swap in TWS where protobuf is
+available.
 """
 
 from __future__ import annotations

@@ -571,3 +571,121 @@ def q_sketch_value_percentiles(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pcts")
     )
+
+
+# =========================================================================
+# Analytics batteries: window functions, correlated-subquery shape, arrays
+# =========================================================================
+
+
+@register(
+    "window_fn_battery",
+    """
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS first_seen,
+           dense_rank() OVER (PARTITION BY user_id
+                              ORDER BY value, event_id) AS value_drank,
+           cume_dist() OVER (PARTITION BY user_id
+                             ORDER BY value, event_id) AS value_cdist
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    ("relational", "window-fn"),
+)
+def q_window_fn_battery(spark, sf_dir):
+    """Window-function battery: lag/lead (event-to-event deltas), running
+    first_value, dense_rank and cume_dist — all per-user partitioned windows
+    (shard across executors; a global window would serialize). Every ORDER BY
+    includes a unique tiebreaker (event_id) so results are deterministic."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wval = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(wcum).alias("first_seen"),
+        F.dense_rank().over(wval).alias("value_drank"),
+        F.cume_dist().over(wval).alias("value_cdist"),
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             count(*) OVER (PARTITION BY o_custkey) AS cnt,
+             (sum(o_totalprice::DECIMAL(28,10))
+                OVER (PARTITION BY o_custkey))::DOUBLE AS tot
+      FROM orders
+    )
+    WHERE o_totalprice * cnt > 1.1 * tot
+    """,
+    ("relational", "correlated"),
+)
+def q_orders_above_customer_avg(spark, sf_dir):
+    """Correlated-subquery shape ("orders 10% above their customer's
+    average") decorrelated into a per-customer window — one shuffle instead
+    of a self-join, the rendering Catalyst's decorrelation would pick. The
+    comparison is rearranged to price·n > 1.1·total so the only float ops
+    are two multiplies on decimal-exact inputs (no engine-dependent
+    division/averaging order)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.count(F.lit(1)).over(w).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)")).over(w).cast("double").alias("tot"),
+        )
+        .filter(F.col("o_totalprice") * F.col("cnt") > 1.1 * F.col("tot"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "array_battery",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           list_max(embedding) AS vmax,
+           list_min(embedding) AS vmin,
+           embedding[1:4] AS head4,
+           list_sort(embedding[1:4]) AS head4_sorted,
+           list_reverse(embedding[1:4]) AS head4_rev,
+           list_contains(embedding, 0.0) AS has_zero
+    FROM embeddings
+    """,
+    ("relational", "array"),
+)
+def q_array_battery(spark, sf_dir):
+    """Array-function battery over the embedding column — pure selection and
+    reordering (size/slice/sort/reverse/min/max/contains), no arithmetic, so
+    float values pass through bit-exact on both engines. All JVM-side
+    built-ins (SURVEY.md §2.6: the reference has no function library)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    head4 = F.slice("embedding", 1, 4)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_max("embedding").alias("vmax"),
+        F.array_min("embedding").alias("vmin"),
+        head4.alias("head4"),
+        F.array_sort(head4).alias("head4_sorted"),
+        F.reverse(head4).alias("head4_rev"),
+        F.array_contains("embedding", F.lit(0.0)).alias("has_zero"),
+    )
