@@ -192,7 +192,18 @@ def minhash_lsh_pairs(
     signature expression this replaces re-tokenized per hash function:
     64× slower at sf0.1.)
     """
-    base = shingled(df, id_col, text_col, n).withColumn("n_sh", F.array_size("sh"))
+    # Materialize the shingle sets once: three consumers (hash rows, verify
+    # lhs/rhs) would otherwise each re-run the tokenizer pipeline — column
+    # pruning gives each branch a different subtree, so ReuseExchange never
+    # fires (4 scans / 8 regex passes observed). Lazy local checkpoint = the
+    # MLlib-style cache of the shared projection; blocks are executor-local
+    # (MEMORY_AND_DISK) and freed when the RDD is GC'd. At index scale the
+    # same role is played by writing the shingled corpus to a temp table.
+    base = (
+        shingled(df, id_col, text_col, n)
+        .withColumn("n_sh", F.array_size("sh"))
+        .localCheckpoint(eager=False)
+    )
     sh_rows = base.select("id", F.explode("sh").alias("s"))
     hash_cols = [seeded_hash(F.col("s"), i).alias(f"h{i}") for i in range(k)]
     sig = (
@@ -460,7 +471,13 @@ def ngram_jaccard_pairs(
     `max_df` drops shingles occurring in more than that many docs (stopword
     shingles would otherwise quadratically blow up the join at scale).
     """
-    sh = shingled(df, id_col, text_col, n).select("id", F.explode("sh").alias("s"))
+    # materialize the exploded posting list once (same rationale as in
+    # minhash_lsh_pairs: 3-4 consumers, pruning defeats ReuseExchange)
+    sh = (
+        shingled(df, id_col, text_col, n)
+        .select("id", F.explode("sh").alias("s"))
+        .localCheckpoint(eager=False)
+    )
     if max_df is not None:
         keep = sh.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
         sh = sh.join(F.broadcast(keep), "s")
