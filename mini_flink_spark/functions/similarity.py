@@ -236,13 +236,24 @@ def lsh_topk(
     # dedupe them; at index scale you'd materialize the bucketed corpus once
     # instead of recomputing per query batch.)
     parts = corpus.sparkSession.sparkContext.defaultParallelism
-    base = corpus.repartition(parts).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        multi_table_buckets_expr(vec_col, tables, planes).alias("bkeys"),
+    # Four consumers (corpus keys, query keys, query vectors, neighbor
+    # vectors) each get a differently-pruned subtree, so the 36-dot-product
+    # bucket projection would run up to 4× — materialize it once (lazy local
+    # checkpoint; at index scale this is the persisted bucketed-corpus table).
+    # query_pred references pre-rename columns, so it's evaluated into a flag
+    # inside the projection (a checkpoint boundary can't resolve through it).
+    base = (
+        corpus.repartition(parts)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            multi_table_buckets_expr(vec_col, tables, planes).alias("bkeys"),
+            F.expr(query_pred).alias("is_q"),
+        )
+        .localCheckpoint(eager=False)
     )
     keyed = base.select("id", F.explode("bkeys").alias("bkey"))
-    q_keyed = base.filter(query_pred).select(
+    q_keyed = base.filter("is_q").select(
         F.col("id").alias("query_id"), F.explode("bkeys").alias("bkey")
     )
     cand = (
@@ -251,7 +262,7 @@ def lsh_topk(
         .select("query_id", F.col("id").alias("neighbor_id"))
         .distinct()
     )
-    qv = base.filter(query_pred).select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+    qv = base.filter("is_q").select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
     nv = base.select(F.col("id").alias("neighbor_id"), F.col("v").alias("nv"))
     scored = (
         cand.join(F.broadcast(qv), "query_id")
