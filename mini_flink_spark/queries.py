@@ -1148,3 +1148,4 @@ def all_oracles() -> dict[str, str]:
 # focused on the reference surface; importing them populates QUERIES.
 from mini_flink_spark import queries_ext  # noqa: E402,F401  (registration side effect)
 from mini_flink_spark import queries_tpch  # noqa: E402,F401  (registration side effect)
+from mini_flink_spark import queries_pipeline  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,253 @@
+"""Training-data-pipeline battery: sampling, chunking, repetition scoring,
+corpus n-gram stats, and token-budget sharding over the `documents` table.
+
+The reference engine (confucianzuoyuan/mini-flink) has no document-processing
+surface at all — its only text program is WordCount
+(flink-examples/.../wordcount/WordCount.java:12-35). This module is the
+LLM-curation layer a 100 TB training pipeline needs on top of the dedup /
+similarity / text-quality operators in `functions/` and `queries_ext`.
+
+Scale stance (applies to the whole file):
+- Per-document signals (chunking, repetition) are computed with array
+  expressions inside whole-stage codegen — zero shuffles, embarrassingly
+  parallel, so they scale linearly with input splits.
+- Sampling and sharding order by md5(doc_id) — a deterministic,
+  engine-portable proxy for a uniform random draw that needs no global sort
+  at scale beyond the per-stratum window (one shuffle on the stratum key).
+- Corpus n-gram stats are the one genuinely global computation here: partial
+  aggregation map-side, one shuffle on the n-gram key, then a 20-row top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mini_flink_spark.queries import _t, register
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang, rn FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 20
+    """,
+    ("extension", "sampling"),
+)
+def q_stratified_sample(spark, sf_dir):
+    """Exact per-stratum quota sampling: 20 docs per language, chosen by a
+    deterministic md5 order (portable across engines, reproducible across
+    runs — what a training-mix builder needs, unlike `sampleBy`'s
+    Bernoulli draw which is seed- and partitioning-dependent).
+
+    Scale: one shuffle on the stratum key; the rank window cuts each
+    stratum to its quota before anything else happens downstream. For very
+    hot strata at 100 TB, pre-filter `substring(md5(doc_id),1,2) < 'xx'`
+    (see `sample_hash_deterministic`) to bound the per-stratum sort input.
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+    )
+
+
+@register(
+    "doc_chunking",
+    """
+    SELECT doc_id, CAST(start/300 AS INT) AS chunk_id,
+           substring(text, start+1, 400) AS chunk,
+           length(substring(text, start+1, 400)) AS chunk_len
+    FROM (SELECT doc_id, text, unnest(range(0, length(text), 300)) AS start
+          FROM documents WHERE length(text) > 0) t
+    """,
+    ("extension", "chunking"),
+)
+def q_doc_chunking(spark, sf_dir):
+    """Sliding-window document chunking: 400-char chunks every 300 chars
+    (100-char overlap) — the context-window packing step of a training
+    pipeline, restated as sequence+posexplode+substring.
+
+    Scale: pure narrow operation — the chunk offsets are generated
+    per-row inside codegen, no shuffle, no Python. Output size is
+    ~1.33x input chars regardless of document count.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.length("text") - 1, F.lit(300))
+            ).alias("start"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / 300).cast("int").alias("chunk_id"),
+            F.substring(F.col("text"), F.col("start") + 1, F.lit(400)).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk"))
+    )
+
+
+def _bigrams(tok_col: str) -> F.Column:
+    """Adjacent-pair array from a token array, computed in-array (no
+    explode, no shuffle). Guarded for <2 tokens: sequence() would flip
+    descending when start > stop."""
+    t = F.col(tok_col)
+    return F.when(
+        F.size(t) >= 2,
+        F.expr(
+            f"transform(sequence(1, size({tok_col})-1),"
+            f" i -> concat({tok_col}[i-1], ' ', {tok_col}[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "repetition_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bi AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ), cnt AS (
+      SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY 1, 2
+    )
+    SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_count,
+           max(c)::DOUBLE / sum(c) AS top_share
+    FROM cnt GROUP BY doc_id
+    """,
+    ("extension", "quality"),
+)
+def q_repetition_score(spark, sf_dir):
+    """Repetition quality signal: share of a document's bigrams taken by
+    its single most frequent bigram — high values flag boilerplate /
+    degenerate repetition (the classic Gopher/C4 `duplicate n-gram
+    fraction` filter).
+
+    Scale: the oracle's explode→groupBy needs a shuffle per *bigram*; this
+    implementation instead sorts the bigram array per row and counts the
+    longest equal run with one `aggregate()` fold — per-document work, zero
+    shuffles, stays in codegen. At 100 TB the difference is a full
+    corpus-wide shuffle vs none.
+    """
+    d = _t(spark, sf_dir, "documents")
+    run = (
+        "aggregate(bi_sorted,"
+        " named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L),"
+        "   'best', greatest(acc.best,"
+        "     IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L))),"
+        " acc -> acc.best)"
+    )
+    return (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("bi", _bigrams("toks"))
+        .withColumn("bi_sorted", F.array_sort("bi"))
+        .select(
+            "doc_id",
+            F.size("bi").cast("long").alias("n_bigrams"),
+            F.expr(run).alias("top_count"),
+        )
+        .withColumn(
+            "top_share", F.col("top_count").cast("double") / F.col("n_bigrams")
+        )
+    )
+
+
+@register(
+    "corpus_trigram_topk",
+    """
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ), tri AS (
+      SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS trigram
+      FROM toks, unnest(range(1, len(t)-1)) AS u(i)
+    )
+    SELECT trigram, count(*) AS n FROM tri
+    GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20
+    """,
+    ("extension", "ngram-stats"),
+)
+def q_corpus_trigram_topk(spark, sf_dir):
+    """Corpus-level top-20 trigrams — the n-gram frequency table behind
+    contamination checks and boilerplate lists. Deterministic total order
+    (count desc, trigram asc) so top-k is stable across engines.
+
+    Scale: trigrams are generated in-array (no Python), then exploded into
+    a partial-aggregated count (map-side combine absorbs the heavy hitters
+    — exactly the skewed-key case partial agg exists for), one shuffle on
+    the trigram key, and a 20-row TakeOrderedAndProject — no global sort.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tri = (
+        "CASE WHEN size(toks) >= 3 THEN"
+        " transform(sequence(1, size(toks)-2),"
+        "  i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"
+        " ELSE cast(array() as array<string>) END"
+    )
+    return (
+        d.select(F.split("text", " ").alias("toks"))
+        .select(F.explode(F.expr(tri)).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("trigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "token_budget_shards",
+    """
+    SELECT doc_id, lang, CAST(floor((cum - tok) / 50000.0) AS BIGINT) AS shard_id
+    FROM (
+      SELECT doc_id, lang, tok,
+             sum(tok) OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::VARCHAR), doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM (SELECT doc_id, lang,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS tok
+            FROM documents) a) b
+    """,
+    ("extension", "sharding"),
+)
+def q_token_budget_shards(spark, sf_dir):
+    """Greedy token-budget sharding: within each language, walk documents in
+    deterministic md5 order and start a new shard every 50k tokens — the
+    step that turns a curated corpus into fixed-size training shards.
+    `shard_id = floor(tokens_before_this_doc / budget)` is the
+    window-function restatement of the sequential greedy packer.
+
+    Scale: one shuffle on the stratum key + per-stratum running sum — no
+    driver-side loop, no collect. Shard boundaries are reproducible for any
+    partitioning because the order key is data-derived, not arrival order.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    ).alias("tok")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", "lang", tok)
+        .withColumn("cum", F.sum("tok").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            F.floor((F.col("cum") - F.col("tok")) / 50000.0).alias("shard_id"),
+        )
+    )

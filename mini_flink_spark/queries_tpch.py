@@ -25,6 +25,7 @@ Scale notes (100 TB stance, applies to the whole file):
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mini_flink_spark.queries import _t, dsum_sql, register
 
@@ -547,4 +548,55 @@ def q_dormant_rich(spark, sf_dir):
     return dormant.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("numcust"),
         F.sum(F.col("c_acctbal").cast("decimal(28,10)")).cast("double").alias("totacctbal"),
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    SELECT (sum(l_extendedprice::DECIMAL(28,10)))::DOUBLE / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND p_size < 25
+      AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    ("relational", "tpch", "correlated-subquery"),
+)
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one brand.
+
+    The correlated scalar subquery (per-partkey avg quantity over ALL
+    lineitems of that part) is decorrelated by hand into a window average:
+    because the part-side predicates touch only part attributes, the inner
+    join keeps either every lineitem of a partkey or none, so
+    avg(l_quantity) OVER (PARTITION BY l_partkey) on the join output equals
+    the subquery's full-table per-part average.
+
+    Scale: the brand filter reduces part ~25x before the join (AQE
+    broadcast-sizes the filtered dim at runtime); the window shuffles only
+    the surviving ~1/25th of lineitem, once, with 4 columns — cheaper at
+    100 TB than the agg-then-self-join plan, which scans the join output
+    twice. No partsupp table exists in the driver schema; brand/size
+    replace Q17's brand/container predicate pair.
+    """
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 25))
+        .select("p_partkey")
+    )
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    return (
+        j.withColumn("qty_thr", F.lit(0.5) * F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(28,10)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
     )
