@@ -165,3 +165,39 @@ def test_q19_shape_derives_single_side_predicates(spark, sf_dir):
     assert "l_quantity" in li_scan.split("DataFilters:", 1)[1]
     # brand/size disjunction pushed into the dim scan
     assert "p_brand" in p_scan.split("DataFilters:", 1)[1]
+
+
+def test_per_doc_signals_have_no_shuffle(spark, sf_dir):
+    # chunking and repetition scoring are per-row array computations; an
+    # Exchange appearing here would mean a corpus-wide shuffle at 100 TB
+    for q in ("doc_chunking", "repetition_score"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "Exchange" not in plan, q
+        assert "EvalPython" not in plan, q
+
+
+def test_corpus_trigram_topk_partial_agg_and_take_ordered(spark, sf_dir):
+    # heavy-hitter n-grams are absorbed map-side (partial+final agg around
+    # one exchange); the top-20 is TakeOrderedAndProject, not a global sort
+    plan = plan_of(spark, sf_dir, "corpus_trigram_topk")
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_stratified_ops_single_stratum_shuffle(spark, sf_dir):
+    # sampling and sharding shuffle once on the stratum key; the window
+    # runs inside that single partitioning
+    for q in ("stratified_sample", "token_budget_shards"):
+        plan = plan_of(spark, sf_dir, q)
+        assert plan.count("Exchange") == 1, q
+        assert "Window" in plan, q
+
+
+def test_q17_single_fact_shuffle_window_decorrelation(spark, sf_dir):
+    # the correlated subquery must NOT appear as a second lineitem scan +
+    # self-join: one lineitem scan, one partkey exchange for the window
+    plan = plan_of(spark, sf_dir, "small_quantity_revenue")
+    assert plan.count("Scan parquet") == 2  # lineitem + part, once each
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
