@@ -43,6 +43,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "small_quantity_revenue",
+    "repetition_score",
+    "corpus_trigram_topk",
+    "token_budget_shards",
 ]
 
 

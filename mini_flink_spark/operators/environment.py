@@ -87,6 +87,19 @@ class StreamExecutionEnvironment:
         the scan by Catalyst (checked in tests/test_plans.py)."""
         return DataStream(self.spark.read.parquet(path))
 
+    def read_orc(self, path: str, schema: Any = None) -> DataStream:
+        """ORC file source — same vectorized reader + filter pushdown class
+        as parquet (both are columnar DataSource V2 scans)."""
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return DataStream(reader.orc(path))
+
+    def read_text(self, path: str) -> DataStream:
+        """Line-oriented text source (single `value` column) — the batch shape
+        of the reference's per-line socket/file text streams."""
+        return DataStream(self.spark.read.text(path))
+
     def from_table(self, name: str) -> DataStream:
         return DataStream(self.spark.table(name))
 

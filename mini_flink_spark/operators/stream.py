@@ -179,6 +179,14 @@ class DataStream:
     def write_json(self, path: str, mode: str = "overwrite"):
         self.df.write.mode(mode).json(path)
 
+    def write_orc(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()):
+        """ORC sink — the other columnar format Spark ships natively; same
+        pushdown/pruning behavior as parquet at scale."""
+        w = self.df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.orc(path)
+
     def with_arrival_index(self, order_col: str | None = None) -> "DataStream":
         """Attach an arrival-order column.
 
