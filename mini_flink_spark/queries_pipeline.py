@@ -166,6 +166,17 @@ def q_repetition_score(spark, sf_dir):
     )
 
 
+def _trigrams(tok_col: str) -> str:
+    """Adjacent-triple array expression from a token array — in-array, no
+    shuffle; guarded for <3 tokens (descending-sequence hazard)."""
+    return (
+        f"CASE WHEN size({tok_col}) >= 3 THEN"
+        f" transform(sequence(1, size({tok_col})-2),"
+        f"  i -> concat({tok_col}[i-1], ' ', {tok_col}[i], ' ', {tok_col}[i+1]))"
+        " ELSE cast(array() as array<string>) END"
+    )
+
+
 @register(
     "corpus_trigram_topk",
     """
@@ -191,15 +202,9 @@ def q_corpus_trigram_topk(spark, sf_dir):
     the trigram key, and a 20-row TakeOrderedAndProject — no global sort.
     """
     d = _t(spark, sf_dir, "documents")
-    tri = (
-        "CASE WHEN size(toks) >= 3 THEN"
-        " transform(sequence(1, size(toks)-2),"
-        "  i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"
-        " ELSE cast(array() as array<string>) END"
-    )
     return (
         d.select(F.split("text", " ").alias("toks"))
-        .select(F.explode(F.expr(tri)).alias("trigram"))
+        .select(F.explode(F.expr(_trigrams("toks"))).alias("trigram"))
         .groupBy("trigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("trigram"))
@@ -250,4 +255,51 @@ def q_token_budget_shards(spark, sf_dir):
             "lang",
             F.floor((F.col("cum") - F.col("tok")) / 50000.0).alias("shard_id"),
         )
+    )
+
+
+@register(
+    "decontamination_check",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), tri AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS trigram
+      FROM toks, unnest(range(1, len(t)-1)) AS u(i)
+    ), eval_set AS (
+      SELECT DISTINCT trigram FROM tri WHERE doc_id < 10
+    )
+    SELECT tri.doc_id, count(DISTINCT tri.trigram) AS n_hits
+    FROM tri JOIN eval_set USING (trigram)
+    WHERE tri.doc_id >= 10
+    GROUP BY tri.doc_id
+    HAVING count(DISTINCT tri.trigram) >= 3
+    """,
+    ("extension", "decontamination"),
+)
+def q_decontamination_check(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing ≥3 distinct
+    trigrams with the eval set (here: docs with doc_id < 10 stand in for a
+    held-out benchmark). The n-gram-overlap contamination check used before
+    training on scraped corpora.
+
+    Scale: the eval set is small by construction (benchmarks are KBs, the
+    corpus is TBs) → its distinct trigram set broadcasts; the train-side
+    trigram stream is generated in-array and semi-reduced by the broadcast
+    hash join BEFORE the per-doc distinct count — the only shuffle carries
+    surviving (doc, trigram) hits, a vanishing fraction of the corpus.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tri = d.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select("doc_id", F.explode(F.expr(_trigrams("toks"))).alias("trigram"))
+    eval_tris = (
+        tri.filter(F.col("doc_id") < 10).select("trigram").distinct()
+    )
+    return (
+        tri.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(eval_tris), "trigram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("trigram").alias("n_hits"))
+        .filter(F.col("n_hits") >= 3)
     )

@@ -201,3 +201,11 @@ def test_q17_single_fact_shuffle_window_decorrelation(spark, sf_dir):
     assert plan.count("Scan parquet") == 2  # lineitem + part, once each
     assert "Window" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decontamination_broadcasts_eval_set(spark, sf_dir):
+    # the eval trigram set must broadcast (benchmarks are KBs, the corpus is
+    # TBs); a SortMergeJoin here would shuffle every corpus trigram
+    plan = plan_of(spark, sf_dir, "decontamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
