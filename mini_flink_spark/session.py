@@ -53,12 +53,34 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.ui.enabled", "false")
+        # Local default: the in-memory HDFS-backed store (test state is tiny
+        # and heap-speed). At 100 TB keyed state, apply rocksdb_state_conf()
+        # instead — state then lives off-heap/on-disk per executor instead of
+        # on the JVM heap, which is the difference between running and OOM.
         .config("spark.sql.streaming.stateStore.providerClass",
                 "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def rocksdb_state_conf() -> dict[str, str]:
+    """Production state-store configuration for large keyed state.
+
+    The reference's heap-only HeapKeyedStateBackend
+    (flink-runtime/.../state/heap/HeapKeyedStateBackend.java) caps state at
+    JVM heap; RocksDB is the Spark-side answer at scale: off-heap working
+    set, SST files on local disk, and changelog checkpointing so commits
+    upload deltas instead of full snapshots. Verified runnable in this
+    container (rocksdbjni ships with Spark 4); runtime-settable, so it can
+    be applied per-session via ``extra_conf`` or ``spark.conf.set``.
+    """
+    return {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
 
 
 def testdata_dir(sf: str = "0.001") -> str:

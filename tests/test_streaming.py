@@ -126,3 +126,41 @@ def test_checkpoint_recovery_restores_keyed_state(spark):
     # but 'hello' continues from restored state: 2 + 1
     assert second == {"hello": 3, "again": 1}
     assert n_updates == 2
+
+
+def test_rocksdb_state_store_stateful_agg(spark, tmp_path):
+    # the 100 TB state path: same stateful aggregation, RocksDB-backed state
+    # (off-heap/disk per executor + changelog checkpointing) instead of the
+    # heap-only default — the capability the reference's HeapKeyedStateBackend
+    # fundamentally lacks
+    from mini_flink_spark.session import rocksdb_state_conf
+
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in rocksdb_state_conf()
+    }
+    for k, v in rocksdb_state_conf().items():
+        spark.conf.set(k, v)
+    try:
+        src = str(tmp_path / "in")
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3)], "k string, v int"
+        ).write.mode("overwrite").parquet(src)
+        sdf = spark.readStream.schema("k string, v int").parquet(src)
+        q = (
+            sdf.groupBy("k")
+            .sum("v")
+            .writeStream.format("memory")
+            .queryName("rocksdb_agg")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {(r.k, r["sum(v)"]) for r in spark.sql("select * from rocksdb_agg").collect()}
+        assert got == {("a", 3), ("b", 3)}
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
