@@ -110,3 +110,38 @@ def test_python_fold_reduce_matches_builtin_sum(spark, data):
     )
     exp = seq_folds(data)
     assert {r.k: r.v for r in slow} == {k: e["sum"] for k, e in exp.items()}
+
+
+TOKENS = st.lists(st.sampled_from(["a", "b", "c", "ab", "x y"]), min_size=0, max_size=40)
+
+
+@given(toks=TOKENS)
+@PROP
+def test_repetition_fold_equals_counter(spark, toks):
+    """The in-array longest-equal-run fold in `repetition_score` must equal
+    the naive bigram Counter — the fold is the one piece of custom aggregate
+    logic in the pipeline battery, so it gets randomized validation."""
+    from collections import Counter
+
+    from mini_flink_spark.queries_pipeline import _bigrams
+
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    run = (
+        "aggregate(array_sort(bi),"
+        " named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L),"
+        "   'best', greatest(acc.best,"
+        "     IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L))),"
+        " acc -> acc.best)"
+    )
+    row = (
+        df.withColumn("bi", _bigrams("toks"))
+        .selectExpr("size(bi) as n", f"{run} as top")
+        .collect()[0]
+    )
+    bigrams = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+    exp_top = max(Counter(bigrams).values()) if bigrams else 0
+    assert row.n == len(bigrams)
+    assert row.top == exp_top
