@@ -303,3 +303,62 @@ def q_decontamination_check(spark, sf_dir):
         .agg(F.count_distinct("trigram").alias("n_hits"))
         .filter(F.col("n_hits") >= 3)
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    SELECT vec_id,
+           round(scale, 6) + 0.0 AS scale,
+           round(list_max(list_transform(embedding,
+                 x -> abs(x::DOUBLE - round(x::DOUBLE / nullif(scale, 0.0)) * scale))),
+                 8) + 0.0 AS max_abs_err
+    FROM (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+      FROM embeddings) t
+    """,
+    ("extension", "vector", "quantization"),
+)
+def q_embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column: per-vector scale
+    = max|x|/127, plus the worst-case reconstruction error — the compression
+    step before an ANN index or a training-data embedding store ships to
+    disk.
+
+    Scale: per-row higher-order array folds, entirely JVM-side, zero
+    shuffles — the whole corpus quantizes at scan speed. The error metric is
+    a max (order-independent), not a sum: DuckDB's list_sum does not fold in
+    Spark aggregate()'s left-to-right order, so summed doubles differ at the
+    ~1e-8 level while element-wise maxima are bit-identical.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    max_abs = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+    )
+    with_scale = e.select("vec_id", "embedding", (max_abs / 127.0).alias("scale"))
+    err_max = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda a, x: F.greatest(
+            a,
+            F.abs(
+                x.cast("double")
+                - F.round(x.cast("double") / F.nullif(F.col("scale"), F.lit(0.0)))
+                * F.col("scale")
+            ),
+        ),
+    )
+    # NOTE: err_max must be evaluated in a projection where "scale" is still
+    # the raw value — aliasing round(scale) AS scale in the same SELECT would
+    # make Spark's lateral-column-alias resolution bind err_max's
+    # F.col("scale") to the ROUNDED output column, quantizing with the wrong
+    # step (caught by the DuckDB oracle, which binds to the subquery column).
+    with_err = with_scale.select("vec_id", "scale", err_max.alias("raw_err"))
+    return with_err.select(
+        "vec_id",
+        (F.round("scale", 6) + F.lit(0.0)).alias("scale"),
+        (F.round("raw_err", 8) + F.lit(0.0)).alias("max_abs_err"),
+    )
