@@ -269,6 +269,34 @@ def q_multimodal_meta(spark, sf_dir):
     return media_meta_table(text_as_media(docs, "text", kind="image"))
 
 
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id, list_transform(range(0, 16), d ->
+      ((('0x' || substr(md5(md5(text) || '#' || d), 1, 14))::BIGINT % 2001) - 1000)
+        / 1000.0) AS features
+    FROM documents
+    """,
+    ("multimodal", "pandas-udf"),
+)
+def q_multimodal_features(spark, sf_dir):
+    """Feature extraction over binary media via Arrow-batched mapInPandas —
+    the model-inference slot of a multimodal pipeline. The extractor is the
+    deterministic md5 fake (no codecs/models in the container), which makes
+    the *Python batch path itself* oracle-checkable: the DuckDB twin computes
+    the same md5 arithmetic in SQL, so a mismatch in batching, Arrow
+    conversion, or row alignment fails the hash compare.
+
+    Scale: mapInPandas streams Arrow record batches through one Python worker
+    per core — linear in input, no shuffle; swap the body for real inference
+    and the plan is unchanged.
+    """
+    from mini_flink_spark.functions.multimodal import fake_image_features, text_as_media
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return fake_image_features(text_as_media(docs, "text", kind="image"))
+
+
 # =========================================================================
 # Streaming (run to completion via AvailableNow, memory sink -> DataFrame)
 # =========================================================================
