@@ -233,6 +233,51 @@ def q_ann_lsh(spark, sf_dir):
 
 
 @register(
+    "ann_recall_eval",
+    f"""
+    WITH bf AS ({S.brute_force_topk_sql(k=5, query_pred="vec_id < 10")}),
+         lsh AS ({S.lsh_topk_sql(k=5, query_pred="vec_id < 10")})
+    SELECT bf.query_id,
+           sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+           sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0 AS recall
+    FROM bf LEFT JOIN lsh
+      ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+    GROUP BY bf.query_id
+    """,
+    ("similarity", "eval"),
+)
+def q_ann_recall_eval(spark, sf_dir):
+    """In-engine ANN quality evaluation: recall@5 of the multi-table LSH
+    index against exact brute-force ground truth, per query — the
+    measurement loop an ANN deployment tunes (tables × planes) against.
+
+    Scale: ground truth on the FULL corpus is the expensive side (that is
+    inherent to recall measurement — run it on a sampled query set, which
+    `query_pred` already is); the LSH side stays pruned. The join of two
+    k-row-per-query results is trivially small.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    bf = S.brute_force_topk(emb, emb.filter("vec_id < 10"), k=5).select(
+        "query_id", F.col("neighbor_id").alias("bf_neighbor")
+    )
+    lsh = S.lsh_topk(emb, k=5, query_pred="vec_id < 10").select(
+        "query_id", F.col("neighbor_id").alias("lsh_neighbor"), F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(
+            lsh,
+            (bf.query_id == lsh.query_id) & (bf.bf_neighbor == lsh.lsh_neighbor),
+            "left",
+        )
+        .groupBy(bf.query_id)
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+        .withColumn("recall", F.col("n_hits") / 5.0)
+    )
+
+
+@register(
     "ann_topk_ivf",
     S.ivf_topk_sql(k=5, query_pred="vec_id < 10"),
     ("similarity",),
