@@ -399,6 +399,41 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash_expr(text_col: str) -> F.Column:
+    """Streaming-safe SimHash: the same 56-bit signature as ``simhash()``,
+    computed as ONE stateless per-row expression instead of explode + two
+    groupBys (chained aggregations are not allowed mid-stream, and a
+    per-row projection keeps the streaming plan stateless until the real
+    keyed aggregation).
+
+    Single pass over the distinct-token hashes with a 56-counter array
+    accumulator (zip_with inside aggregate) — the token array and hash
+    family evaluate once per row, not once per bit (the per-bit-rescan
+    formulation re-runs the tokenizer 56x once CollapseProject inlines it).
+    """
+    masks = F.array(*[F.lit(1 << i).cast("bigint") for i in range(SIMHASH_BITS)])
+    toks_h = F.transform(
+        F.array_distinct(tokens(text_col)),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 14), 16, 10).cast("bigint"),
+    )
+    one = F.lit(1).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    return F.aggregate(
+        toks_h,
+        F.array_repeat(zero, SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, one).otherwise(-one),
+        ),
+        lambda acc: F.aggregate(
+            F.zip_with(acc, masks, lambda s, m: F.when(s > 0, m).otherwise(zero)),
+            zero,
+            lambda x, y: x + y,
+        ),
+    )
+
+
 def simhash_sql(id_col: str, text_col: str, table: str = "documents") -> str:
     h = portable_hash64_sql("tok")
     return f"""

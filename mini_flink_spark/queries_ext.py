@@ -467,6 +467,46 @@ def q_streaming_dedup(spark, sf_dir):
 
 
 @register(
+    "streaming_neardup_groups",
+    f"""
+    WITH sim AS ({D.simhash_sql('doc_id', 'text')})
+    SELECT simhash, min(id) AS canonical_id, count(*) AS n_members
+    FROM sim GROUP BY simhash
+    """,
+    ("streaming", "dedup", "simhash"),
+)
+def q_streaming_neardup_groups(spark, sf_dir):
+    """Streaming near-duplicate grouping: documents arrive on a file stream,
+    each is SimHash-fingerprinted in a STATELESS per-row projection
+    (`simhash_expr` — the batch simhash's explode+2×groupBy shape is illegal
+    mid-stream), then one keyed aggregation holds (canonical_id, count) per
+    fingerprint in update mode. The streaming face of the dedup layer: the
+    canonical doc for a near-dup cluster is known the moment its second
+    member arrives.
+
+    Scale: state is one row per distinct fingerprint (bounded by corpus
+    distinctness, not stream length); fingerprinting is narrow and
+    codegen'd, so the only shuffle is the keyed agg. Converged groups equal
+    the batch oracle exactly (bit-identical signatures, proven in tests).
+    """
+    from mini_flink_spark.sources import parquet_stream, write_stream_fixture
+    from mini_flink_spark.streaming import run_stream_to_memory
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fixture = write_stream_fixture(docs, tempfile.mkdtemp(prefix="q_stream_nd_"), n_files=3)
+    stream = parquet_stream(spark, fixture, "doc_id bigint, text string")
+    grouped = (
+        stream.withColumn("simhash", D.simhash_expr("text"))
+        .groupBy("simhash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+    return run_stream_to_memory(grouped, spark, "update")
+
+
+@register(
     "streaming_stream_join",
     """
     SELECT c.event_id AS click_id, p.event_id AS purchase_id,

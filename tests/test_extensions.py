@@ -233,3 +233,18 @@ def test_sketch_percentiles_close_to_exact(spark, sf_dir):
         for a, q in zip(approx[et], (0.5, 0.95, 0.99)):
             rank = sum(1 for v in data if v <= a) / n
             assert abs(rank - q) <= 0.02 + 2.0 / n, (et, q, a, rank)
+
+
+def test_simhash_expr_matches_batch_simhash(spark, sf_dir):
+    # the streaming-safe per-row fold must produce bit-identical signatures
+    # to the batch explode+groupBy formulation for every document
+    from mini_flink_spark.functions import dedup as D
+    from mini_flink_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    batch = {r.id: r.simhash for r in D.simhash(docs, "doc_id", "text").collect()}
+    inline = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", D.simhash_expr("text").alias("sh")).collect()
+    }
+    assert batch == inline
