@@ -47,6 +47,8 @@ HEADLINE = [
     "repetition_score",
     "corpus_trigram_topk",
     "token_budget_shards",
+    "decontamination_check",
+    "data_quality_report",
 ]
 
 

@@ -362,3 +362,60 @@ def q_embedding_quantize_int8(spark, sf_dir):
         (F.round("scale", 6) + F.lit(0.0)).alias("scale"),
         (F.round("raw_err", 8) + F.lit(0.0)).alias("max_abs_err"),
     )
+
+
+@register(
+    "data_quality_report",
+    """
+    SELECT 'row_count' AS check_name, count(*)::BIGINT AS value FROM lineitem
+    UNION ALL
+    SELECT 'null_shipdate', count(*) FILTER (WHERE l_shipdate IS NULL) FROM lineitem
+    UNION ALL
+    SELECT 'nonpositive_qty', count(*) FILTER (WHERE l_quantity <= 0) FROM lineitem
+    UNION ALL
+    SELECT 'discount_out_of_range',
+           count(*) FILTER (WHERE l_discount < 0.0 OR l_discount > 1.0) FROM lineitem
+    UNION ALL
+    SELECT 'bad_returnflag',
+           count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')) FROM lineitem
+    UNION ALL
+    SELECT 'distinct_orderkeys', count(DISTINCT l_orderkey) FROM lineitem
+    """,
+    ("extension", "data-quality"),
+)
+def q_data_quality_report(spark, sf_dir):
+    """Single-scan data-quality report (the Deequ/'analyzer' pattern): row
+    count, null counts, domain violations, and key cardinality as one
+    conditional-aggregation pass, unpivoted to (check_name, value) rows.
+
+    Scale: the oracle's UNION ALL shape scans the table six times; this
+    implementation computes every check in ONE aggregation over ONE scan
+    (conditional aggs all fold map-side) and unpivots the 1-row result with
+    stack() — at 100 TB that is 6 table scans vs 1. count(distinct) rides
+    the same pass via an Expand (two-phase distinct aggregation).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    wide = l.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.count(F.when(F.col("l_shipdate").isNull(), 1)).alias("null_shipdate"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("nonpositive_qty"),
+        F.count(
+            F.when((F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0), 1)
+        ).alias("discount_out_of_range"),
+        F.count(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1)
+        ).alias("bad_returnflag"),
+        F.count_distinct("l_orderkey").alias("distinct_orderkeys"),
+    )
+    checks = [
+        "row_count",
+        "null_shipdate",
+        "nonpositive_qty",
+        "discount_out_of_range",
+        "bad_returnflag",
+        "distinct_orderkeys",
+    ]
+    stack_args = ", ".join(f"'{c}', {c}" for c in checks)
+    return wide.selectExpr(
+        f"stack({len(checks)}, {stack_args}) as (check_name, value)"
+    )
