@@ -35,18 +35,20 @@ def _spread(df):
 @register(
     "text_token_count",
     f"""
-    SELECT doc_id, {T.token_count_sql('text')} AS n_tokens,
-           {T.bpe_ish_token_count_sql('text')} AS n_bpe_tokens
+    SELECT doc_id, ({T.token_count_sql('text')})::BIGINT AS n_tokens,
+           ({T.bpe_ish_token_count_sql('text')})::BIGINT AS n_bpe_tokens
     FROM documents
     """,
     ("text", "bench"),
 )
 def q_token_count(spark, sf_dir):
+    # bigint on BOTH sides: Spark's array_size is int32 and DuckDB's list_sum
+    # is HUGEINT — the driver's value-hash is dtype-sensitive, so align to i64.
     docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
-        T.token_count("text").alias("n_tokens"),
-        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        T.bpe_ish_token_count("text").cast("bigint").alias("n_bpe_tokens"),
     )
 
 

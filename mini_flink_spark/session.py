@@ -95,19 +95,34 @@ TABLES = (
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic table, normalizing physical quirks.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; we read nanos as long (legacy conf, runtime-settable) and truncate
-    to microseconds — the same truncation DuckDB applies when casting its
-    TIMESTAMP_NS to TIMESTAMP, so oracle comparisons agree.
+    Trust the parquet logical type: the driver's ``events.parquet`` stores
+    ``ts`` as TIMESTAMP(MICROS), which Spark reads natively — pass it through
+    untouched. Only if a file genuinely stores TIMESTAMP(NANOS) (which Spark's
+    reader rejects without the legacy conf) do we fall back to nanos-as-long
+    and truncate to microseconds — the same truncation DuckDB applies when
+    casting TIMESTAMP_NS to TIMESTAMP, so oracle comparisons agree.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # integer div: ns values exceed double's 53-bit mantissa, so no `/`
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            # TIMESTAMP(NANOS) file: re-read with the legacy nanos-as-long conf.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # integer div: ns values exceed double's 53-bit mantissa, so no `/`
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # Session tz is pinned to UTC, so NTZ -> TIMESTAMP is value-identical;
+            # downstream ops (unix_micros, window, watermark) expect TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
