@@ -114,6 +114,21 @@ class StreamExecutionEnvironment:
         )
         return DataStream(df)
 
+    def add_source(
+        self, elements: list[str], rows_per_batch: int = 0, n_splits: int = 2
+    ) -> DataStream:
+        """User-defined streaming source under engine control — the
+        ``addSource(new SourceFunction(){run/cancel})`` analogue
+        (StreamExecutionEnvironment.java:187; StreamSource.java:43,59-100),
+        implemented as a Python DataSource V2 stream reader
+        (sources/python_source.py): the engine pulls offsets and partitions,
+        the source decides the rows; drained length = run() returning."""
+        from mini_flink_spark.sources.python_source import elements_stream
+
+        return DataStream(
+            elements_stream(self.spark, elements, rows_per_batch, n_splits)
+        )
+
     def file_stream(self, path: str, schema: Any, fmt: str = "parquet") -> DataStream:
         """Unbounded file-discovery source over a directory/glob.
 

@@ -52,16 +52,23 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     return deco
 
 
+_CONF_APPLIED: set[int] = set()
+
+
 def _t(spark, sf_dir, name) -> DataFrame:
     # The queries must behave on ANY caller-provided session (the driver uses
     # its own), so runtime-settable confs the plans depend on are (re)applied
     # here, not only in session.get_spark: InferFiltersFromGenerate clones
     # whole expression pipelines below exchanges (25× on shingle/minhash
-    # paths — see session.py for the full story).
-    spark.conf.set(
-        "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    )
+    # paths — see session.py for the full story). Applied once per session
+    # (the conf.set is a py4j round-trip; no point paying it per table read).
+    key = id(spark)
+    if key not in _CONF_APPLIED:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
+        _CONF_APPLIED.add(key)
     return read_table(spark, sf_dir, name)
 
 

@@ -384,6 +384,47 @@ def q_streaming_wordcount(spark, sf_dir):
     )
 
 
+# Fixed element list for the user-defined-source query: lowercase, no
+# punctuation, so the Spark tokenizer (\W+ split) and the oracle's
+# space-split agree exactly.
+_PYSOURCE_LINES = [
+    "the quick brown fox",
+    "jumps over the lazy dog",
+    "the quick red fox",
+    "hello streaming world",
+    "hello spark source",
+    "the dog sleeps",
+]
+
+_PYSOURCE_VALUES = ", ".join(f"('{line}')" for line in _PYSOURCE_LINES)
+
+
+@register(
+    "streaming_python_source",
+    f"""
+    SELECT word, count(*)::BIGINT AS count FROM (
+      SELECT unnest(string_split(line, ' ')) AS word
+      FROM (VALUES {_PYSOURCE_VALUES}) t(line)
+    ) GROUP BY word
+    """,
+    ("streaming", "source", "datasource-v2"),
+)
+def q_streaming_python_source(spark, sf_dir):
+    """WordCount over a USER-DEFINED streaming source: a Python DataSource V2
+    stream reader plays the reference's SourceFunction.run()/cancel() role
+    (StreamSource.java:43,59-100) — the engine pulls offsets/partitions, the
+    source generates the records, stream end is the bounded-run() analogue.
+    Closes the one reference API with no built-in Spark counterpart
+    (SURVEY.md §2.1 addSource)."""
+    from mini_flink_spark.sources.python_source import elements_stream
+    from mini_flink_spark.streaming import run_stream_to_memory, wordcount_stream_update
+
+    stream = elements_stream(spark, _PYSOURCE_LINES)
+    return run_stream_to_memory(
+        wordcount_stream_update(stream, "value"), spark, "update"
+    ).select("word", "count")
+
+
 @register(
     "streaming_running_reduce",
     """
