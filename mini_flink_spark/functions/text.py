@@ -143,6 +143,49 @@ def quality_score_sql(expr: str) -> str:
     )
 
 
+# --------------------------------------------------------------------- PII
+#
+# Training-data pipelines scrub PII before anything else sees the text.
+# Patterns are written to the common subset of Java regex (Spark) and RE2
+# (DuckDB) — \b, \d, character classes — so both engines match identically;
+# redaction is sequential regexp_replace (replace-all on both sides).
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    "phone": (r"\+\d[\d -]{7,}\d", "[PHONE]"),
+}
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    pattern, _ = PII_PATTERNS[kind]
+    return F.regexp_count(c, F.lit(pattern)).cast("bigint")
+
+
+def pii_count_sql(expr: str, kind: str) -> str:
+    pattern, _ = PII_PATTERNS[kind]
+    return f"len(regexp_extract_all({expr}, '{pattern}'))::BIGINT"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """All PII kinds replaced by their placeholder tokens, email first (its
+    pattern can span text the narrower ones would split)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in ("email", "ipv4", "phone"):
+        pattern, token = PII_PATTERNS[kind]
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def redact_pii_sql(expr: str) -> str:
+    out = expr
+    for kind in ("email", "ipv4", "phone"):
+        pattern, token = PII_PATTERNS[kind]
+        out = f"regexp_replace({out}, '{pattern}', '{token}', 'g')"
+    return out
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: 56-bit hash of the normalized text (content-
     defined identity — robust to case/punct/whitespace variation)."""

@@ -33,6 +33,27 @@ def _as_columns(exprs: Sequence[Any]) -> list[Column]:
     return [F.expr(e) if isinstance(e, str) else e for e in exprs]
 
 
+def print_prefix(sink_identifier: str, subtask_index: int, num_subtasks: int) -> str:
+    """The reference's completed prefix (PrintSinkOutputWriter.java:54-69):
+    ``[id][:]<subtask+1>`` when parallel, then ``"> "`` if non-empty."""
+    prefix = sink_identifier
+    if num_subtasks > 1:
+        if prefix:
+            prefix += ":"
+        prefix += str(subtask_index + 1)
+    if prefix:
+        prefix += "> "
+    return prefix
+
+
+def format_record(values: tuple) -> str:
+    """Record rendering for the parallel print sink: bare value for 1-column
+    rows, Flink-Tuple-style ``(a,b)`` otherwise (Tuple2.toString)."""
+    if len(values) == 1:
+        return str(values[0])
+    return "(" + ",".join(str(v) for v in values) + ")"
+
+
 class DataStream:
     """Thin handle over a (possibly streaming) DataFrame — the analogue of the
     reference's DataStream-over-Transformation lazy DAG (DataStream.java:54-58):
@@ -151,10 +172,29 @@ class DataStream:
         return DataStream(out)
 
     # ----------------------------------------------------------------- sinks
-    def print(self, n: int = 20, truncate: bool = False):
-        """print() sink (PrintSinkFunction.java:80-82)."""
+    def print(self, n: int = 20, truncate: bool = False, parallel: bool = False,
+              sink_identifier: str = ""):
+        """print() sink (PrintSinkFunction.java:80-82).
+
+        Default renders a table via show() (the readable local form).
+        ``parallel=True`` reproduces the reference's exact console contract
+        (PrintSinkOutputWriter.java:54-74): each subtask prints its own
+        records line-by-line, prefixed ``[id][:]<subtask+1>> `` only when
+        parallelism > 1 — rows print executor-side, nothing is collected."""
         if self.df.isStreaming:
             return self.df.writeStream.format("console").outputMode("update").start()
+        if parallel:
+            rdd = self.df.rdd
+            n_parts = rdd.getNumPartitions()
+
+            def _print_partition(idx, rows):
+                prefix = print_prefix(sink_identifier, idx, n_parts)
+                for row in rows:
+                    print(prefix + format_record(tuple(row)))
+                return iter(())
+
+            rdd.mapPartitionsWithIndex(_print_partition).count()
+            return None
         self.df.show(n, truncate=truncate)
         return None
 

@@ -98,6 +98,48 @@ def q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", T.fingerprint("text").alias("fp"))
 
 
+# PII text on both sides: the synthetic corpus is digit-free, so salt
+# deterministic doc_id-derived PII into each row — the redaction/count logic
+# is then genuinely exercised and the full cleaned string is hash-compared.
+_PII_SALT_SPARK = (
+    "concat(text, ' contact user', doc_id, '@example.com from 10.0.',"
+    " doc_id % 256, '.7 call +1 555-123-4567')"
+)
+_PII_SALT_SQL = (
+    "text || ' contact user' || doc_id || '@example.com from 10.0.'"
+    " || (doc_id % 256) || '.7 call +1 555-123-4567'"
+)
+
+
+@register(
+    "pii_redaction",
+    f"""
+    SELECT doc_id,
+           {T.redact_pii_sql(f'({_PII_SALT_SQL})')} AS clean,
+           {T.pii_count_sql(f'({_PII_SALT_SQL})', 'email')} AS n_emails,
+           {T.pii_count_sql(f'({_PII_SALT_SQL})', 'ipv4')} AS n_ips,
+           {T.pii_count_sql(f'({_PII_SALT_SQL})', 'phone')} AS n_phones
+    FROM documents
+    """,
+    ("text", "pii", "pipeline"),
+)
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing — the first pass of a training-data pipeline: count and
+    redact emails / IPv4s / phone numbers per document. Pure per-row regex
+    projections (whole-stage codegen, zero shuffle); patterns restricted to
+    the Java-regex ∩ RE2 common subset so the DuckDB oracle matches the
+    cleaned string byte-for-byte."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    salted = docs.select("doc_id", F.expr(_PII_SALT_SPARK).alias("txt"))
+    return salted.select(
+        "doc_id",
+        T.redact_pii("txt").alias("clean"),
+        T.pii_count("txt", "email").alias("n_emails"),
+        T.pii_count("txt", "ipv4").alias("n_ips"),
+        T.pii_count("txt", "phone").alias("n_phones"),
+    )
+
+
 # =========================================================================
 # Deduplication
 # =========================================================================

@@ -209,3 +209,23 @@ def test_decontamination_broadcasts_eval_set(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "decontamination_check")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_simhash_is_shuffle_free_per_row_fold(spark, sf_dir):
+    # batch SimHash must be the stateless per-row fold, not the historical
+    # explode(tokens x 56 bits) + two keyed aggregations (a 56x row inflation
+    # through a shuffle for the same signature)
+    plan = plan_of(spark, sf_dir, "dedup_simhash")
+    assert "Generate" not in plan  # no explode anywhere
+    # the only exchange is the _spread repartition of the single-file scan
+    assert plan.count("Exchange") <= 1
+    assert "HashAggregate" not in plan
+
+
+def test_pii_redaction_pure_projection(spark, sf_dir):
+    # PII scrub is a per-row regex projection: no shuffle beyond _spread,
+    # no Python in the loop
+    plan = plan_of(spark, sf_dir, "pii_redaction")
+    assert plan.count("Exchange") <= 1
+    assert "EvalPython" not in plan
+    assert "HashAggregate" not in plan
