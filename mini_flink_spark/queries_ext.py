@@ -140,6 +140,51 @@ def q_pii_redaction(spark, sf_dir):
     )
 
 
+@register(
+    "mixture_weights",
+    f"""
+    WITH per_src AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             (sum({T.token_count_sql('text')}))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           round((sum(n_tokens) OVER ())::DOUBLE /
+                 ((count(*) OVER ()) * n_tokens)::DOUBLE, 6) AS mix_weight
+    FROM per_src
+    """,
+    ("text", "pipeline", "mixture"),
+)
+def q_mixture_weights(spark, sf_dir):
+    """Domain-mixing weights — the sampling computation a pretraining data
+    pipeline runs over its source corpora: per-source token totals, and the
+    up/down-sampling weight that moves each source to a uniform token share
+    (weight = total_tokens / (n_sources * source_tokens); >1 = upsample).
+
+    Scale: the heavy part is one map-side-combined agg over the corpus
+    (shuffle carries num_sources rows); the global window then runs on the
+    AGGREGATED table — num_sources rows, so the single-partition window is
+    free, never a corpus-wide serialization."""
+    from pyspark.sql import Window
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text").cast("bigint")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.sum("n_tokens").over(w).cast("double")
+            / (F.count(F.lit(1)).over(w) * F.col("n_tokens")).cast("double"),
+            6,
+        ).alias("mix_weight"),
+    )
+
+
 # =========================================================================
 # Deduplication
 # =========================================================================
