@@ -49,6 +49,8 @@ HEADLINE = [
     "token_budget_shards",
     "decontamination_check",
     "data_quality_report",
+    "pii_redaction",
+    "mixture_weights",
 ]
 
 
