@@ -539,7 +539,13 @@ def q_solo_supplier(spark, sf_dir):
 def q_dormant_rich(spark, sf_dir):
     """TPC-H Q22 shape: above-average-balance customers with no urgent
     orders, counted per nation — scalar subquery (1-row broadcast) + anti
-    join + aggregation in one plan."""
+    join + aggregation in one plan.
+
+    Plan note: the scalar threshold shows up as a BroadcastNestedLoopJoin —
+    with a ONE-ROW build side that is the correct scale shape (each probe row
+    compares against a single broadcast value; exactly how Catalyst renders
+    scalar subqueries). The alternative, avg OVER an empty window, would
+    funnel the whole customer table through one partition."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
