@@ -140,6 +140,111 @@ def q_pii_redaction(spark, sf_dir):
     )
 
 
+# BM25 query terms — fixed list, summed in literal order on both sides so the
+# double arithmetic is bit-identical (float addition is not associative).
+_BM25_TERMS = ("spark", "window", "join")
+
+
+def _eq_term(term: str):
+    return lambda x: x == F.lit(term)
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "text_search_bm25",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {T.tokens_sql('text')} AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(t)::BIGINT AS dli,
+             {', '.join(f"len(list_filter(t, x -> x = '{term}'))::DOUBLE AS tf_{i}"
+                        for i, term in enumerate(_BM25_TERMS))}
+      FROM toks
+    ),
+    stats AS (
+      -- exact integer sum, then ONE double division: double summation order
+      -- differs between engines, integer sums do not
+      SELECT (sum(dli)::BIGINT)::DOUBLE / count(*)::DOUBLE AS avgdl,
+             count(*)::DOUBLE AS n,
+             {', '.join(f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_{i}"
+                        for i in range(len(_BM25_TERMS)))}
+      FROM base
+    ),
+    based AS (SELECT *, dli::DOUBLE AS dl FROM base)
+    SELECT doc_id, round({' + '.join(
+        f"(ln((n - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0) * tf_{i} * ({_BM25_K1} + 1.0)"
+        f" / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)))"
+        for i in range(len(_BM25_TERMS)))}, 6) AS score
+    FROM based, stats
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+    ("text", "search", "bench"),
+)
+def q_text_search_bm25(spark, sf_dir):
+    """BM25 top-k document search (k1=1.2, b=0.75) for a fixed term set —
+    the retrieval operator of a corpus-curation/search stack.
+
+    Plan: one pass computes per-doc term frequencies + length from the token
+    array (no explode, no shuffle of text); corpus statistics (avgdl, N,
+    per-term document frequencies) reduce to ONE row that broadcasts back
+    over the per-doc table (scalar-subquery shape — each doc scores against
+    3 broadcast scalars); top-20 is TakeOrderedAndProject. At index scale the
+    stats row is precomputed once per corpus snapshot and the scoring pass is
+    embarrassingly parallel. Scores sum per-term contributions in literal
+    term order on both engines (double addition is not associative)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    t = T.tokens("text")
+    base = docs.select(
+        "doc_id",
+        F.array_size(t).cast("bigint").alias("dli"),
+        # NB: the lambda must take exactly ONE parameter — F.filter passes
+        # (element, index) to two-parameter callables, including ones whose
+        # second parameter merely has a default.
+        *[
+            F.size(F.filter(t, _eq_term(term))).cast("double").alias(f"tf_{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = base.agg(
+        # exact integer sum, then one double division — double summation
+        # order differs between engines/partitionings, integer sums do not
+        (
+            F.sum("dli").cast("bigint").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            (F.col("n") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5) + 1.0
+        )
+        term_score = (
+            idf
+            * F.col(f"tf_{i}")
+            * (_BM25_K1 + 1.0)
+            / (
+                F.col(f"tf_{i}")
+                + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = term_score if score is None else score + term_score
+    based = base.withColumn("dl", F.col("dli").cast("double"))
+    return (
+        based.join(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 @register(
     "mixture_weights",
     f"""

@@ -80,7 +80,11 @@ def main() -> None:
     from mini_flink_spark.queries import all_oracles, all_queries
     from mini_flink_spark.session import get_spark
 
-    spark = get_spark("grade-local")
+    # progress bars rewrite the current line with \r and can clobber result
+    # lines (a MISMATCH flag overwritten by a stage bar reads as a pass)
+    spark = get_spark(
+        "grade-local", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     qs, oracles = all_queries(), all_oracles()
     names = args.only or list(qs)
     con = oracle_conn(args.sf)
