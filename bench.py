@@ -51,6 +51,7 @@ HEADLINE = [
     "data_quality_report",
     "pii_redaction",
     "mixture_weights",
+    "text_search_bm25",
 ]
 
 

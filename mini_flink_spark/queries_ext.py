@@ -931,6 +931,156 @@ def q_sketch_value_percentiles(spark, sf_dir):
 
 
 # =========================================================================
+# Event analytics: funnel + anomaly detection
+# =========================================================================
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1),
+    stages AS (
+      SELECT u.user_id,
+             CASE WHEN p.tp IS NOT NULL THEN 3
+                  WHEN c.tc IS NOT NULL THEN 2
+                  WHEN v.tv IS NOT NULL THEN 1
+                  ELSE 0 END AS stage
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      LEFT JOIN p USING (user_id)
+    )
+    SELECT stage, count(*)::BIGINT AS n_users FROM stages GROUP BY stage
+    """,
+    ("events", "funnel", "analytics"),
+)
+def q_funnel(spark, sf_dir):
+    """Funnel analysis — users reaching view → click-after-view →
+    purchase-after-click, counted per deepest stage.
+
+    Spark rendering: ONE shuffle. Per user, collect the (ts, event_id, type)
+    triples of the three funnel event kinds, array_sort for a deterministic
+    timeline, then a single in-array fold walks the timeline once carrying
+    (first_view, first_click_after, first_purchase_after). The oracle takes
+    the classic three-join rendering (min-after-min chains) — different plan,
+    same answer, which is exactly what an oracle is for. At 100 TB the fold
+    shape wins: 3 sequential self-join+agg rounds vs one groupBy whose value
+    payload is only the funnel-relevant events."""
+    ev = _t(spark, sf_dir, "events")
+    step = F.when(
+        F.col("event_type").isin("view", "click", "purchase"),
+        F.struct("ts", "event_id", "event_type"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(step)).alias("seq")
+    )
+    ts_null = F.lit(None).cast("timestamp")
+    state0 = F.struct(
+        ts_null.alias("tv"), ts_null.alias("tc"), ts_null.alias("tp")
+    )
+    folded = seq.withColumn(
+        "f",
+        F.aggregate(
+            "seq",
+            state0,
+            lambda acc, x: F.struct(
+                F.when(
+                    acc.tv.isNull() & (x.event_type == "view"), x.ts
+                ).otherwise(acc.tv).alias("tv"),
+                F.when(
+                    acc.tc.isNull()
+                    & acc.tv.isNotNull()
+                    & (x.event_type == "click")
+                    & (x.ts > acc.tv),
+                    x.ts,
+                ).otherwise(acc.tc).alias("tc"),
+                F.when(
+                    acc.tp.isNull()
+                    & acc.tc.isNotNull()
+                    & (x.event_type == "purchase")
+                    & (x.ts > acc.tc),
+                    x.ts,
+                ).otherwise(acc.tp).alias("tp"),
+            ),
+        ),
+    )
+    stage = (
+        F.when(F.col("f.tp").isNotNull(), 3)
+        .when(F.col("f.tc").isNotNull(), 2)
+        .when(F.col("f.tv").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        folded.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "event_rate_anomaly",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS h,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n_hours,
+             (sum(n))::BIGINT AS s1,
+             (sum(n * n))::BIGINT AS s2
+      FROM hourly GROUP BY 1
+    )
+    SELECT hourly.event_type, h AS window_start, n AS n_events,
+           round((n::DOUBLE - s1::DOUBLE / n_hours::DOUBLE) /
+                 sqrt(s2::DOUBLE / n_hours::DOUBLE -
+                      (s1::DOUBLE / n_hours::DOUBLE) * (s1::DOUBLE / n_hours::DOUBLE)),
+                 6) AS z
+    FROM hourly JOIN stats USING (event_type)
+    WHERE sqrt(s2::DOUBLE / n_hours::DOUBLE -
+               (s1::DOUBLE / n_hours::DOUBLE) * (s1::DOUBLE / n_hours::DOUBLE)) > 0
+    """,
+    ("events", "anomaly", "analytics"),
+)
+def q_event_rate_anomaly(spark, sf_dir):
+    """Hourly event-rate anomaly scores: per event type, the z-score of each
+    hour's count against that type's own hourly distribution.
+
+    Determinism across engines: mean and variance derive from EXACT integer
+    moment sums (Σn, Σn² as bigint — order-independent), with the double
+    divisions/multiplications in one fixed order on both sides; a float
+    avg()/stddev() would be summation-order-dependent. Scale: hourly rollup
+    is one map-side-combined agg; the per-type stats table (5 rows)
+    broadcasts back over it."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_events").cast("bigint").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours").cast("double")
+    sd = F.sqrt(F.col("s2").cast("double") / F.col("n_hours").cast("double") - mean * mean)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(sd > 0)
+        .select(
+            "event_type",
+            "window_start",
+            "n_events",
+            F.round((F.col("n_events").cast("double") - mean) / sd, 6).alias("z"),
+        )
+    )
+
+
+# =========================================================================
 # Analytics batteries: window functions, correlated-subquery shape, arrays
 # =========================================================================
 
