@@ -68,6 +68,11 @@ def _t(spark, sf_dir, name) -> DataFrame:
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # The events ts column reads as TIMESTAMP_NTZ and is cast to TIMESTAMP
+        # (session.read_table); a non-UTC caller session would shift the
+        # instant against the DuckDB oracle's naive wall times. Pin UTC here
+        # so query results don't depend on the caller's timezone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         _CONF_APPLIED.add(key)
     return read_table(spark, sf_dir, name)
 
