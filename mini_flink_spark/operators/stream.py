@@ -206,6 +206,30 @@ class DataStream:
         fn(self.df, 0)
         return None
 
+    def write_jsonl_sink(self, path: str, output_mode: str = "append",
+                         checkpoint: str | None = None):
+        """Engine-controlled user sink via Python DataSource V2
+        (sources/python_sink.py): tasks stage+publish write-once JSONL files,
+        the driver commits a per-batch manifest — addSink with the two-phase
+        commit contract the reference's SinkFunction lacked."""
+        from mini_flink_spark.sources.python_sink import SINK_NAME, register_jsonl_sink
+
+        register_jsonl_sink(self.df.sparkSession)
+        if self.df.isStreaming:
+            w = (
+                self.df.writeStream.format(SINK_NAME)
+                .option("path", path)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+            )
+            if checkpoint is not None:
+                w = w.option("checkpointLocation", checkpoint)
+            q = w.start()
+            q.awaitTermination(300)
+            return q
+        self.df.write.format(SINK_NAME).option("path", path).mode("append").save()
+        return None
+
     def write_parquet(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()):
         w = self.df.write.mode(mode)
         if partition_by:

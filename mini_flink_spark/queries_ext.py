@@ -1087,6 +1087,100 @@ def q_event_rate_anomaly(spark, sf_dir):
     )
 
 
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    counts AS (
+      SELECT cur, nxt, count(*)::BIGINT AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+           round(n::DOUBLE / (sum(n) OVER (PARTITION BY cur))::DOUBLE, 6) AS p
+    FROM counts
+    """,
+    ("events", "markov", "analytics"),
+)
+def q_event_transition_matrix(spark, sf_dir):
+    """Next-event transition matrix (first-order Markov estimate): for each
+    ordered per-user event pair, P(next_type | current_type).
+
+    One per-user window (lead over ts with event_id tiebreak — deterministic
+    total order), one count agg, and a per-current-type window over the
+    25-row counts table for the row normalization. Exact integer counts +
+    one fixed-order double division keep probabilities engine-identical."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("cur")
+    return counts.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts::TIMESTAMP)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts::TIMESTAMP) AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           (date_diff('day', f.cohort_week, a.active_week) // 7)::BIGINT AS week_offset,
+           count(*)::BIGINT AS n_active
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+    ("events", "retention", "analytics"),
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users bucketed by the week of their first
+    event; n_active counts cohort members active k weeks later.
+
+    Two aggs on user_id (first-seen, distinct active weeks) then a user-key
+    join — all integer/date arithmetic (day difference // 7), nothing
+    float. At scale both sides pre-aggregate before the join, so the join
+    carries one row per (user, active week), not per event."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("bigint").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
 # =========================================================================
 # Analytics batteries: window functions, correlated-subquery shape, arrays
 # =========================================================================

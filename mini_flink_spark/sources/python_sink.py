@@ -1,0 +1,117 @@
+"""User-defined sink via the Python DataSource V2 writer API — the
+``addSink(new SinkFunction(){invoke})`` analogue (StreamSink.java:54-58)
+with the two-phase commit contract the reference never had: each task
+writes its partition and returns a commit message; the driver's ``commit``
+publishes, ``abort`` discards — per batch on the streaming path.
+
+``JsonlDirSink`` is the concrete instance: rows append as JSON-lines files,
+one file per (task, attempt) staged under a temp name and published by
+task-side rename — write-once files, so a retried/zombie task never
+corrupts published output (the Hadoop-committer idea in one page). At
+scale this is the shape of any object-store sink: task-local staging,
+idempotent publish, driver-side manifest.
+
+``foreachBatch``/``foreach`` remain the quick path for arbitrary user code;
+this is the engine-controlled contract (schema known up front, per-batch
+commit/abort, no driver round-trip per row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator, List, Optional
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import Row
+
+SINK_NAME = "mfs_jsonl"
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+def _write_jsonl(path_dir: str, prefix: str, rows: Iterator[Row]) -> _FileCommit:
+    os.makedirs(path_dir, exist_ok=True)
+    final = os.path.join(path_dir, f"{prefix}-{uuid.uuid4().hex}.jsonl")
+    staged = final + ".staging"
+    n = 0
+    with open(staged, "w") as f:
+        for row in rows:
+            f.write(json.dumps(row.asDict(), default=str) + "\n")
+            n += 1
+    os.rename(staged, final)  # atomic publish of a write-once file
+    return _FileCommit(path=final, n_rows=n)
+
+
+class _JsonlBatchWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+
+    def write(self, iterator: Iterator[Row]) -> WriterCommitMessage:
+        return _write_jsonl(self.path, "part", iterator)
+
+    def commit(self, messages: List[Optional[WriterCommitMessage]]) -> None:
+        total = sum(m.n_rows for m in messages if m is not None)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(json.dumps({"rows": total}))
+
+    def abort(self, messages: List[Optional[WriterCommitMessage]]) -> None:
+        for m in messages or []:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+
+    def write(self, iterator: Iterator[Row]) -> WriterCommitMessage:
+        return _write_jsonl(self.path, "batch", iterator)
+
+    def commit(self, messages: List[Optional[WriterCommitMessage]], batchId: int) -> None:
+        total = sum(m.n_rows for m in messages if m is not None)
+        manifest = os.path.join(self.path, f"_COMMIT-{batchId}")
+        with open(manifest, "w") as f:
+            f.write(json.dumps(
+                {"batch": batchId, "rows": total,
+                 "files": [m.path for m in messages if m is not None]}))
+
+    def abort(self, messages: List[Optional[WriterCommitMessage]], batchId: int) -> None:
+        for m in messages or []:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlDirSink(DataSource):
+    """Batch + streaming JSON-lines directory sink. Option: ``path``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return SINK_NAME
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _JsonlBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return _JsonlStreamWriter(self.options)
+
+
+_REGISTERED: set[int] = set()
+
+
+def register_jsonl_sink(spark) -> None:
+    key = id(spark)
+    if key not in _REGISTERED:
+        spark.dataSource.register(JsonlDirSink)
+        _REGISTERED.add(key)

@@ -1,0 +1,50 @@
+"""Python DataSource V2 user sink (sources/python_sink.py) — the addSink
+analogue with two-phase commit: staged write-once files published by rename,
+driver-side _SUCCESS/_COMMIT manifests, abort cleanup."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from mini_flink_spark.operators.stream import DataStream
+from mini_flink_spark.sources.python_source import elements_stream
+
+
+def _read_jsonl_dir(path: str) -> list[dict]:
+    rows = []
+    for name in sorted(os.listdir(path)):
+        if name.endswith(".jsonl"):
+            with open(os.path.join(path, name)) as f:
+                rows.extend(json.loads(line) for line in f)
+    return rows
+
+
+def test_batch_sink_writes_all_rows_and_success_marker(spark, tmp_path):
+    out = str(tmp_path / "batch_out")
+    ds = DataStream(spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v")))
+    ds.write_jsonl_sink(out)
+    rows = _read_jsonl_dir(out)
+    assert sorted(r["id"] for r in rows) == list(range(100))
+    assert all(r["v"] == r["id"] * 2 for r in rows)
+    success = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert success["rows"] == 100
+    # no staging leftovers
+    assert not [n for n in os.listdir(out) if n.endswith(".staging")]
+
+
+def test_streaming_sink_commits_batch_manifest(spark, tmp_path):
+    out = str(tmp_path / "stream_out")
+    lines = ["alpha", "beta", "gamma", "delta"]
+    ds = DataStream(elements_stream(spark, lines))
+    ds.write_jsonl_sink(out, checkpoint=str(tmp_path / "ckpt"))
+    rows = _read_jsonl_dir(out)
+    assert sorted(r["value"] for r in rows) == sorted(lines)
+    manifests = [n for n in os.listdir(out) if n.startswith("_COMMIT-")]
+    assert manifests, "driver-side per-batch commit manifest missing"
+    m = json.load(open(os.path.join(out, manifests[0])))
+    assert m["rows"] == len(lines)
+    for f in m["files"]:
+        assert os.path.exists(f)
