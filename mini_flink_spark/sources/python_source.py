@@ -51,7 +51,14 @@ class _ElementsStreamReader(DataSourceStreamReader):
     it — an offset that trickles forward would silently truncate the drain).
     ``rows_per_batch > 0`` opts into trickle mode for processing-time
     triggers: the offset advances stepwise, one microbatch per step — the
-    run()-loop-under-engine-control shape."""
+    run()-loop-under-engine-control shape.
+
+    Engine caveat: Python stream readers don't implement
+    SupportsTriggerAvailableNow, so Trigger.AvailableNow falls back to
+    SINGLE-batch execution — fine for the drain-all default (one batch covers
+    everything), but after a checkpoint restart that single batch is only the
+    WAL-replayed in-flight batch; use a processing-time trigger to drain the
+    remainder (pinned in tests/test_python_source.py recovery test)."""
 
     def __init__(self, options):
         self.elements: list[str] = json.loads(options.get("elements") or "[]")

@@ -102,3 +102,82 @@ def test_trickle_mode_multiple_microbatches(spark, tmp_path):
 
 def test_source_name_contract():
     assert ElementsSource.name() == "mfs_elements"
+
+
+def test_checkpoint_recovery_resumes_offset(spark, tmp_path):
+    """Kill the stream mid-drain and restart from the checkpoint: the restored
+    offset must skip already-committed elements (no loss; at most the single
+    in-flight microbatch replays — standard at-least-once into the sink).
+    The durable side is the Python DataSource V2 JSONL sink (the memory sink
+    refuses checkpoint recovery), so this also exercises source offsets and
+    sink batch manifests through a real stop/restart."""
+    import json
+    import os
+
+    from mini_flink_spark.sources.python_sink import register_jsonl_sink
+
+    register_elements_source(spark)
+    register_jsonl_sink(spark)
+    many = [f"item {i}" for i in range(12)]
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def reader(rows_per_batch: int):
+        return (
+            spark.readStream.format("mfs_elements")
+            .option("elements", json.dumps(many))
+            .option("rows_per_batch", str(rows_per_batch))
+            .load()
+        )
+
+    def sink_rows() -> list[str]:
+        rows = []
+        if os.path.isdir(out):
+            for name in sorted(os.listdir(out)):
+                if name.endswith(".jsonl"):
+                    with open(os.path.join(out, name)) as f:
+                        rows.extend(json.loads(line)["value"] for line in f)
+        return rows
+
+    q1 = (
+        reader(1).writeStream.format("mfs_jsonl")
+        .option("path", out)
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and len(sink_rows()) < 3:
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination(60)
+    seen_a = sink_rows()
+    assert len(seen_a) >= 3
+
+    # NB: availableNow on a Python stream reader falls back to SINGLE-batch
+    # execution (no SupportsTriggerAvailableNow), which after a restart is
+    # just the WAL-replayed in-flight batch — drain with a processing-time
+    # trigger instead and stop once everything has arrived.
+    q2 = (
+        reader(0).writeStream.format("mfs_jsonl")  # drain-the-rest mode
+        .option("path", out)
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline and set(sink_rows()) != set(many):
+        time.sleep(0.3)
+    q2.stop()
+    q2.awaitTermination(60)
+    all_rows = sink_rows()
+    seen_b = all_rows[len(seen_a):] if len(all_rows) >= len(seen_a) else []
+
+    assert set(all_rows) == set(many)                      # nothing lost
+    dupes = len(all_rows) - len(set(all_rows))
+    assert dupes <= 1, f"more than the in-flight batch replayed: {dupes}"
+    assert set(seen_a) | set(seen_b) == set(many)
+    # per-batch commit manifests exist for the restarted run
+    assert [n for n in os.listdir(out) if n.startswith("_COMMIT-")]
