@@ -314,6 +314,119 @@ WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
 """
 
 
+def minhash_incremental_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    new_pred: str,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """Incremental (ingestion-time) near-dup detection: pairs (old, new)
+    where a NEW document (rows satisfying ``new_pred``) near-duplicates an
+    EXISTING one — never comparing existing×existing or new×new.
+
+    The shape that matters at index scale: the corpus side is the persisted
+    banded index (here recomputed from the same table — one checkpointed
+    projection); the new-batch side is small, so its band keys broadcast and
+    the candidate join never shuffles the index. Exact-Jaccard verification
+    then touches only candidate rows. Output: (a=existing id, b=new id,
+    jaccard) with the same band/signature semantics as minhash_lsh_pairs.
+    """
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    # evaluate new_pred against the ORIGINAL columns, then shingle (same
+    # two-projection shape as `shingled` so the tokenizer runs once per row)
+    raw = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        F.expr(new_pred).alias("is_new"),
+    ).repartition(parts)
+    toks = raw.select("id", "is_new", tokens("_text").alias("t"))
+    base = (
+        toks.select(
+            "id", "is_new", shingles_from_tokens(F.col("t"), n).alias("sh")
+        )
+        .withColumn("n_sh", F.array_size("sh"))
+        .localCheckpoint(eager=False)
+    )
+    sh_rows = base.select("id", "is_new", F.explode("sh").alias("s"))
+    hash_cols = [seeded_hash(F.col("s"), i).alias(f"h{i}") for i in range(k)]
+    sig = (
+        sh_rows.select("id", "is_new", *hash_cols)
+        .groupBy("id", "is_new")
+        .agg(F.array(*[F.min(f"h{i}") for i in range(k)]).alias("sig"))
+    )
+    banded = sig.select(
+        "id", "is_new", F.explode(minhash_bands(F.col("sig"), k, bands)).alias("band")
+    ).localCheckpoint(eager=False)
+    old_keys = banded.filter(~F.col("is_new")).select("id", "band")
+    new_keys = banded.filter(F.col("is_new")).select(
+        F.col("id").alias("new_id"), "band"
+    )
+    cand = (
+        old_keys.join(F.broadcast(new_keys), "band")
+        .select(F.col("id").alias("a"), F.col("new_id").alias("b"))
+        .distinct()
+    )
+    lhs = base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
+    rhs = base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
+    return (
+        cand.join(lhs, "a")
+        .join(rhs, "b")
+        .withColumn("inter", F.array_size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_incremental_pairs_sql(
+    id_col: str,
+    text_col: str,
+    new_pred: str,
+    table: str = "documents",
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+) -> str:
+    sh = shingles_sql(text_col, n)
+    h = portable_hash64_sql("(s || '#' || i::VARCHAR)")
+    sig_from_col = (
+        f"list_transform(range(0, {k}), i -> list_min(list_transform(sh, s -> {h})))"
+    )
+    bands_expr = minhash_bands_sql("sig", k, bands)
+    return f"""
+WITH sh_t AS MATERIALIZED (
+  SELECT {id_col} AS id, ({new_pred}) AS is_new, {sh} AS sh FROM {table}
+),
+base AS MATERIALIZED (
+  SELECT id, is_new, sh, {sig_from_col} AS sig FROM sh_t WHERE len(sh) >= 1
+),
+banded AS (SELECT id, is_new, unnest({bands_expr}) AS band FROM base),
+cand AS (
+  SELECT DISTINCT o.id AS a, nw.id AS b
+  FROM banded o JOIN banded nw USING (band)
+  WHERE NOT o.is_new AND nw.is_new
+)
+SELECT a, b,
+       round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE, 6)
+         AS jaccard
+FROM cand
+JOIN base x ON x.id = cand.a
+JOIN base y ON y.id = cand.b
+WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE, 6)
+      >= {threshold}
+"""
+
+
 # ----------------------------------------------- connected-component groups
 
 

@@ -439,6 +439,25 @@ def q_dedup_ngram(spark, sf_dir):
 
 
 @register(
+    "dedup_incremental",
+    D.minhash_incremental_pairs_sql(
+        "doc_id", "text", new_pred="doc_id >= 450", threshold=0.4
+    ),
+    ("dedup", "incremental"),
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Ingestion-time dedup: match a NEW document batch (here: doc_id >= 450)
+    against the EXISTING corpus index via LSH bands — old×old and new×new are
+    never compared, the new batch's band keys broadcast, and exact-Jaccard
+    verification touches only candidates. The shape a training-data pipeline
+    runs on every ingest against its persisted banded index."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_incremental_pairs(
+        docs, "doc_id", "text", new_pred="doc_id >= 450", threshold=0.4
+    )
+
+
+@register(
     "dedup_components",
     D.connected_components_sql(D.minhash_lsh_pairs_sql("doc_id", "text", threshold=0.4)),
     ("dedup", "iterative"),

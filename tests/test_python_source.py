@@ -173,11 +173,9 @@ def test_checkpoint_recovery_resumes_offset(spark, tmp_path):
     q2.stop()
     q2.awaitTermination(60)
     all_rows = sink_rows()
-    seen_b = all_rows[len(seen_a):] if len(all_rows) >= len(seen_a) else []
 
     assert set(all_rows) == set(many)                      # nothing lost
     dupes = len(all_rows) - len(set(all_rows))
     assert dupes <= 1, f"more than the in-flight batch replayed: {dupes}"
-    assert set(seen_a) | set(seen_b) == set(many)
-    # per-batch commit manifests exist for the restarted run
+    # per-batch commit manifests exist
     assert [n for n in os.listdir(out) if n.startswith("_COMMIT-")]
