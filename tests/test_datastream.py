@@ -241,3 +241,47 @@ def test_partitioned_parquet_write_prunes_on_read(spark, sf_dir, tmp_path):
     assert n_click == read_table(spark, sf_dir, "events").filter("event_type = 'click'").count()
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_type" in plan
+
+
+def test_read_table_trusts_micros_and_falls_back_for_nanos(spark, tmp_path):
+    """read_table must pass TIMESTAMP(MICROS) events through untouched (the
+    driver testdata layout) AND still handle genuine TIMESTAMP(NANOS) files
+    via the legacy nanos-as-long fallback with µs truncation."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mini_flink_spark.session import read_table
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    micros = [base + datetime.timedelta(microseconds=i * 1_000_003) for i in range(5)]
+
+    def write_events(path, unit):
+        ts = pa.array(micros, type=pa.timestamp(unit))
+        t = pa.table({
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1] * 5, pa.int64()),
+            "event_type": pa.array(["click"] * 5),
+            "value": pa.array([1.0] * 5),
+            "props": pa.array(["{}"] * 5),
+        })
+        pq.write_table(t, path)
+
+    us_dir = tmp_path / "us"
+    ns_dir = tmp_path / "ns"
+    us_dir.mkdir(); ns_dir.mkdir()
+    write_events(str(us_dir / "events.parquet"), "us")
+    write_events(str(ns_dir / "events.parquet"), "ns")
+
+    got_us = [r["ts"] for r in read_table(spark, str(us_dir), "events")
+              .orderBy("event_id").collect()]
+    got_ns = [r["ts"] for r in read_table(spark, str(ns_dir), "events")
+              .orderBy("event_id").collect()]
+    assert got_us == micros
+    assert got_ns == micros  # nanos truncate to the same µs instants
+    # both paths yield a proper TIMESTAMP column (downstream unix_micros works)
+    for d in (us_dir, ns_dir):
+        df = read_table(spark, str(d), "events")
+        assert df.selectExpr("unix_micros(ts)").count() == 5
