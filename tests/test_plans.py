@@ -229,3 +229,29 @@ def test_pii_redaction_pure_projection(spark, sf_dir):
     assert plan.count("Exchange") <= 1
     assert "EvalPython" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_funnel_single_user_shuffle_no_joins(spark, sf_dir):
+    # the in-array fold rendering: ONE user-key exchange + the stage-count
+    # agg exchange — no self-joins (the oracle's 3-join rendering would show
+    # join nodes and more exchanges)
+    plan = plan_of(spark, sf_dir, "funnel_view_click_purchase")
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_new_analytics_avoid_sort_merge_joins(spark, sf_dir):
+    # dim/stats sides must broadcast; a SortMergeJoin would shuffle the fact
+    for q in ("event_transition_matrix", "retention_cohorts",
+              "event_rate_anomaly", "mixture_weights", "text_search_bm25",
+              "dedup_incremental"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "SortMergeJoin" not in plan, q
+
+
+def test_incremental_dedup_broadcasts_new_batch(spark, sf_dir):
+    # the new batch's band keys broadcast against the corpus index — the
+    # candidate join must never shuffle the index side
+    plan = plan_of(spark, sf_dir, "dedup_incremental")
+    assert "BroadcastHashJoin" in plan
