@@ -62,3 +62,61 @@ def test_bucketed_agg_skips_exchange(spark, bucketed_tables):
     agg = spark.table(rt).groupBy("o_orderkey").agg(F.sum("l_quantity").alias("q"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+# ---------------------------------------------------------------- Z-order
+
+
+def _overlapping_files(path, pred_boxes):
+    """Count parquet files whose column min/max stats overlap every predicate
+    box — the set a stats-based scan planner cannot skip."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    hit = total = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            total += 1
+            g = md.row_group(rg)
+            stats = {
+                g.column(i).path_in_schema: g.column(i).statistics
+                for i in range(g.num_columns)
+            }
+            if all(
+                stats[c].min <= hi and stats[c].max >= lo
+                for c, (lo, hi) in pred_boxes.items()
+            ):
+                hit += 1
+    return hit, total
+
+
+def test_zorder_prunes_multidim_boxes(spark, sf_dir, tmp_path):
+    from mini_flink_spark.storage import write_zordered
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    z_path, flat_path = str(tmp_path / "z"), str(tmp_path / "flat")
+    write_zordered(ev, z_path, ["user_id", "value"], bits=12, num_files=16)
+    # baseline: same file count, no clustering (round-robin exchange)
+    ev.repartition(16).write.mode("overwrite").parquet(flat_path)
+
+    # sf0.001 events: user_id in [0,14], value in [0,~330] — box covers ~3%
+    box = {"user_id": (3, 5), "value": (10.0, 60.0)}
+    z_hit, z_total = _overlapping_files(z_path, box)
+    f_hit, f_total = _overlapping_files(flat_path, box)
+    # every unordered row group overlaps the box; the Z-layout skips most
+    assert f_hit == f_total
+    assert z_hit <= z_total // 2, (z_hit, z_total)
+
+
+def test_zorder_roundtrip_preserves_rows(spark, sf_dir, tmp_path):
+    from mini_flink_spark.storage import write_zordered
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "z2")
+    write_zordered(ev, path, ["user_id", "value"], bits=10, num_files=8)
+    pred = (F.col("user_id").between(3, 5)) & (F.col("value").between(10.0, 60.0))
+    got = sorted(r.event_id for r in spark.read.parquet(path).filter(pred).collect())
+    want = sorted(r.event_id for r in ev.filter(pred).collect())
+    assert got == want and len(got) > 0
