@@ -83,6 +83,28 @@ def rocksdb_state_conf() -> dict[str, str]:
     }
 
 
+def runtime_filter_conf(local_scale: bool = False) -> dict[str, str]:
+    """Runtime bloom-filter join pruning (Spark's answer to the semi-join
+    reduction a 100 TB fact⋈selective-dim join needs).
+
+    When a join's creation side is selective (post-filter dims), Catalyst
+    injects `bloom_filter_agg` over its keys and a `might_contain` pre-filter
+    on the fact side BEFORE the fact's shuffle — rows that cannot match never
+    enter the exchange. Enabled by default in Spark 4; the *thresholds* are
+    cluster-scale: creation side <= 10 MB, application side scan >= 10 GB. At
+    100 TB the defaults fire on exactly the right joins with zero config. For
+    local fixtures (and the plan test pinning this behavior) `local_scale=True`
+    drops the application-side floor so injection is observable at MBs.
+    """
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    }
+    if local_scale:
+        conf["spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"] = "0"
+        conf["spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"] = "100MB"
+    return conf
+
+
 def testdata_dir(sf: str = "0.001") -> str:
     return f"/root/testdata/sf{sf}"
 

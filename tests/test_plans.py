@@ -255,3 +255,49 @@ def test_incremental_dedup_broadcasts_new_batch(spark, sf_dir):
     # candidate join must never shuffle the index side
     plan = plan_of(spark, sf_dir, "dedup_incremental")
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_before_shuffle(spark, sf_dir):
+    # selective dim -> fact shuffle join: Catalyst injects bloom_filter_agg
+    # on the dim keys and a might_contain pre-filter on the fact side below
+    # its Exchange, so non-matching fact rows never shuffle. Default
+    # thresholds are cluster-scale (10 GB application-side scan); drop them
+    # to fixture scale to observe the injection here.
+    from pyspark.sql import functions as F
+
+    from mini_flink_spark.session import read_table, runtime_filter_conf
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for k, v in runtime_filter_conf(local_scale=True).items():
+            spark.conf.set(k, v)
+        o = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = read_table(spark, sf_dir, "lineitem")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        # the pre-filter must sit on the fact's scan side, i.e. the fact scan
+        # line appears after a might_contain Filter in the same subtree
+        fact_side = plan[plan.index("might_contain"):]
+        assert "lineitem" in fact_side.lower() or "l_orderkey" in fact_side
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
