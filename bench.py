@@ -52,6 +52,7 @@ HEADLINE = [
     "pii_redaction",
     "mixture_weights",
     "text_search_bm25",
+    "kmeans_clusters",
 ]
 
 

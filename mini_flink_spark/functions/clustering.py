@@ -1,0 +1,178 @@
+"""Distributed Lloyd's KMeans over an embedding column.
+
+Role in the engine: the real centroid builder for the IVF ANN index
+(`similarity.ivf_topk` ships a deterministic first-k stand-in for oracle
+parity; this is the documented swap-in), and a first-class clustering
+operator for corpus analysis (topic-ish grouping, stratified sampling by
+cluster, per-cluster quality cuts).
+
+Scale shape (100 TB):
+- **Assignment is narrow**: centroids ride into the plan as a broadcast
+  literal (k x d doubles — KBs); the distance argmin is one codegen'd
+  per-row expression. No shuffle, no UDF.
+- **Update is one partial-agg shuffle**: posexplode(v) -> groupBy(cid, pos)
+  avg. Map-side partial aggregation reduces every partition to <= k*d rows
+  before the exchange, so the shuffle is O(partitions * k * d), independent
+  of corpus size.
+- **Driver state is k*d doubles** per iteration — the only driver-side data.
+- Iterations are a bounded driver loop re-planned from the base scan each
+  round (no growing lineage).
+
+Determinism (for the DuckDB oracle twin): init = the k vectors with lowest
+id; distances rounded to 6 dp before the argmin (ties -> lowest cluster id
+via first-position semantics on both engines); empty clusters keep their
+previous centroid.
+
+Reference parity note: the reference engine (mini-flink) has no ML/iterative
+operators — this extends the engine for LLM-pipeline workloads (embedding
+clustering), per the build brief, reusing its keyed-aggregation machinery
+(StreamGroupedReduce.java:35-56 is the per-key combine the update step
+distributes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sq_dist(v: Column, c: Column) -> Column:
+    """Squared L2 distance between two double arrays — a single fold, codegen'd."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_lit(cents: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+
+
+def assign_clusters(
+    df: DataFrame, cents: list[list[float]], vec_col: str = "v", out: str = "cid"
+) -> DataFrame:
+    """Nearest-centroid id (0-based) per row. Distances rounded to 6 dp so the
+    argmin is reproducible across engines; ties break to the lowest cluster id
+    (array_position returns the first match)."""
+    dists = F.transform(
+        _centroid_lit(cents), lambda c: F.round(sq_dist(F.col(vec_col), c), 6)
+    )
+    return df.withColumn(out, F.array_position(dists, F.array_min(dists)) - 1)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "v",
+    id_col: str = "id",
+    k: int = 8,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Lloyd's iterations; returns the final centroids (k x d floats).
+
+    `df[vec_col]` must be array<double> (cast float embeddings first so both
+    engines fold identical inputs). One assignment + one k*d-bounded shuffle
+    per iteration; empty clusters keep their previous centroid.
+    """
+    cents = [r[0] for r in df.select(vec_col).orderBy(id_col).limit(k).collect()]
+    d = len(cents[0])
+    for _ in range(iters):
+        rows = (
+            assign_clusters(df, cents, vec_col)
+            .select("cid", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {int(r.cid): [0.0] * d for r in rows}
+        for r in rows:
+            new[int(r.cid)][int(r.pos)] = float(r.m)
+        cents = [new.get(i, cents[i]) for i in range(k)]
+    return cents
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Cluster profile after `iters` Lloyd's rounds: (cid, n, centroid_norm)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    cents = kmeans_fit(base, "v", "id", k, iters)
+    norms = {
+        i: round(sum(x * x for x in c) ** 0.5, 4) for i, c in enumerate(cents)
+    }
+    norm_map = F.map_from_arrays(
+        F.array(*[F.lit(i) for i in norms]),
+        F.array(*[F.lit(norms[i]) for i in norms]),
+    )
+    return (
+        assign_clusters(base, cents, "v")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("centroid_norm", norm_map[F.col("cid")])
+        .select(F.col("cid").cast("bigint").alias("cid"), "n", "centroid_norm")
+        .orderBy("cid")
+    )
+
+
+def kmeans_clusters_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    d: int = 64,
+) -> str:
+    """DuckDB twin: the same Lloyd's rounds unrolled as chained CTEs.
+
+    Mirrors every determinism choice (double cast, 6-dp distance rounding,
+    first-position tie-break, empty-cluster carry-forward via LEFT JOIN +
+    coalesce), so cluster sizes AND 4-dp centroid norms hash-match.
+    """
+    dist = (
+        f"round(list_sum(list_transform(range(1, {d}+1),"
+        " i -> (v[i]-c[i])*(v[i]-c[i]))), 6)"
+    )
+    ctes = [
+        f"emb AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table})",
+        f"c0 AS (SELECT list(v ORDER BY id) AS cents FROM"
+        f" (SELECT id, v FROM emb ORDER BY id LIMIT {k}))",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""a{t} AS (
+  SELECT id, v, list_position(dd, list_min(dd)) - 1 AS cid
+  FROM (SELECT id, v, list_transform(cents, c -> {dist}) AS dd
+        FROM emb, c{t - 1}))"""
+        )
+        ctes.append(
+            f"""c{t} AS (
+  SELECT list(coalesce(n.cent, p.cents[g.cid + 1]) ORDER BY g.cid) AS cents
+  FROM range(0, {k}) g(cid)
+  CROSS JOIN c{t - 1} p
+  LEFT JOIN (
+    SELECT cid, list(m ORDER BY i) AS cent FROM (
+      SELECT cid, i, avg(v[i]) AS m
+      FROM a{t} CROSS JOIN range(1, {d}+1) t(i)
+      GROUP BY cid, i) GROUP BY cid) n USING (cid))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.cid::BIGINT AS cid, count(*)::BIGINT AS n,
+       round(sqrt(list_sum(list_transform(cf.cents[a.cid + 1], x -> x*x))), 4)
+         AS centroid_norm
+FROM (SELECT id, v, list_position(dd, list_min(dd)) - 1 AS cid
+      FROM (SELECT id, v, list_transform(cents, c -> {dist}) AS dd
+            FROM emb, c{iters})) a
+CROSS JOIN c{iters} cf
+GROUP BY a.cid, cf.cents
+ORDER BY cid"""
+    )

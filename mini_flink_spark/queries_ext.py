@@ -9,6 +9,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from mini_flink_spark.functions import clustering as C
 from mini_flink_spark.functions import dedup as D
 from mini_flink_spark.functions import similarity as S
 from mini_flink_spark.functions import text as T
@@ -610,6 +611,20 @@ def q_ann_ivf(spark, sf_dir):
     the warehouse-native ANN layout (see similarity.py IVF section)."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, k=5, query_pred="vec_id < 10")
+
+
+@register(
+    "kmeans_clusters",
+    C.kmeans_clusters_sql(k=8, iters=3, d=64),
+    ("clustering", "similarity"),
+)
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd's KMeans (3 rounds, k=8) over the embedding corpus:
+    broadcast-literal centroid assignment (no shuffle) + a k*d-bounded
+    partial-agg update per round; the production centroid builder for the IVF
+    index (clustering.py docstring has the 100 TB shape)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return C.kmeans_clusters(emb, "embedding", "vec_id", k=8, iters=3)
 
 
 # =========================================================================

@@ -248,3 +248,46 @@ def test_simhash_expr_matches_batch_simhash(spark, sf_dir):
         for r in docs.select("doc_id", D.simhash_expr("text").alias("sh")).collect()
     }
     assert batch == inline
+
+
+# ---------------------------------------------------------------- KMeans
+
+
+def test_kmeans_partitions_all_points(spark, sf_dir):
+    from mini_flink_spark.functions.clustering import kmeans_clusters
+    from mini_flink_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    total = emb.count()
+    rows = kmeans_clusters(emb, "embedding", "vec_id", k=4, iters=2).collect()
+    assert sum(r.n for r in rows) == total
+    assert all(0 <= r.cid < 4 for r in rows)
+
+
+def test_kmeans_wcss_non_increasing(spark, sf_dir):
+    # Lloyd's invariant: within-cluster sum of squares never increases
+    from pyspark.sql import functions as F
+
+    from mini_flink_spark.functions.clustering import (
+        assign_clusters,
+        kmeans_fit,
+        sq_dist,
+    )
+    from mini_flink_spark.session import read_table
+
+    base = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    def wcss(cents):
+        a = assign_clusters(base, cents, "v")
+        lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+        return a.select(
+            F.sum(sq_dist(F.col("v"), F.element_at(lit, (F.col("cid") + 1).cast("int")))).alias("s")
+        ).collect()[0].s
+
+    scores = [
+        wcss(kmeans_fit(base, "v", "id", k=4, iters=i)) for i in (0, 1, 3)
+    ]
+    assert scores[0] >= scores[1] >= scores[2]
