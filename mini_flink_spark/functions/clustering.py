@@ -121,6 +121,17 @@ def kmeans_clusters(
     )
 
 
+def kmeans_centroids_df(
+    spark, cents: list[list[float]]
+):
+    """Centroids as the (cell, cv) frame `similarity.ivf_topk` consumes —
+    the trained replacement for its deterministic first-k stand-in."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, cv array<double>",
+    )
+
+
 def kmeans_clusters_sql(
     table: str = "embeddings",
     vec_col: str = "embedding",

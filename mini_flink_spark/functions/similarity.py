@@ -434,9 +434,14 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_cells: int = IVF_CELLS,
     nprobe: int = IVF_NPROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the nprobe
     nearest cells of each query.
+
+    `centroids` (cell:int, cv:array) overrides the deterministic first-k
+    stand-in — pass `clustering.kmeans_fit` output (via `kmeans_centroids_df`)
+    for a trained Voronoi layout with balanced cells and better recall.
 
     Plan: broadcast the (tiny) centroid set → assign every corpus vector to
     its nearest cell (one broadcast-join pass, no shuffle of the corpus) →
@@ -450,10 +455,11 @@ def ivf_topk(
     base = corpus.repartition(parts).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
-    centroids = (
-        corpus.filter(F.col(id_col) < n_cells)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
-    )
+    if centroids is None:
+        centroids = (
+            corpus.filter(F.col(id_col) < n_cells)
+            .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+        )
     assigned = _assign_cells(base, centroids, 1, "id").select("id", "v", "cell")
     probes = _assign_cells(
         base.filter(query_pred).select(F.col("id").alias("query_id"), F.col("v").alias("qv")),

@@ -291,3 +291,31 @@ def test_kmeans_wcss_non_increasing(spark, sf_dir):
         wcss(kmeans_fit(base, "v", "id", k=4, iters=i)) for i in (0, 1, 3)
     ]
     assert scores[0] >= scores[1] >= scores[2]
+
+
+def test_ivf_with_kmeans_centroids_recall(spark, sf_dir):
+    # the trained-centroid path through ivf_topk: recall@5 must stay high and
+    # every Voronoi cell must be populated (balanced probe cost is the point)
+    from pyspark.sql import functions as F
+
+    from mini_flink_spark.functions import similarity as S
+    from mini_flink_spark.functions.clustering import (
+        kmeans_centroids_df,
+        kmeans_fit,
+    )
+    from mini_flink_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = kmeans_fit(base, "v", "id", k=S.IVF_CELLS, iters=3)
+    trained = S.ivf_topk(
+        emb, k=5, query_pred="vec_id < 10",
+        centroids=kmeans_centroids_df(spark, cents),
+    )
+    gt = S.brute_force_topk(emb, emb.filter("vec_id < 10"), k=5)
+    g = {(r[0], r[1]) for r in gt.select("query_id", "neighbor_id").collect()}
+    a = {(r[0], r[1]) for r in trained.select("query_id", "neighbor_id").collect()}
+    assert len(g & a) / len(g) >= 0.8
