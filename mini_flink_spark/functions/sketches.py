@@ -1,0 +1,94 @@
+"""Bounded-state heavy hitters: per-partition Misra-Gries + exact re-count.
+
+The scale problem: "which tokens appear more than N/k times in a 100 TB
+corpus" via a plain groupBy shuffles EVERY distinct token (billions of keys)
+to count items of which at most k matter. The classic two-phase answer keeps
+state bounded:
+
+1. **Candidate phase** — each partition runs a Misra-Gries summary with k
+   counters over its local stream (Arrow-batched `mapInPandas`, O(k) memory
+   per task, no shuffle). Pigeonhole guarantee: any item with global count
+   > N/k exceeds n_p/k in at least one partition, so the union of
+   per-partition candidates is a superset of the true heavy hitters
+   (<= k * partitions small strings total).
+2. **Exact phase** — broadcast the candidate set back over the corpus and
+   count ONLY candidates (map-side partial agg on <= k*P keys). Exact counts
+   kill Misra-Gries' false positives, so the result is exact — and therefore
+   oracle-checkable — while the full-cardinality shuffle never happens.
+
+Complements the estimate-only sketches already in the engine
+(`approx_count_distinct` HLL++, `percentile_approx` GK): those trade accuracy
+for one pass; this trades a second (cheap, filtered) pass for exactness.
+
+Reference parity note: the reference has no sketch operators; this extends
+its keyed-aggregation surface (StreamGroupedReduce.java:35-56) with the
+bounded-memory formulation a 100 TB key-space requires.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: <= k candidate values per task.
+
+    Streaming one-pass with k counters: increment if present, insert if room,
+    else decrement all (implemented batched: subtract the k+1-th largest
+    weight, drop non-positives — equivalent summary, vectorized per Arrow
+    batch instead of per row).
+    """
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: Counter = Counter()
+        for b in batches:
+            counters.update(Counter(b[col].dropna()))
+            if len(counters) > k:
+                # batched decrement: keep the top-k by residual weight,
+                # subtracting the (k+1)-th weight from all survivors
+                top = counters.most_common(k + 1)
+                cut = top[k][1]
+                counters = Counter(
+                    {v: c - cut for v, c in top[:k] if c - cut > 0}
+                )
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return df.select(col).mapInPandas(summarize, f"{col} string")
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Exact values of `col` with count > N/k, computed with O(k * partitions)
+    intermediate state instead of a full-cardinality shuffle.
+
+    Returns (value, cnt) — exact, so a plain GROUP BY / HAVING oracle matches.
+    """
+    candidates = misra_gries_candidates(df, col, k).distinct()
+    counted = (
+        df.join(F.broadcast(candidates), col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    total = df.select(F.count(F.lit(1)).alias("n"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("n"))
+        .select(col, "cnt")
+    )
+
+
+def heavy_hitters_sql(
+    inner_sql: str, col: str, k: int
+) -> str:
+    """Exact oracle: GROUP BY + HAVING against the same item stream."""
+    return f"""
+WITH items AS ({inner_sql})
+SELECT {col}, count(*)::BIGINT AS cnt
+FROM items
+GROUP BY {col}
+HAVING count(*) * {k} > (SELECT count(*) FROM items)
+"""

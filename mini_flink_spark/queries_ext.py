@@ -614,6 +614,38 @@ def q_ann_ivf(spark, sf_dir):
 
 
 @register(
+    "heavy_hitter_tokens",
+    None,  # set just below (needs the sketches import; same SQL builder style)
+    ("sketch", "text"),
+)
+def q_heavy_hitter_tokens(spark, sf_dir):
+    """Exact heavy hitters (> N/80 of all token occurrences) with bounded
+    state: per-partition Misra-Gries candidates then a broadcast re-count —
+    never a full-cardinality shuffle (functions/sketches.py has the 100 TB
+    argument)."""
+    from mini_flink_spark.functions import sketches as K
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(T.tokens("text")).alias("tok"))
+    return K.heavy_hitters(toks, "tok", 80)
+
+
+def _hh_oracle():
+    from mini_flink_spark.functions import sketches as K
+    from mini_flink_spark.queries import QUERIES
+
+    inner = (
+        "SELECT unnest("
+        + T.tokens_sql("text")
+        + ") AS tok FROM documents"
+    )
+    QUERIES["heavy_hitter_tokens"].oracle = K.heavy_hitters_sql(inner, "tok", 80)
+
+
+_hh_oracle()
+
+
+@register(
     "kmeans_clusters",
     C.kmeans_clusters_sql(k=8, iters=3, d=64),
     ("clustering", "similarity"),

@@ -319,3 +319,24 @@ def test_ivf_with_kmeans_centroids_recall(spark, sf_dir):
     g = {(r[0], r[1]) for r in gt.select("query_id", "neighbor_id").collect()}
     a = {(r[0], r[1]) for r in trained.select("query_id", "neighbor_id").collect()}
     assert len(g & a) / len(g) >= 0.8
+
+
+# ------------------------------------------------------- Heavy hitters (MG)
+
+
+def test_misra_gries_candidates_superset_of_true_heavy_hitters(spark):
+    # pigeonhole guarantee: every value with global count > N/k survives at
+    # least one partition's k-counter summary — even on adversarial skew
+    from mini_flink_spark.functions.sketches import heavy_hitters, misra_gries_candidates
+
+    # 3 hot values in a sea of uniques, scattered across 8 partitions
+    rows = [(f"hot{i % 3}",) for i in range(3000)] + [
+        (f"cold{i}",) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "tok string").repartition(8)
+    k = 10  # threshold N/k = 800; each hot value has 1000
+    cand = {r.tok for r in misra_gries_candidates(df, "tok", k).collect()}
+    assert {"hot0", "hot1", "hot2"} <= cand
+
+    hh = {(r.tok, r.cnt) for r in heavy_hitters(df, "tok", k).collect()}
+    assert hh == {("hot0", 1000), ("hot1", 1000), ("hot2", 1000)}
