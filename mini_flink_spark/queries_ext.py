@@ -614,6 +614,42 @@ def q_ann_ivf(spark, sf_dir):
 
 
 @register(
+    "quality_filter_by_source",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, round({T.quality_score_sql('text')}, 6) AS q
+      FROM documents),
+    med AS (
+      SELECT source, round(quantile_cont(q, 0.5), 6) AS med_q
+      FROM scored GROUP BY source)
+    SELECT s.doc_id, s.source, s.q
+    FROM scored s JOIN med m USING (source)
+    WHERE s.q > m.med_q
+    """,
+    ("text", "pipeline"),
+)
+def q_quality_filter_by_source(spark, sf_dir):
+    """Per-domain curation cut: keep documents scoring above their source's
+    median quality. Sources are low-cardinality, so the per-source median is
+    a tiny agg broadcast back over the corpus — no corpus shuffle. At 100 TB
+    swap the exact percentile for percentile_approx (mergeable GK sketch);
+    the join stays broadcast either way. Scores round to 6 dp on both engines
+    so the threshold compare is reproducible."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", "source", F.round(T.quality_score("text"), 6).alias("q")
+    )
+    med = scored.groupBy("source").agg(
+        F.round(F.percentile("q", 0.5), 6).alias("med_q")
+    )
+    return (
+        scored.join(F.broadcast(med), "source")
+        .filter(F.col("q") > F.col("med_q"))
+        .select("doc_id", "source", "q")
+    )
+
+
+@register(
     "heavy_hitter_tokens",
     None,  # set just below (needs the sketches import; same SQL builder style)
     ("sketch", "text"),
