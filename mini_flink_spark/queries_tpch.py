@@ -1,4 +1,4 @@
-"""Adapted TPC-H query-shape battery (Q4,Q6,Q7,Q8,Q9,Q11,Q12,Q13,Q14,Q15,
+"""Adapted TPC-H query-shape battery (Q4,Q5,Q6,Q7,Q8,Q9,Q11,Q12,Q13,Q14,Q15,
 Q16,Q18,Q19,Q21,Q22) over the driver's pruned TPC-H-ish tables.
 
 The reference engine (confucianzuoyuan/mini-flink) has no joins, subqueries,
@@ -605,4 +605,56 @@ def q_small_quantity_revenue(spark, sf_dir):
                 / F.lit(7.0)
             ).alias("avg_yearly")
         )
+    )
+
+
+@register(
+    "local_supplier_volume",
+    f"""
+    SELECT n_name, {dsum_sql('l_extendedprice*(1-l_discount)')} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+    ("tpch", "join"),
+)
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue by nation where the customer and supplier share
+    the nation, one region, one order year. The co-nation equality rides the
+    customer⋈supplier meet as a join condition (never a post-filtered cross);
+    nation⋈region collapse to a broadcast <25-row dim; orders is
+    date-pre-filtered before touching lineitem, so the one big shuffle is the
+    pruned lineitem⋈orders key exchange."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(nr, s.s_nationkey == nr.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_vol()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"))
     )
