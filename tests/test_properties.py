@@ -145,3 +145,53 @@ def test_repetition_fold_equals_counter(spark, toks):
     exp_top = max(Counter(bigrams).values()) if bigrams else 0
     assert row.n == len(bigrams)
     assert row.top == exp_top
+
+
+def _z_py(vals, bits):
+    # reference bit-interleave in plain Python
+    out = 0
+    n = len(vals)
+    for j in range(bits):
+        for i, v in enumerate(vals):
+            out |= ((v >> j) & 1) << (j * n + i)
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4095), st.integers(0, 4095)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_key_matches_python_interleave(spark, pairs):
+    from mini_flink_spark.storage import zorder_key
+
+    df = spark.createDataFrame(pairs, "a bigint, b bigint")
+    got = [
+        r.z
+        for r in df.select(
+            zorder_key([F.col("a"), F.col("b")], bits=12).alias("z")
+        ).collect()
+    ]
+    want = [_z_py([a, b], 12) for a, b in pairs]
+    assert sorted(got) == sorted(want)
+
+
+@given(st.integers(0, 4095), st.lists(st.integers(0, 4095), min_size=2, max_size=20))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_key_monotone_when_other_dim_fixed(spark, fixed_b, avals):
+    # with one coordinate held constant, the Morton key orders by the other —
+    # the locality property row-group pruning relies on
+    from mini_flink_spark.storage import zorder_key
+
+    df = spark.createDataFrame(
+        [(a, fixed_b) for a in avals], "a bigint, b bigint"
+    )
+    rows = df.select(
+        "a", zorder_key([F.col("a"), F.col("b")], bits=12).alias("z")
+    ).collect()
+    by_a = sorted((r.a, r.z) for r in rows)
+    zs = [z for _, z in by_a]
+    assert zs == sorted(zs)
