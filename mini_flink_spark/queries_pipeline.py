@@ -419,3 +419,55 @@ def q_data_quality_report(spark, sf_dir):
     return wide.selectExpr(
         f"stack({len(checks)}, {stack_args}) as (check_name, value)"
     )
+
+
+@register(
+    "incremental_revenue_agg",
+    """
+    SELECT o_orderpriority,
+           (sum(o_totalprice::DECIMAL(28,10)))::DOUBLE AS revenue,
+           count(*)::BIGINT AS n_orders,
+           round((sum(o_totalprice::DECIMAL(28,10)))::DOUBLE / count(*), 4)
+             AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    ("incremental", "agg"),
+)
+def q_incremental_revenue_agg(spark, sf_dir):
+    """Incremental maintenance of a materialized aggregate: algebraic
+    partial-state merge instead of full recompute.
+
+    The materialized state is the (sum, count) pair per group over history
+    (orders before 2000-01-01); a new batch folds to the same partial shape
+    and the merge is a union + re-agg over O(groups + delta-groups) rows —
+    the history is NEVER rescanned on refresh. sum/count are commutative
+    monoids, so the merged state is exactly the full-recompute answer (the
+    oracle), and avg rebuilds from the merged pair. At 100 TB this is the
+    difference between an O(delta) nightly refresh and an O(history) one.
+    The reference recomputes every keyed reduce from scratch per run
+    (StreamGroupedReduce.java:35-56 holds only per-key running state in
+    memory); persisting the partial shape is the batch rendering of that
+    same running state.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice", "o_orderdate")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    state = partial(o.filter(F.col("o_orderdate") < "2000-01-01"))
+    delta = partial(o.filter(F.col("o_orderdate") >= "2000-01-01"))
+    return (
+        state.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("s").alias("s"), F.sum("n").cast("bigint").alias("n_orders"))
+        .select(
+            "o_orderpriority",
+            F.col("s").cast("double").alias("revenue"),
+            "n_orders",
+            F.round(F.col("s").cast("double") / F.col("n_orders"), 4).alias("avg_price"),
+        )
+    )
