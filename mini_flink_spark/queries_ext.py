@@ -289,11 +289,22 @@ def q_text_search_bm25(spark, sf_dir):
     embarrassingly parallel. Scores sum per-term contributions in literal
     term order on both engines (double addition is not associative)."""
     docs = _spread(_t(spark, sf_dir, "documents"))
-    # Materialize the token array in its own projection (the 4 consumers —
-    # array_size + 3 term filters — would otherwise each inline the regex
-    # tokenizer), then checkpoint the narrow per-doc stats row: the stats agg
-    # and the scoring join are two consumers, and recomputing tokenization per
-    # branch doubled the scan work (measured 24s -> ~7s at 100k docs).
+    return (
+        _bm25_scores(docs)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _bm25_scores(docs):
+    """Per-doc BM25 score frame (doc_id, score) for the fixed term set —
+    shared by the standalone top-k query and the hybrid RRF fusion.
+
+    Materialize the token array in its own projection (the 4 consumers —
+    array_size + 3 term filters — would otherwise each inline the regex
+    tokenizer), then checkpoint the narrow per-doc stats row: the stats agg
+    and the scoring join are two consumers, and recomputing tokenization per
+    branch doubled the scan work (measured 24s -> ~7s at 100k docs)."""
     toks = docs.select("doc_id", T.tokens("text").alias("t"))
     base = toks.select(
         "doc_id",
@@ -339,11 +350,126 @@ def q_text_search_bm25(spark, sf_dir):
         )
         score = term_score if score is None else score + term_score
     based = base.withColumn("dl", F.col("dli").cast("double"))
-    return (
-        based.join(F.broadcast(stats))
-        .select("doc_id", F.round(score, 6).alias("score"))
+    return based.join(F.broadcast(stats)).select(
+        "doc_id", F.round(score, 6).alias("score")
+    )
+
+
+_RRF_C = 60  # standard reciprocal-rank-fusion constant
+
+
+def _bm25_core_sql() -> str:
+    """The oracle's BM25 per-doc score relation (doc_id, score) — the same
+    CTE chain as the `text_search_bm25` oracle without the final top-k."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {T.tokens_sql('text')} AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(t)::BIGINT AS dli,
+             {', '.join(f"len(list_filter(t, x -> x = '{term}'))::DOUBLE AS tf_{i}"
+                        for i, term in enumerate(_BM25_TERMS))}
+      FROM toks
+    ),
+    stats AS (
+      SELECT (sum(dli)::BIGINT)::DOUBLE / count(*)::DOUBLE AS avgdl,
+             count(*)::DOUBLE AS n,
+             {', '.join(f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_{i}"
+                        for i in range(len(_BM25_TERMS)))}
+      FROM base
+    ),
+    based AS (SELECT *, dli::DOUBLE AS dl FROM base)
+    SELECT doc_id, round({' + '.join(
+        f"(ln((n - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0) * tf_{i} * ({_BM25_K1} + 1.0)"
+        f" / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)))"
+        for i in range(len(_BM25_TERMS)))}, 6) AS score
+    FROM based, stats
+    """
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH bm AS ({_bm25_core_sql()}),
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+      FROM bm QUALIFY r_lex <= 20
+    ),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY cos DESC, doc_id) AS r_sem
+      FROM (
+        SELECT e.vec_id, round({S.cosine_sql('e.embedding', 'q.embedding')}, 6) AS cos
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id != 0
+      ) QUALIFY r_sem <= 20
+    )
+    SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+           round(coalesce(1.0 / ({_RRF_C} + l.r_lex), 0)
+               + coalesce(1.0 / ({_RRF_C} + s.r_sem), 0), 6) AS rrf,
+           l.r_lex::BIGINT AS r_lex, s.r_sem::BIGINT AS r_sem
+    FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    ("text", "search", "similarity"),
+)
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-20 and embedding-cosine semantic
+    top-20 fused by reciprocal-rank (RRF, c=60) — the standard two-tower
+    search stack in one plan.
+
+    Scale shape: each branch is independently scale-safe (BM25 = broadcast
+    corpus stats + TakeOrderedAndProject; cosine = broadcast 1-row query
+    vector over the embedding scan, or the LSH/IVF index at corpus scale);
+    the fusion then joins two <= k-row frames — driver-scale, not
+    corpus-scale. Ranks are computed AFTER each branch's top-k, so the
+    row_number window runs over k rows, never a global sort of the corpus."""
+    from pyspark.sql import Window
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    lex20 = (
+        _bm25_scores(docs)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
+        .withColumn(
+            "r_lex",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .cast("bigint"),
+        )
+        .select("doc_id", "r_lex")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sem20 = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos", F.round(S.cosine(F.col("embedding"), F.col("qv")), 6))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(20)
+        .withColumn(
+            "r_sem",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+            .cast("bigint"),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "r_sem")
+    )
+    rrf = (
+        F.coalesce(1.0 / (F.lit(_RRF_C) + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(_RRF_C) + F.col("r_sem")), F.lit(0.0))
+    )
+    return (
+        lex20.join(sem20, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.round(rrf, 6).alias("rrf"),
+            "r_lex",
+            "r_sem",
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
