@@ -387,10 +387,8 @@ def _bm25_core_sql() -> str:
     """
 
 
-@register(
-    "hybrid_search_rrf",
-    f"""
-    WITH bm AS ({_bm25_core_sql()}),
+_HYBRID_RRF_SQL = f"""
+    WITH bm AS ({{bm_core}}),
     lex AS (
       SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
       FROM bm QUALIFY r_lex <= 20
@@ -411,7 +409,16 @@ def _bm25_core_sql() -> str:
            l.r_lex::BIGINT AS r_lex, s.r_sem::BIGINT AS r_sem
     FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
     ORDER BY rrf DESC, doc_id LIMIT 10
-    """,
+    """
+
+
+def _hybrid_rrf_sql() -> str:
+    return _HYBRID_RRF_SQL.format(bm_core=_bm25_core_sql())
+
+
+@register(
+    "hybrid_search_rrf",
+    _hybrid_rrf_sql(),
     ("text", "search", "similarity"),
 )
 def q_hybrid_search_rrf(spark, sf_dir):
@@ -470,6 +477,70 @@ def q_hybrid_search_rrf(spark, sf_dir):
         )
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(10)
+    )
+
+
+_RERANK_QUERY = "spark window join"  # the BM25 term set as the user query
+
+
+@register(
+    "rerank_cross_encoder",
+    f"""
+    WITH hy AS ({{hybrid}}),
+    cand AS (
+      SELECT hy.doc_id, hy.rrf, d.text
+      FROM hy JOIN documents d ON d.doc_id = hy.doc_id
+    )
+    SELECT doc_id, rrf,
+           round((('0x' || substr(md5('{_RERANK_QUERY}' || chr(31) || text), 1, 14))::BIGINT
+                  % 1000001) / 1000000.0, 6) AS ce_score
+    FROM cand
+    ORDER BY ce_score DESC, doc_id
+    """.format(hybrid=_hybrid_rrf_sql()),
+    ("text", "search", "inference"),
+)
+def q_rerank_cross_encoder(spark, sf_dir):
+    """Cross-encoder re-rank of the hybrid top-k — the inference stage of a
+    retrieval stack, with the model swapped for a deterministic md5 stand-in
+    (same honest-stub pattern as multimodal decode: the Arrow batch plumbing,
+    candidate join, and re-sort are real and oracle-verified; a real model
+    replaces ONE function body).
+
+    Scale shape: candidates are k rows — broadcast them against the documents
+    scan to fetch text (the corpus is never shuffled for a k-row lookup);
+    inference runs as Arrow-batched mapInPandas over k rows per query (the
+    expensive-model stage touches only the re-rank window, never the corpus);
+    final sort is k rows."""
+    import hashlib
+
+    from mini_flink_spark.queries import QUERIES
+
+    cand = QUERIES["hybrid_search_rrf"].fn(spark, sf_dir).select("doc_id", "rrf")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    with_text = docs.join(F.broadcast(cand), "doc_id")
+
+    def ce_score(batches):
+        for pdf in batches:
+            scores = [
+                (
+                    int(
+                        hashlib.md5(
+                            f"{_RERANK_QUERY}\x1f{t}".encode()
+                        ).hexdigest()[:14],
+                        16,
+                    )
+                    % 1000001
+                )
+                / 1000000.0
+                for t in pdf["text"]
+            ]
+            yield pdf.assign(ce_score=[round(s, 6) for s in scores]).drop(
+                columns=["text"]
+            )
+
+    return (
+        with_text.mapInPandas(ce_score, "doc_id bigint, rrf double, ce_score double")
+        .orderBy(F.desc("ce_score"), F.asc("doc_id"))
     )
 
 
