@@ -301,3 +301,46 @@ def test_runtime_bloom_filter_prunes_fact_before_shuffle(spark, sf_dir):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_round2_retrieval_plans(spark, sf_dir):
+    # hybrid: each branch's top-k is TakeOrderedAndProject (never a global
+    # corpus sort); fusion joins two k-row frames
+    plan = plan_of(spark, sf_dir, "hybrid_search_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 3
+    # the one merge join is the FULL OUTER fusion of the two 20-row top-k
+    # frames (broadcast cannot preserve both sides) — it sorts k rows, and
+    # must be the ONLY merge join in the plan
+    assert plan.count("SortMergeJoin") == 1 and "FullOuter" in plan
+    # rerank: candidate fetch broadcasts the k-row side; inference is the
+    # Arrow-batched python slot, after the join
+    plan = plan_of(spark, sf_dir, "rerank_cross_encoder")
+    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    # only merge join is the inherited hybrid fusion (k-row FULL OUTER)
+    assert plan.count("SortMergeJoin") == 1 and "FullOuter" in plan
+
+
+def test_round2_agg_plans(spark, sf_dir):
+    # heavy hitters: exact re-count joins the broadcast candidate set
+    plan = plan_of(spark, sf_dir, "heavy_hitter_tokens")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # per-source quality cut: median broadcast back, no corpus shuffle join
+    plan = plan_of(spark, sf_dir, "quality_filter_by_source")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # incremental agg merge: pure aggregation, no join anywhere
+    plan = plan_of(spark, sf_dir, "incremental_revenue_agg")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+    # kmeans final profile: broadcast-literal assignment -> keyed agg, no join
+    plan = plan_of(spark, sf_dir, "kmeans_clusters")
+    assert "Join" not in plan
+
+
+def test_q5_broadcasts_dims_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
