@@ -72,16 +72,26 @@ def kmeans_fit(
 
     `df[vec_col]` must be array<double> (cast float embeddings first so both
     engines fold identical inputs). One assignment + one k*d-bounded shuffle
-    per iteration; empty clusters keep their previous centroid.
+    per iteration; empty clusters keep their previous centroid. Centroid
+    means round to 12 dp: double summation order differs across partitionings
+    and engines at the ~1e-14 level, and rounding well above that noise (but
+    far below any real distance gap) is what keeps the oracle twin
+    bit-reproducible — same convention as the registry's DECIMAL money sums.
+
+    If df has fewer than k rows, the effective k degrades to the row count
+    (an empty df raises).
     """
     cents = [r[0] for r in df.select(vec_col).orderBy(id_col).limit(k).collect()]
+    if not cents:
+        raise ValueError("kmeans_fit: input DataFrame is empty")
+    k = min(k, len(cents))
     d = len(cents[0])
     for _ in range(iters):
         rows = (
             assign_clusters(df, cents, vec_col)
             .select("cid", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.round(F.avg("x"), 12).alias("m"))
             .collect()
         )
         new = {int(r.cid): [0.0] * d for r in rows}
@@ -104,12 +114,16 @@ def kmeans_clusters(
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
     )
     cents = kmeans_fit(base, "v", "id", k, iters)
-    norms = {
-        i: round(sum(x * x for x in c) ** 0.5, 4) for i, c in enumerate(cents)
-    }
+    # round via the engine (HALF_UP, matching DuckDB's round), not Python's
+    # banker's round — boundary halves would otherwise diverge
     norm_map = F.map_from_arrays(
-        F.array(*[F.lit(i) for i in norms]),
-        F.array(*[F.lit(norms[i]) for i in norms]),
+        F.array(*[F.lit(i) for i in range(len(cents))]),
+        F.array(
+            *[
+                F.round(F.lit(sum(x * x for x in c) ** 0.5), 4)
+                for c in cents
+            ]
+        ),
     )
     return (
         assign_clusters(base, cents, "v")
@@ -143,8 +157,9 @@ def kmeans_clusters_sql(
     """DuckDB twin: the same Lloyd's rounds unrolled as chained CTEs.
 
     Mirrors every determinism choice (double cast, 6-dp distance rounding,
-    first-position tie-break, empty-cluster carry-forward via LEFT JOIN +
-    coalesce), so cluster sizes AND 4-dp centroid norms hash-match.
+    12-dp centroid-mean rounding, first-position tie-break, empty-cluster
+    carry-forward via LEFT JOIN + coalesce), so cluster sizes AND 4-dp
+    centroid norms hash-match.
     """
     dist = (
         f"round(list_sum(list_transform(range(1, {d}+1),"
@@ -169,7 +184,7 @@ def kmeans_clusters_sql(
   CROSS JOIN c{t - 1} p
   LEFT JOIN (
     SELECT cid, list(m ORDER BY i) AS cent FROM (
-      SELECT cid, i, avg(v[i]) AS m
+      SELECT cid, i, round(avg(v[i]), 12) AS m
       FROM a{t} CROSS JOIN range(1, {d}+1) t(i)
       GROUP BY cid, i) GROUP BY cid) n USING (cid))"""
         )

@@ -42,12 +42,19 @@ def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     else decrement all (implemented batched: subtract the k+1-th largest
     weight, drop non-positives — equivalent summary, vectorized per Arrow
     batch instead of per row).
+
+    Besides the candidate values, each task emits one `part_n` row carrying
+    its item count (the `col` field NULL), so the caller gets N from the
+    same pass instead of re-scanning the stream to count it.
     """
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: Counter = Counter()
+        n_items = 0
         for b in batches:
-            counters.update(Counter(b[col].dropna()))
+            vals = b[col].dropna()
+            n_items += len(vals)
+            counters.update(Counter(vals))
             if len(counters) > k:
                 # batched decrement: keep the top-k by residual weight,
                 # subtracting the (k+1)-th weight from all survivors
@@ -56,9 +63,14 @@ def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
                 counters = Counter(
                     {v: c - cut for v, c in top[:k] if c - cut > 0}
                 )
-        yield pd.DataFrame({col: list(counters.keys())})
+        yield pd.DataFrame(
+            {
+                col: list(counters.keys()) + [None],
+                "part_n": [None] * len(counters) + [n_items],
+            }
+        )
 
-    return df.select(col).mapInPandas(summarize, f"{col} string")
+    return df.select(col).mapInPandas(summarize, f"{col} string, part_n bigint")
 
 
 def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
@@ -66,14 +78,21 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     intermediate state instead of a full-cardinality shuffle.
 
     Returns (value, cnt) — exact, so a plain GROUP BY / HAVING oracle matches.
+
+    Two scans of the item stream total — the algorithm's minimum: the
+    candidate pass also carries per-partition item counts, so N needs no
+    third scan. No checkpoint on purpose: materializing the full item stream
+    (e.g. every token of a 100 TB corpus) to executor disk would cost more
+    than re-running the cheap projection that produces it.
     """
-    candidates = misra_gries_candidates(df, col, k).distinct()
+    summary = misra_gries_candidates(df, col, k).localCheckpoint(eager=False)
+    candidates = summary.filter(F.col(col).isNotNull()).select(col).distinct()
+    total = summary.agg(F.sum("part_n").alias("n"))
     counted = (
         df.join(F.broadcast(candidates), col)
         .groupBy(col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    total = df.select(F.count(F.lit(1)).alias("n"))
     return (
         counted.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * k > F.col("n"))

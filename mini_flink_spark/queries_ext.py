@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from mini_flink_spark.functions import clustering as C
 from mini_flink_spark.functions import dedup as D
+from mini_flink_spark.functions import sketches as K
 from mini_flink_spark.functions import similarity as S
 from mini_flink_spark.functions import text as T
 from mini_flink_spark.queries import _t, register
@@ -848,7 +849,11 @@ def q_quality_filter_by_source(spark, sf_dir):
 
 @register(
     "heavy_hitter_tokens",
-    None,  # set just below (needs the sketches import; same SQL builder style)
+    K.heavy_hitters_sql(
+        f"SELECT unnest({T.tokens_sql('text')}) AS tok FROM documents",
+        "tok",
+        80,
+    ),
     ("sketch", "text"),
 )
 def q_heavy_hitter_tokens(spark, sf_dir):
@@ -856,26 +861,9 @@ def q_heavy_hitter_tokens(spark, sf_dir):
     state: per-partition Misra-Gries candidates then a broadcast re-count —
     never a full-cardinality shuffle (functions/sketches.py has the 100 TB
     argument)."""
-    from mini_flink_spark.functions import sketches as K
-
     docs = _spread(_t(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(T.tokens("text")).alias("tok"))
     return K.heavy_hitters(toks, "tok", 80)
-
-
-def _hh_oracle():
-    from mini_flink_spark.functions import sketches as K
-    from mini_flink_spark.queries import QUERIES
-
-    inner = (
-        "SELECT unnest("
-        + T.tokens_sql("text")
-        + ") AS tok FROM documents"
-    )
-    QUERIES["heavy_hitter_tokens"].oracle = K.heavy_hitters_sql(inner, "tok", 80)
-
-
-_hh_oracle()
 
 
 @register(

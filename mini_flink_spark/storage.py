@@ -75,6 +75,13 @@ def zorder_key(
     in BOTH dimensions (a single-column sort gives tight stats in one).
     """
     n = len(scaled)
+    if bits * n > 63:
+        # Spark's shiftleft is Java's <<, which masks the shift mod 64 — a
+        # wrapped bit position would silently destroy the curve property
+        raise ValueError(
+            f"zorder_key: bits*ncols = {bits * n} exceeds the 63 usable bits "
+            f"of a signed bigint; lower bits or cluster fewer columns"
+        )
     terms = []
     for j in range(bits):
         for i, c in enumerate(scaled):

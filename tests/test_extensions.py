@@ -290,7 +290,10 @@ def test_kmeans_wcss_non_increasing(spark, sf_dir):
     scores = [
         wcss(kmeans_fit(base, "v", "id", k=4, iters=i)) for i in (0, 1, 3)
     ]
-    assert scores[0] >= scores[1] >= scores[2]
+    # tiny epsilon: the 6-dp-rounded argmin and rounded centroid means can
+    # perturb exact Lloyd monotonicity near convergence
+    eps = 1e-6 * max(scores)
+    assert scores[0] >= scores[1] - eps >= scores[2] - 2 * eps
 
 
 def test_ivf_with_kmeans_centroids_recall(spark, sf_dir):

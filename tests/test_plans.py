@@ -271,6 +271,7 @@ def test_runtime_bloom_filter_prunes_fact_before_shuffle(spark, sf_dir):
         k: spark.conf.get(k, None)
         for k in (
             "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
         )
