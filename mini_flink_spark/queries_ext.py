@@ -848,6 +848,50 @@ def q_quality_filter_by_source(spark, sf_dir):
 
 
 @register(
+    "warc_ingest_roundtrip",
+    """
+    SELECT doc_id, source AS uri,
+           octet_length(encode(text))::BIGINT AS content_length
+    FROM documents
+    """,
+    ("source", "ingest", "multimodal"),
+)
+def q_warc_ingest_roundtrip(spark, sf_dir):
+    """Web-corpus ingestion through the batch WARC Python DataSource: the
+    documents table is materialized in the simplified WARC layout, then read
+    back through byte-range splits (forced small so the record-marker
+    alignment path actually exercises across many tasks) — record ids, URIs,
+    and UTF-8 payload byte lengths must survive the round trip exactly
+    (sources/warc_source.py has the split-ownership rule and 100 TB notes).
+    The driver-side collect exists only to WRITE the fixture file (at scale
+    the crawl archive already exists); the measured operator is the parallel
+    read."""
+    import os
+    import tempfile
+
+    from mini_flink_spark.sources import warc_source as W
+
+    docs = sorted(
+        (r.doc_id, r.source, r.text.encode())
+        for r in _t(spark, sf_dir, "documents").collect()
+    )
+    d = tempfile.mkdtemp(prefix="warc_q_")
+    W.write_warc(os.path.join(d, "docs.warc"), [(str(i), s, p) for i, s, p in docs])
+    W.register_warc_source(spark)
+    return (
+        spark.read.format(W.WARC_SOURCE_NAME)
+        .option("path", d)
+        .option("split_bytes", 64 * 1024)
+        .load()
+        .select(
+            F.col("record_id").cast("bigint").alias("doc_id"),
+            "uri",
+            "content_length",
+        )
+    )
+
+
+@register(
     "heavy_hitter_tokens",
     K.heavy_hitters_sql(
         f"SELECT unnest({T.tokens_sql('text')}) AS tok FROM documents",
