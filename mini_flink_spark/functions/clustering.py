@@ -135,6 +135,131 @@ def kmeans_clusters(
     )
 
 
+def pq_fit(
+    df: DataFrame,
+    vec_col: str = "v",
+    id_col: str = "id",
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split each d-dim vector into m
+    contiguous subvectors and run Lloyd's independently per subspace.
+
+    The FAISS-style memory lever for billion-vector ANN: a 64-dim float
+    vector (256 B) compresses to m code bytes (m=4: 64× smaller), and
+    distances against quantized vectors evaluate via m table lookups. Each
+    subspace fit is the same bounded-shuffle kmeans_fit; m fits run
+    sequentially on slices of one scan."""
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_fit: input DataFrame is empty")
+    d = len(first[0])
+    if d % m:
+        raise ValueError(f"pq_fit: dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = []
+    for s in range(m):
+        # F.slice is 1-based; subvector s covers [s*dsub+1, (s+1)*dsub]
+        sub = df.select(
+            F.col(id_col).alias("id"),
+            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("v"),
+        )
+        books.append(kmeans_fit(sub, "v", "id", k, iters))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "v",
+    id_col: str = "id",
+) -> DataFrame:
+    """Encode each vector as m nearest-codeword ids (one int per subspace) —
+    a single stateless projection per subspace, no shuffle, no UDF."""
+    m = len(books)
+    dsub = len(books[0][0])
+    out = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    for s, book in enumerate(books):
+        sub = F.slice(F.col("v"), s * dsub + 1, dsub)
+        dists = F.transform(
+            _centroid_lit(book), lambda c: F.round(sq_dist(sub, c), 6)
+        )
+        out = out.withColumn(
+            f"c{s}",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("bigint"),
+        )
+    return out.select(
+        "id", F.array(*[F.col(f"c{s}") for s in range(m)]).alias("codes")
+    )
+
+
+def pq_codes_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    d: int = 64,
+) -> str:
+    """DuckDB twin: per-subspace unrolled Lloyd's chains (same determinism
+    rules as kmeans_clusters_sql) joined into one codes list per vector."""
+    dsub = d // m
+    dist = (
+        f"round(list_sum(list_transform(range(1, {dsub}+1),"
+        " i -> (v[i]-c[i])*(v[i]-c[i]))), 6)"
+    )
+    ctes = []
+    finals = []
+    for s in range(m):
+        lo = s * dsub + 1
+        hi = (s + 1) * dsub
+        ctes.append(
+            f"emb{s} AS (SELECT {id_col} AS id,"
+            f" ({vec_col}::DOUBLE[])[{lo}:{hi}] AS v FROM {table})"
+        )
+        ctes.append(
+            f"c{s}_0 AS (SELECT list(v ORDER BY id) AS cents FROM"
+            f" (SELECT id, v FROM emb{s} ORDER BY id LIMIT {k}))"
+        )
+        for t in range(1, iters + 1):
+            ctes.append(
+                f"""a{s}_{t} AS (
+  SELECT id, v, list_position(dd, list_min(dd)) - 1 AS cid
+  FROM (SELECT id, v, list_transform(cents, c -> {dist}) AS dd
+        FROM emb{s}, c{s}_{t - 1}))"""
+            )
+            ctes.append(
+                f"""c{s}_{t} AS (
+  SELECT list(coalesce(n.cent, p.cents[g.cid + 1]) ORDER BY g.cid) AS cents
+  FROM range(0, {k}) g(cid)
+  CROSS JOIN c{s}_{t - 1} p
+  LEFT JOIN (
+    SELECT cid, list(m ORDER BY i) AS cent FROM (
+      SELECT cid, i, round(avg(v[i]), 12) AS m
+      FROM a{s}_{t} CROSS JOIN range(1, {dsub}+1) t(i)
+      GROUP BY cid, i) GROUP BY cid) n USING (cid))"""
+            )
+        ctes.append(
+            f"""f{s} AS (
+  SELECT id, list_position(dd, list_min(dd)) - 1 AS code
+  FROM (SELECT id, list_transform(cents, c -> {dist}) AS dd
+        FROM emb{s}, c{s}_{iters}))"""
+        )
+        finals.append(f"f{s}")
+    joins = " ".join(f"JOIN f{s} USING (id)" for s in range(1, m))
+    codes = ", ".join(f"f{s}.code::BIGINT" for s in range(m))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, [{codes}] AS codes
+FROM f0 {joins}
+ORDER BY id"""
+    )
+
+
 def kmeans_centroids_df(
     spark, cents: list[list[float]]
 ):

@@ -924,6 +924,27 @@ def q_kmeans_clusters(spark, sf_dir):
     return C.kmeans_clusters(emb, "embedding", "vec_id", k=8, iters=3)
 
 
+@register(
+    "pq_codes",
+    C.pq_codes_sql(m=4, k=8, iters=2, d=64),
+    ("clustering", "similarity", "quantization"),
+)
+def q_pq_codes(spark, sf_dir):
+    """Product quantization: per-subspace Lloyd's codebooks (m=4 x 16 dims,
+    k=8, 2 rounds), each vector encoded as 4 nearest-codeword ids — the
+    FAISS-style 64x compression lever for billion-vector ANN (256 B float
+    vector -> 4 code bytes). Codes are integers, so the per-subspace
+    unrolled-CTE oracle hash-matches exactly; encoding itself is a
+    stateless per-row projection (no shuffle, no UDF)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    books = C.pq_fit(base, "v", "id", m=4, k=8, iters=2)
+    return C.pq_encode(base, books, "v", "id")
+
+
 # =========================================================================
 # Multimodal (binary payload plumbing; decode stubbed — SURVEY.md §7 Phase 3)
 # =========================================================================

@@ -343,3 +343,39 @@ def test_misra_gries_candidates_superset_of_true_heavy_hitters(spark):
 
     hh = {(r.tok, r.cnt) for r in heavy_hitters(df, "tok", k).collect()}
     assert hh == {("hot0", 1000), ("hot1", 1000), ("hot2", 1000)}
+
+
+def test_pq_codes_quantization_error_beats_random_assignment(spark, sf_dir):
+    # trained codebooks must reconstruct better than code 0 for everything —
+    # and every code must be a valid codebook index
+    from pyspark.sql import functions as F
+
+    from mini_flink_spark.functions.clustering import pq_encode, pq_fit, sq_dist
+    from mini_flink_spark.session import read_table
+
+    base = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    m, k = 4, 8
+    books = pq_fit(base, "v", "id", m=m, k=k, iters=2)
+    assert len(books) == m and all(len(b) == k for b in books)
+
+    codes = pq_encode(base, books, "v", "id")
+    rows = codes.collect()
+    assert all(0 <= c < k for r in rows for c in r.codes)
+
+    def recon_err(code_picker):
+        dsub = len(books[0][0])
+        err = F.lit(0.0)
+        for s in range(m):
+            sub = F.slice(F.col("v"), s * dsub + 1, dsub)
+            cents = F.array(
+                *[F.array(*[F.lit(x) for x in c]) for c in books[s]]
+            )
+            err = err + sq_dist(sub, F.element_at(cents, code_picker(s)))
+        return base.join(codes, "id").select(F.sum(err).alias("e")).collect()[0].e
+
+    trained = recon_err(lambda s: (F.element_at("codes", s + 1) + 1).cast("int"))
+    fixed = recon_err(lambda s: F.lit(1))
+    assert trained < fixed
