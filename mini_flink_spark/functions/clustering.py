@@ -260,6 +260,83 @@ ORDER BY id"""
     )
 
 
+def pq_adc_topk(
+    codes: DataFrame,
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    k_top: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact, every
+    corpus vector is its m codes, and per-subspace distances resolve through
+    an m x k literal lookup table — the scan touches ONLY integer codes, no
+    float vectors. This is why PQ indexes fit in memory at billions of
+    vectors: the per-row work is m array lookups + (m-1) adds, all codegen.
+
+    LUT entries are rounded engine-side (HALF_UP, matching DuckDB) from
+    doubles summed in subspace element order, so the oracle twin reproduces
+    every distance bit-for-bit."""
+    m = len(books)
+    dsub = len(books[0][0])
+    adist = None
+    for s in range(m):
+        q_sub = query_vec[s * dsub : (s + 1) * dsub]
+        raw = [
+            sum((q_sub[i] - c[i]) * (q_sub[i] - c[i]) for i in range(dsub))
+            for c in books[s]
+        ]
+        lut = F.array(*[F.round(F.lit(x), 6) for x in raw])
+        term = F.element_at(
+            lut, (F.element_at("codes", s + 1) + 1).cast("int")
+        )
+        adist = term if adist is None else adist + term
+    out = codes
+    if exclude_id is not None:
+        out = out.filter(F.col("id") != exclude_id)
+    return (
+        out.select("id", F.round(adist, 6).alias("adist"))
+        .orderBy(F.asc("adist"), F.asc("id"))
+        .limit(k_top)
+    )
+
+
+def pq_adc_topk_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: int = 0,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    d: int = 64,
+    k_top: int = 10,
+) -> str:
+    """DuckDB twin: reuse the per-subspace chains from pq_codes_sql, score
+    each id by summing subspace distances between the exact query slice and
+    the codeword its code points at."""
+    dsub = d // m
+    base = pq_codes_sql(table, vec_col, id_col, m, k, iters, d)
+    # strip the final SELECT; keep the CTE block
+    ctes = base[: base.rindex("\nSELECT id,")]
+    joins = " ".join(f"JOIN f{s} USING (id)" for s in range(1, m))
+    cents = " ".join(f"CROSS JOIN c{s}_{iters} cc{s}" for s in range(m))
+    terms = " + ".join(
+        f"round(list_sum(list_transform(range(1, {dsub}+1), "
+        f"i -> (qv[{s * dsub}+i] - cc{s}.cents[f{s}.code + 1][i])"
+        f" * (qv[{s * dsub}+i] - cc{s}.cents[f{s}.code + 1][i]))), 6)"
+        for s in range(m)
+    )
+    return (
+        ctes
+        + f""",
+q AS (SELECT {vec_col}::DOUBLE[] AS qv FROM {table} WHERE {id_col} = {query_id})
+SELECT id, round({terms}, 6) AS adist
+FROM f0 {joins} {cents} CROSS JOIN q
+WHERE id != {query_id}
+ORDER BY adist ASC, id ASC LIMIT {k_top}"""
+    )
+
+
 def kmeans_centroids_df(
     spark, cents: list[list[float]]
 ):

@@ -945,6 +945,28 @@ def q_pq_codes(spark, sf_dir):
     return C.pq_encode(base, books, "v", "id")
 
 
+@register(
+    "pq_adc_topk",
+    C.pq_adc_topk_sql(query_id=0, m=4, k=8, iters=2, d=64, k_top=10),
+    ("clustering", "similarity", "quantization"),
+)
+def q_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance search: nearest neighbors of query vec_id=0
+    computed entirely from 4-code rows + an m x k literal lookup table — the
+    scan never touches a float vector (clustering.pq_adc_topk has the
+    memory-budget argument). Approximate by construction; the oracle
+    reproduces the same quantized distances bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    books = C.pq_fit(base, "v", "id", m=4, k=8, iters=2)
+    codes = C.pq_encode(base, books, "v", "id")
+    qv = [float(x) for x in base.filter(F.col("id") == 0).first()[1]]
+    return C.pq_adc_topk(codes, books, qv, k_top=10, exclude_id=0)
+
+
 # =========================================================================
 # Multimodal (binary payload plumbing; decode stubbed — SURVEY.md §7 Phase 3)
 # =========================================================================
