@@ -53,6 +53,9 @@ HEADLINE = [
     "mixture_weights",
     "text_search_bm25",
     "kmeans_clusters",
+    "heavy_hitter_tokens",
+    "hybrid_search_rrf",
+    "pq_adc_topk",
 ]
 
 
