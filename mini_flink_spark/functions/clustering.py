@@ -273,6 +273,11 @@ def pq_adc_topk(
     float vectors. This is why PQ indexes fit in memory at billions of
     vectors: the per-row work is m array lookups + (m-1) adds, all codegen.
 
+    Production role: CANDIDATE GENERATION — fetch top-R by quantized
+    distance, then re-rank those R exactly against full vectors (the same
+    two-stage shape as hybrid-retrieval -> cross-encoder). Quantized
+    distances are approximations; never serve them as final rankings.
+
     LUT entries are rounded engine-side (HALF_UP, matching DuckDB) from
     doubles summed in subspace element order, so the oracle twin reproduces
     every distance bit-for-bit."""

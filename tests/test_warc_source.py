@@ -67,3 +67,33 @@ def test_payload_roundtrips_utf8(spark, warc_dir):
     )
     row = df.filter(F.col("record_id") == "rec2-3").collect()[0]
     assert row.payload == "body 3\nline two 3"
+
+
+def test_truncated_and_garbage_records_do_not_crash(spark, tmp_path):
+    # a truncated final payload and inter-record garbage must not kill the
+    # scan: garbage is skipped by the marker scan; the short read yields a
+    # short payload (content_length reports the declared value)
+    import os
+
+    from mini_flink_spark.sources.warc_source import WARC_SOURCE_NAME, write_warc
+
+    p = os.path.join(tmp_path, "bad.warc")
+    write_warc(p, [("ok-1", "http://a", b"fine payload")])
+    with open(p, "ab") as f:
+        f.write(b"random garbage not a record\n\n")
+        f.write(b"WARC/1.0\n")
+        f.write(b"WARC-Record-ID: trunc-1\n")
+        f.write(b"WARC-Target-URI: http://b\n")
+        f.write(b"Content-Length: 1000\n\n")
+        f.write(b"only twenty bytes...")  # EOF mid-payload
+    df = (
+        spark.read.format(WARC_SOURCE_NAME)
+        .option("path", p)
+        .option("split_bytes", 10_000_000)
+        .load()
+    )
+    rows = {r.record_id: r for r in df.collect()}
+    assert set(rows) == {"ok-1", "trunc-1"}
+    assert rows["ok-1"].payload == "fine payload"
+    assert rows["trunc-1"].content_length == 1000
+    assert len(rows["trunc-1"].payload) < 1000
