@@ -672,6 +672,48 @@ def q_dedup_components(spark, sf_dir):
 
 
 @register(
+    "dedup_representatives",
+    f"""
+    WITH comp AS ({D.connected_components_sql(
+        D.minhash_lsh_pairs_sql("doc_id", "text", threshold=0.4))})
+    SELECT coalesce(c.component, d.doc_id)::BIGINT AS group_id,
+           min(d.doc_id)::BIGINT AS keep_id,
+           count(*)::BIGINT AS weight
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    GROUP BY 1
+    """,
+    ("dedup", "pipeline"),
+)
+def q_dedup_representatives(spark, sf_dir):
+    """What the training pipeline consumes downstream of near-dup grouping:
+    one canonical document per group (min id) plus the group's multiplicity
+    as a sampling weight — duplicates don't just vanish, their mass moves to
+    the representative (loss-weighting / dedup-aware sampling both need it).
+    Docs outside every near-dup pair are their own singleton group
+    (weight 1). The components frame is bounded by near-dup docs (a small
+    fraction of the corpus), so its join back to documents broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4)
+    comp = D.connected_components(pairs)
+    return (
+        docs.join(
+            F.broadcast(comp), docs.doc_id == comp.id, "left"
+        )
+        .select(
+            F.coalesce(F.col("component"), F.col("doc_id"))
+            .cast("bigint")
+            .alias("group_id"),
+            "doc_id",
+        )
+        .groupBy("group_id")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("weight"),
+        )
+    )
+
+
+@register(
     "curation_pipeline",
     f"""
     WITH scored AS (
