@@ -672,6 +672,77 @@ def q_dedup_components(spark, sf_dir):
 
 
 @register(
+    "lm_perplexity_score",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {T.normalize_text_sql('text')} AS t FROM documents
+    ),
+    tri AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                   i -> t[i:i+2])) AS tri
+      FROM norm
+    ),
+    model AS (SELECT tri, count(*)::BIGINT AS cnt FROM tri GROUP BY tri),
+    tot AS (SELECT sum(cnt)::DOUBLE AS total FROM model),
+    lp AS (
+      SELECT doc_id,
+             round((ln(cnt::DOUBLE) - ln(total)) * 1e6)::BIGINT AS lp
+      FROM tri JOIN model USING (tri) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           round(-(sum(lp)::DOUBLE) / (count(*) * 1e6), 4) AS avg_nll
+    FROM lp GROUP BY doc_id
+    """,
+    ("text", "pipeline", "quality"),
+)
+def q_lm_perplexity_score(spark, sf_dir):
+    """CCNet-style LM filtering: score each document by its average negative
+    log-likelihood under a corpus-wide character-trigram model (unusual text
+    — boilerplate, encoding garbage, wrong-language — scores high and gets
+    cut). The decisive scale property of CHARACTER trigrams: the model is
+    bounded by alphabet^3 (~50k rows for normalized ASCII), independent of
+    corpus size, so it broadcasts everywhere while the corpus streams by in
+    two passes (count, score) with map-side partial aggs.
+
+    Determinism: per-trigram log-probabilities scale by 1e6 and round to
+    BIGINT, so the per-doc reduction is an exact integer sum — immune to the
+    double-addition ordering that varies across partitionings and engines;
+    one final double division + round(4)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    norm = docs.select("doc_id", T.normalize_text("text").alias("t"))
+    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of yielding []
+    # like DuckDB's range — short docs must produce zero trigrams, not junk
+    tri = norm.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(t) >= 3 THEN "
+                "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) "
+                "ELSE cast(array() as array<string>) END"
+            )
+        ).alias("tri"),
+    )
+    model = tri.groupBy("tri").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = model.agg(F.sum("cnt").cast("double").alias("total"))
+    lp = (
+        tri.join(F.broadcast(model), "tri")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round((F.log(F.col("cnt").cast("double")) - F.log("total")) * 1e6)
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.round(
+            -(F.sum("lp").cast("double")) / (F.count(F.lit(1)) * 1e6), 4
+        ).alias("avg_nll")
+    )
+
+
+@register(
     "dedup_representatives",
     f"""
     WITH comp AS ({D.connected_components_sql(
