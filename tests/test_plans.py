@@ -345,3 +345,16 @@ def test_q5_broadcasts_dims_no_cartesian(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_perplexity_broadcasts_model(spark, sf_dir):
+    # the alphabet^3-bounded trigram model must broadcast; the corpus side
+    # must never sort-merge against it
+    plan = plan_of(spark, sf_dir, "lm_perplexity_score")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_representatives_broadcasts_components(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_representatives")
+    assert "BroadcastHashJoin" in plan
