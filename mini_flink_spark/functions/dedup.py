@@ -700,3 +700,87 @@ SELECT a, b,
 FROM inter JOIN sizes x ON x.id = a JOIN sizes y ON y.id = b
 WHERE round(inter::DOUBLE / (x.n_sh + y.n_sh - inter)::DOUBLE, 6) >= {threshold}
 """
+
+
+# ------------------------------------------------- span-level exact dedup
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = 15
+) -> DataFrame:
+    """Inventory of exact w-token spans that recur across documents — the
+    span-granularity dedup of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL 2022), which removes *substrings* repeated
+    verbatim across a corpus rather than whole near-dup documents (their
+    suffix-array spans are 50 tokens; w is tunable, default 15 to match this
+    corpus's planted-duplicate length scale).
+
+    Returns (span_hash, n_docs, n_occ) for every span appearing in >= 2
+    distinct documents. Downstream removal joins this inventory back on the
+    per-position hashes to cut covered regions.
+
+    100 TB design: the rolling w-gram hashes are computed *in-array* per row
+    (whole-stage codegen, no Python) and only the 8-byte hashes are exploded
+    into the aggregation — raw text never enters the shuffle, and the map-side
+    partial agg collapses each span to one (hash, count, doc-count) row per
+    partition before the exchange. This replaces the reference-free suffix
+    array (inherently a global sort of the whole corpus) with one hash
+    aggregation — the standard distributed restatement.
+
+    Short docs (< w tokens) contribute an empty hash array via the `when`
+    guard rather than a filter: a pushed-down token-count predicate would be
+    substituted below the repartition and re-run the tokenizer in the
+    (often single-task) scan — same trap documented on `shingled`.
+    """
+    from mini_flink_spark.functions.hashing import portable_hash64
+
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    raw = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
+    ).repartition(parts)
+    toks = raw.select("id", tokens("_text").alias("t"))
+    k = F.array_size("t") - (w - 1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sp = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: portable_hash64(F.array_join(F.slice("t", i, w), " ")),
+            )
+        ).alias("span_hash"),
+    )
+    return (
+        sp.groupBy("span_hash")
+        .agg(
+            F.countDistinct("id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("span_hash", "n_docs", "n_occ")
+    )
+
+
+def duplicate_spans_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    w: int = 15,
+) -> str:
+    """DuckDB twin: same rolling w-gram hash inventory via list_transform +
+    unnest; grouping key is the identical 56-bit portable hash."""
+    toks = tokens_sql(text_col)
+    span = portable_hash64_sql(f"array_to_string(t[i:i+{w - 1}], ' ')")
+    return f"""
+WITH toks AS (SELECT {id_col} AS id, {toks} AS t FROM {table}),
+spans AS (
+  SELECT id,
+         unnest(list_transform(range(1, greatest(len(t) - {w - 1}, 0) + 1),
+                               i -> {span})) AS span_hash
+  FROM toks
+)
+SELECT span_hash, count(DISTINCT id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ
+FROM spans GROUP BY span_hash HAVING count(DISTINCT id) >= 2
+"""

@@ -672,6 +672,92 @@ def q_dedup_components(spark, sf_dir):
 
 
 @register(
+    "dedup_duplicate_spans",
+    D.duplicate_spans_sql("doc_id", "text", w=15),
+    ("dedup", "spans"),
+)
+def q_dedup_duplicate_spans(spark, sf_dir):
+    """Span-level exact dedup (Lee et al., ACL 2022): every 15-token span
+    repeated verbatim across >= 2 documents, as (span_hash, n_docs, n_occ).
+    Catches the cross-document boilerplate that document-level near-dup
+    (MinHash/SimHash) misses when the containing documents differ. The
+    distributed restatement of their suffix-array pass: rolling in-array
+    hashes + one map-side-combined aggregation — raw text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.duplicate_spans(docs, "doc_id", "text", w=15)
+
+
+@register(
+    "gopher_quality_flags",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {T.tokens_sql('text')} AS t FROM documents
+    ),
+    m AS (
+      SELECT doc_id, len(t)::BIGINT AS n_tokens,
+             list_sum(list_transform(t, w -> length(w)))::BIGINT AS n_chars,
+             len(list_filter(t, w -> list_contains([{", ".join(f"'{w}'" for w in T.LANG_STOPWORDS['en'])}], w)))::BIGINT AS sw_hits,
+             len(list_distinct(t))::BIGINT AS n_distinct
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           round(n_chars::DOUBLE / n_tokens, 4) AS mean_word_len,
+           (n_tokens BETWEEN 10 AND 100000) AS flag_word_count,
+           (n_chars BETWEEN 3 * n_tokens AND 10 * n_tokens) AS flag_mean_word_len,
+           (sw_hits >= 2) AS flag_stopwords,
+           (10 * n_distinct > 3 * n_tokens) AS flag_distinct,
+           ((n_tokens BETWEEN 10 AND 100000)
+            AND (n_chars BETWEEN 3 * n_tokens AND 10 * n_tokens)
+            AND sw_hits >= 2
+            AND 10 * n_distinct > 3 * n_tokens) AS pass_gopher
+    FROM m
+    """,
+    ("text", "quality", "pipeline"),
+)
+def q_gopher_quality_flags(spark, sf_dir):
+    """Gopher-style rule-based quality filter (Rae et al. 2021, §A1.1):
+    word-count bounds, mean-word-length in [3, 10], a minimum stop-word
+    presence, and a distinct-token-ratio repetition gate — each emitted as a
+    per-rule flag plus the conjunction, so downstream curation can both filter
+    and report per-rule rejection rates. Thresholds re-expressed as integer
+    cross-multiplications (3*n <= chars <= 10*n, 10*distinct > 3*n) so the
+    flags are exact on both engines — no float compare at a rule boundary.
+
+    Scale: pure per-row projection over the token array (codegen, no shuffle,
+    no Python); runs map-side inside the corpus scan like the rest of text.py.
+    """
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    t = T.tokens("text")
+    m = docs.select(
+        "doc_id",
+        F.array_size(t).cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            t, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+        ).alias("n_chars"),
+        T.stopword_hits("text", "en").cast("bigint").alias("sw_hits"),
+        F.array_size(F.array_distinct(t)).cast("bigint").alias("n_distinct"),
+    )
+    flag_wc = F.col("n_tokens").between(10, 100000)
+    flag_mwl = F.col("n_chars").between(
+        3 * F.col("n_tokens"), 10 * F.col("n_tokens")
+    )
+    flag_sw = F.col("sw_hits") >= 2
+    flag_dr = 10 * F.col("n_distinct") > 3 * F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 4).alias(
+            "mean_word_len"
+        ),
+        flag_wc.alias("flag_word_count"),
+        flag_mwl.alias("flag_mean_word_len"),
+        flag_sw.alias("flag_stopwords"),
+        flag_dr.alias("flag_distinct"),
+        (flag_wc & flag_mwl & flag_sw & flag_dr).alias("pass_gopher"),
+    )
+
+
+@register(
     "lm_perplexity_score",
     f"""
     WITH norm AS (

@@ -358,3 +358,22 @@ def test_lm_perplexity_broadcasts_model(spark, sf_dir):
 def test_dedup_representatives_broadcasts_components(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_representatives")
     assert "BroadcastHashJoin" in plan
+
+
+def test_duplicate_spans_shuffles_hashes_not_text(spark, sf_dir):
+    # the span inventory may shuffle only 8-byte hashes (+ doc ids): the raw
+    # text column must die in the scan-side projection, and the aggregation
+    # must have a map-side partial pass before its exchange
+    plan = plan_of(spark, sf_dir, "dedup_duplicate_spans")
+    assert "Join" not in plan
+    assert "partial_count" in plan
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchanges and all("span_hash" in l for l in exchanges)
+    assert not any("text" in l.lower() for l in exchanges)
+
+
+def test_gopher_flags_pure_projection(spark, sf_dir):
+    # rule flags are a per-row projection: no join, no aggregation exchange
+    plan = plan_of(spark, sf_dir, "gopher_quality_flags")
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
