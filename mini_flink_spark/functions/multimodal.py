@@ -96,11 +96,16 @@ def fake_image_features(
     return flat.mapInPandas(extract, out_schema)
 
 
-def frame_sample_stub(df: DataFrame, media_col: str = "media", every_n: int = 30) -> DataFrame:
+def frame_sample_stub(
+    df: DataFrame,
+    media_col: str = "media",
+    every_n: int = 30,
+    bytes_per_frame: int = 1024,
+) -> DataFrame:
     """Video frame-sampling plumbing: emits (doc_id, frame_no) rows 0..k per
     video based on byte_len as a deterministic duration proxy (1 'frame' per
-    1 KiB). Real ffmpeg sampling would replace the arithmetic, keep the 1→N
-    mapInPandas shape."""
+    `bytes_per_frame` bytes). Real ffmpeg sampling would replace the
+    arithmetic, keep the 1→N mapInPandas shape."""
 
     out_schema = "doc_id bigint, frame_no int"
 
@@ -108,7 +113,7 @@ def frame_sample_stub(df: DataFrame, media_col: str = "media", every_n: int = 30
         for pdf in batches:
             rows = {"doc_id": [], "frame_no": []}
             for doc_id, blen in zip(pdf["doc_id"], pdf["byte_len"]):
-                n_frames = max(1, int(blen) // 1024)
+                n_frames = max(1, int(blen) // bytes_per_frame)
                 for f_no in range(0, n_frames, every_n):
                     rows["doc_id"].append(doc_id)
                     rows["frame_no"].append(f_no)
@@ -116,6 +121,42 @@ def frame_sample_stub(df: DataFrame, media_col: str = "media", every_n: int = 30
 
     flat = df.select("doc_id", F.col(f"{media_col}.meta.byte_len").alias("byte_len"))
     return flat.mapInPandas(sample, out_schema)
+
+
+def resize_stub(
+    df: DataFrame,
+    media_col: str = "media",
+    out_w: int = 224,
+    out_h: int = 224,
+    thumb_bytes: int = 256,
+) -> DataFrame:
+    """Image-resize plumbing (the thumbnail/model-input-normalization step):
+    (doc_id, out_w, out_h, thumb binary, thumb_len). The deterministic fake
+    'resample' takes the payload's first `thumb_bytes` bytes; a real
+    PIL/libvips resize swaps the body, keeps the Arrow batch shape and
+    binary-out schema.
+
+    Scale: 1→1 mapInPandas projection — linear, no shuffle; pair with
+    repartition_by_bytes upstream so wide binary rows keep Arrow batches
+    bounded."""
+
+    out_schema = "doc_id bigint, out_w int, out_h int, thumb binary, thumb_len bigint"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [bytes(p)[:thumb_bytes] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "thumb": thumbs,
+                    "thumb_len": [len(t) for t in thumbs],
+                }
+            )
+
+    flat = df.select("doc_id", F.col(f"{media_col}.payload").alias("payload"))
+    return flat.mapInPandas(resize, out_schema)
 
 
 def media_meta_table(df: DataFrame, id_col: str = "doc_id", media_col: str = "media") -> DataFrame:

@@ -1219,6 +1219,57 @@ def q_multimodal_features(spark, sf_dir):
     return fake_image_features(text_as_media(docs, "text", kind="image"))
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, greatest(octet_length(encode(text)) // 64, 1), 4),
+             x -> x::INT)) AS frame_no
+    FROM documents
+    """,
+    ("multimodal", "pandas-udf"),
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: each media row fans out to its sampled
+    frame indices (1 'frame' per 64 payload bytes as the codec-free duration
+    proxy, every 4th kept) through the 1→N mapInPandas shape a real ffmpeg
+    sampler uses. The oracle recomputes the same byte arithmetic, so batch
+    fan-out alignment itself is hash-checked."""
+    from mini_flink_spark.functions.multimodal import frame_sample_stub, text_as_media
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = text_as_media(docs, "text", kind="video")
+    return frame_sample_stub(media, every_n=4, bytes_per_frame=64)
+
+
+@register(
+    "multimodal_resize",
+    """
+    SELECT doc_id, 224 AS out_w, 224 AS out_h,
+           least(octet_length(encode(text)), 256)::BIGINT AS thumb_len,
+           sha256(substring(text, 1, 256)) AS thumb_sha256
+    FROM documents
+    """,
+    ("multimodal", "pandas-udf"),
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing (thumbnail/model-input normalization): binary-in,
+    binary-out mapInPandas with the deterministic first-256-bytes fake
+    resample; the graded face emits the thumb's sha256 + byte length so the
+    binary path is hash-checked without relying on cross-engine binary
+    canonicalization (payloads are ASCII text, so the oracle's VARCHAR
+    substring slices the same bytes)."""
+    from mini_flink_spark.functions.multimodal import resize_stub, text_as_media
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = text_as_media(docs, "text", kind="image")
+    resized = resize_stub(media, out_w=224, out_h=224, thumb_bytes=256)
+    return resized.select(
+        "doc_id", "out_w", "out_h", "thumb_len", F.sha2("thumb", 256).alias("thumb_sha256")
+    )
+
+
 # =========================================================================
 # Streaming (run to completion via AvailableNow, memory sink -> DataFrame)
 # =========================================================================
