@@ -784,3 +784,118 @@ spans AS (
 SELECT span_hash, count(DISTINCT id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ
 FROM spans GROUP BY span_hash HAVING count(DISTINCT id) >= 2
 """
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 15,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The removal step of Lee et al. (ACL 2022): delete from every document
+    each w-token span that also appears verbatim in >= `min_docs` documents
+    (self included), returning (doc_id, clean_text, n_tokens, n_removed).
+
+    Plan: per-position span hashes -> the duplicated-hash inventory (same
+    aggregation as `duplicate_spans`) -> join positions back on the 8-byte
+    hash -> per-doc start list -> one in-array filter rebuilds the kept token
+    stream. Text itself never shuffles: the exchange carries (id, pos, hash)
+    and the start lists; reconstruction happens in the final per-row
+    projection against the doc's own token array.
+
+    The position-hash stream feeds both the inventory agg and the join side;
+    at corpus scale persist it (one line: .persist(DISK_ONLY)) instead of
+    recomputing the tokenizer twice — left unpersisted here because the
+    recompute is cheaper than materialization at test SFs.
+
+    `clean_text` is the *normalized* token stream re-joined — the same
+    canonical form every other dedup operator keys on.
+    """
+    from mini_flink_spark.functions.hashing import portable_hash64
+
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    raw = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
+    ).repartition(parts)
+    toks = raw.select("id", tokens("_text").alias("t"))
+    k = F.array_size("t") - (w - 1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ph = toks.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                idx.alias("pos"),
+                F.transform(
+                    idx, lambda i: portable_hash64(F.array_join(F.slice("t", i, w), " "))
+                ).alias("h"),
+            )
+        ).alias("z"),
+    ).select("id", F.col("z.pos").alias("pos"), F.col("z.h").alias("h"))
+    inv = (
+        ph.groupBy("h")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    starts = (
+        ph.join(inv, "h")
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("ps"))
+    )
+    joined = toks.join(starts, "id", "left").select(
+        "id", "t", F.coalesce("ps", F.array().cast("array<int>")).alias("ps")
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.array_size("t")),
+        lambda j: ~F.exists(
+            F.col("ps"), lambda p: (j >= p) & (j <= p + F.lit(w - 1))
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.array_join(
+            F.transform(kept, lambda j: F.element_at("t", j)), " "
+        ).alias("clean_text"),
+        F.array_size("t").cast("bigint").alias("n_tokens"),
+        (F.array_size("t") - F.size(kept)).cast("bigint").alias("n_removed"),
+    )
+
+
+def remove_duplicate_spans_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    w: int = 15,
+    min_docs: int = 2,
+) -> str:
+    toks = tokens_sql(text_col)
+    span = portable_hash64_sql(f"array_to_string(t[i:i+{w - 1}], ' ')")
+    return f"""
+WITH toks AS (SELECT {id_col} AS id, {toks} AS t FROM {table}),
+ph AS (
+  SELECT id, i AS pos, {span} AS h
+  FROM toks, unnest(range(1, greatest(len(t) - {w - 1}, 0) + 1)) AS u(i)
+),
+inv AS (SELECT h FROM ph GROUP BY h HAVING count(DISTINCT id) >= {min_docs}),
+starts AS (SELECT id, list(pos) AS ps FROM ph JOIN inv USING (h) GROUP BY id),
+joined AS (
+  SELECT toks.id, toks.t, coalesce(starts.ps, []) AS ps
+  FROM toks LEFT JOIN starts ON toks.id = starts.id
+),
+rebuilt AS (
+  SELECT id, t, ps,
+         list_filter(range(1, len(t) + 1),
+                     j -> len(list_filter(ps, p -> j >= p AND j <= p + {w - 1})) = 0
+         ) AS kept
+  FROM joined
+)
+SELECT id AS {id_col},
+       -- array_to_string([]) is NULL in DuckDB but '' in Spark's array_join
+       coalesce(array_to_string(list_transform(kept, j -> t[j]), ' '), '') AS clean_text,
+       len(t)::BIGINT AS n_tokens,
+       (len(t) - len(kept))::BIGINT AS n_removed
+FROM rebuilt
+"""

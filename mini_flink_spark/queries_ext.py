@@ -688,6 +688,21 @@ def q_dedup_duplicate_spans(spark, sf_dir):
 
 
 @register(
+    "dedup_span_removal",
+    D.remove_duplicate_spans_sql("doc_id", "text", w=15),
+    ("dedup", "spans"),
+)
+def q_dedup_span_removal(spark, sf_dir):
+    """The removal half of span-level dedup: every 15-token span repeated
+    across >= 2 docs is cut from each document's token stream, yielding
+    (doc_id, clean_text, n_tokens, n_removed) — the Lee-et-al. pipeline end
+    to end. Only (id, pos, hash) triplets and per-doc start lists shuffle;
+    reconstruction is one in-array filter per row."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.remove_duplicate_spans(docs, "doc_id", "text", w=15)
+
+
+@register(
     "gopher_quality_flags",
     f"""
     WITH toks AS (

@@ -377,3 +377,12 @@ def test_gopher_flags_pure_projection(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "gopher_quality_flags")
     assert "Join" not in plan
     assert "hashpartitioning" not in plan
+
+
+def test_span_removal_never_shuffles_text(spark, sf_dir):
+    # removal joins positions back on 8-byte hashes; the token arrays / text
+    # must stay out of every exchange (reconstruction is scan-side)
+    plan = plan_of(spark, sf_dir, "dedup_span_removal")
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchanges
+    assert not any("_text" in l or "t#" in l for l in exchanges)
