@@ -56,6 +56,9 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "hybrid_search_rrf",
     "pq_adc_topk",
+    "dedup_duplicate_spans",
+    "dedup_span_removal",
+    "gopher_quality_flags",
 ]
 
 
