@@ -811,19 +811,7 @@ def q_lm_perplexity_score(spark, sf_dir):
     double-addition ordering that varies across partitionings and engines;
     one final double division + round(4)."""
     docs = _spread(_t(spark, sf_dir, "documents"))
-    norm = docs.select("doc_id", T.normalize_text("text").alias("t"))
-    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of yielding []
-    # like DuckDB's range — short docs must produce zero trigrams, not junk
-    tri = norm.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN length(t) >= 3 THEN "
-                "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) "
-                "ELSE cast(array() as array<string>) END"
-            )
-        ).alias("tri"),
-    )
+    tri = _char_trigrams(docs)
     model = tri.groupBy("tri").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     tot = model.agg(F.sum("cnt").cast("double").alias("total"))
     lp = (
@@ -840,6 +828,185 @@ def q_lm_perplexity_score(spark, sf_dir):
         F.round(
             -(F.sum("lp").cast("double")) / (F.count(F.lit(1)) * 1e6), 4
         ).alias("avg_nll")
+    )
+
+
+def _char_trigrams(docs, extra_cols: tuple[str, ...] = ()):
+    """(doc_id[, extra_cols], tri) — one row per character-trigram occurrence
+    of the normalized text. The guard matters: Spark's sequence(1, 0) DESCENDS
+    ([1, 0]) instead of yielding [] like DuckDB's range — short docs must
+    produce zero trigrams, not junk."""
+    norm = docs.select(
+        "doc_id", *extra_cols, T.normalize_text("text").alias("t")
+    )
+    return norm.select(
+        "doc_id",
+        *extra_cols,
+        F.explode(
+            F.expr(
+                "CASE WHEN length(t) >= 3 THEN "
+                "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) "
+                "ELSE cast(array() as array<string>) END"
+            )
+        ).alias("tri"),
+    )
+
+
+_TRI_CTE = f"""
+norm AS (
+  SELECT doc_id, source, {T.normalize_text_sql('text')} AS t FROM documents
+),
+tri AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                               i -> t[i:i+2])) AS tri
+  FROM norm
+)"""
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH {_TRI_CTE},
+    model AS (SELECT tri, count(*)::BIGINT AS cnt FROM tri GROUP BY tri),
+    tot AS (SELECT sum(cnt)::DOUBLE AS total FROM model),
+    lp AS (
+      SELECT doc_id,
+             round((ln(cnt::DOUBLE) - ln(total)) * 1e6)::BIGINT AS lp
+      FROM tri JOIN model USING (tri) CROSS JOIN tot
+    ),
+    nll AS (
+      SELECT doc_id,
+             round(-(sum(lp)::DOUBLE) / (count(*) * 1e6), 4) AS avg_nll
+      FROM lp GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang, n.avg_nll,
+           CASE ntile(3) OVER (PARTITION BY d.lang ORDER BY n.avg_nll, d.doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM documents d JOIN nll n USING (doc_id)
+    """,
+    ("text", "pipeline", "quality"),
+)
+def q_ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per language,
+    documents are bucketed into perplexity tertiles under the corpus LM —
+    'head' (most fluent) feeds the highest-quality training mix, 'tail' is
+    cut or down-weighted. Tertiles are assigned by ntile(3) over the exact
+    (avg_nll, doc_id) order — integer ranking, so bucket edges are
+    reproducible across engines with no float-threshold compares.
+
+    Scale: the per-lang window is a global per-stratum sort; CCNet itself
+    computes cutoffs from a sample at corpus scale — swap the ntile for
+    percentile_approx thresholds + a broadcast join when langs are TB-sized.
+    """
+    from pyspark.sql import Window
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tri = _char_trigrams(docs)
+    model = tri.groupBy("tri").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = model.agg(F.sum("cnt").cast("double").alias("total"))
+    nll = (
+        tri.join(F.broadcast(model), "tri")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round((F.log(F.col("cnt").cast("double")) - F.log("total")) * 1e6)
+            .cast("bigint")
+            .alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -(F.sum("lp").cast("double")) / (F.count(F.lit(1)) * 1e6), 4
+            ).alias("avg_nll")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    n3 = F.ntile(3).over(w)
+    return (
+        docs.select("doc_id", "lang")
+        .join(nll, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_nll",
+            F.when(n3 == 1, "head").when(n3 == 2, "middle").otherwise("tail").alias("bucket"),
+        )
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH {_TRI_CTE},
+    raw_m AS (SELECT tri, count(*)::BIGINT AS cnt_r FROM tri GROUP BY tri),
+    tgt_m AS (SELECT tri, count(*)::BIGINT AS cnt_t FROM tri
+              WHERE source = 'src0' GROUP BY tri),
+    consts AS (
+      SELECT (SELECT sum(cnt_r) FROM raw_m)::DOUBLE AS tot_r,
+             (SELECT count(*) FROM raw_m)::BIGINT AS v,
+             (SELECT coalesce(sum(cnt_t), 0) FROM tgt_m)::DOUBLE AS tot_t
+    ),
+    lw AS (
+      SELECT t.doc_id,
+             round((ln((coalesce(m.cnt_t, 0) + 1)::DOUBLE) - ln(tot_t + v)
+                    - ln(r.cnt_r::DOUBLE) + ln(tot_r)) * 1e6)::BIGINT AS lw
+      FROM tri t
+      JOIN raw_m r USING (tri)
+      LEFT JOIN tgt_m m USING (tri)
+      CROSS JOIN consts
+    )
+    SELECT doc_id, round(sum(lw)::DOUBLE / 1e6, 4) AS log_weight
+    FROM lw GROUP BY doc_id
+    """,
+    ("text", "pipeline", "mixture"),
+)
+def q_dsir_importance_weights(spark, sf_dir):
+    """DSIR-style importance weighting (Xie et al. 2023): score every raw
+    document by log p_target(x) - log p_raw(x) under bounded n-gram LMs —
+    here character-trigram models with the 'src0' slice as the target domain
+    and add-one smoothing on the target side (raw counts are never zero for
+    trigrams drawn from the raw corpus itself). High log_weight = looks like
+    the target domain; downstream sampling keeps documents proportionally.
+
+    Scale: both models are alphabet^3-bounded (broadcast KBs/MBs) regardless
+    of corpus size; the corpus streams through one count pass per model and
+    one scoring pass, all with map-side partial aggs. The per-trigram log
+    ratio scales by 1e6 and rounds to BIGINT so the per-doc sum is an exact
+    integer reduction — immune to double-addition ordering."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tri = _char_trigrams(docs, extra_cols=("source",))
+    raw_m = tri.groupBy("tri").agg(F.count(F.lit(1)).cast("bigint").alias("cnt_r"))
+    tgt_m = (
+        tri.filter(F.col("source") == "src0")
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_t"))
+    )
+    consts = raw_m.agg(
+        F.sum("cnt_r").cast("double").alias("tot_r"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    ).crossJoin(tgt_m.agg(F.coalesce(F.sum("cnt_t"), F.lit(0)).cast("double").alias("tot_t")))
+    lw = (
+        tri.join(F.broadcast(raw_m), "tri")
+        .join(F.broadcast(tgt_m), "tri", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            F.round(
+                (
+                    F.log((F.coalesce(F.col("cnt_t"), F.lit(0)) + 1).cast("double"))
+                    - F.log(F.col("tot_t") + F.col("v"))
+                    - F.log(F.col("cnt_r").cast("double"))
+                    + F.log("tot_r")
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("lw"),
+        )
+    )
+    return lw.groupBy("doc_id").agg(
+        F.round(F.sum("lw").cast("double") / 1e6, 4).alias("log_weight")
     )
 
 

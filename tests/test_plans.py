@@ -386,3 +386,12 @@ def test_span_removal_never_shuffles_text(spark, sf_dir):
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert exchanges
     assert not any("_text" in l or "t#" in l for l in exchanges)
+
+
+def test_dsir_and_ccnet_broadcast_models(spark, sf_dir):
+    # both LM scoring passes must broadcast the alphabet^3-bounded models;
+    # the corpus side never sort-merges against them
+    for q in ("dsir_importance_weights", "ccnet_perplexity_buckets"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "BroadcastHashJoin" in plan, q
+        assert "SortMergeJoin" not in plan, q
