@@ -1099,6 +1099,110 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+_GOPHER_GATE_SQL = (
+    f"len(t) BETWEEN 10 AND 100000"
+    f" AND list_sum(list_transform(t, w -> length(w)))"
+    f"     BETWEEN 3 * len(t) AND 10 * len(t)"
+    f" AND len(list_filter(t, w -> list_contains("
+    f"[{', '.join(chr(39) + w + chr(39) for w in T.LANG_STOPWORDS['en'])}], w))) >= 2"
+    f" AND 10 * len(list_distinct(t)) > 3 * len(t)"
+)
+
+
+@register(
+    "curation_pipeline_v2",
+    f"""
+    WITH gated AS (
+      SELECT * FROM (
+        SELECT doc_id, text, lang, {T.tokens_sql('text')} AS t FROM documents
+      ) WHERE {_GOPHER_GATE_SQL}
+    ),
+    cleaned AS ({D.remove_duplicate_spans_sql("doc_id", "text", table="gated", w=15)}),
+    surv AS (
+      SELECT doc_id, clean_text FROM cleaned WHERE length(clean_text) > 0
+    ),
+    reps AS (
+      SELECT {T.fingerprint_sql('clean_text')} AS fp,
+             min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
+      FROM surv GROUP BY 1
+    ),
+    enr AS (
+      SELECT r.keep_id, r.n_dups, g.lang,
+             len(string_split(s.clean_text, ' '))::BIGINT AS n_tok
+      FROM reps r
+      JOIN surv s ON s.doc_id = r.keep_id
+      JOIN gated g ON g.doc_id = r.keep_id
+    )
+    SELECT keep_id, lang, n_dups, n_tok,
+           CAST(floor((cum - n_tok) / 20000.0) AS BIGINT) AS shard_id
+    FROM (
+      SELECT keep_id, lang, n_dups, n_tok,
+             sum(n_tok) OVER (PARTITION BY lang
+                              ORDER BY md5(keep_id::VARCHAR), keep_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM enr) b
+    """,
+    ("pipeline", "dedup", "quality", "sharding"),
+)
+def q_curation_pipeline_v2(spark, sf_dir):
+    """The full curation path as ONE declarative plan: Gopher rule gate →
+    span-level duplicate removal over the survivors → exact dedup on the
+    CLEANED text (a doc that differs only by boilerplate dedups away after
+    removal — the reason span removal must precede fingerprinting) →
+    per-language token-budget shard assignment of the representatives.
+
+    Scale: the gate is a scan-side filter (cheap integer arithmetic per row,
+    pushed into the scan — exactly where a 100 TB pre-filter belongs); span
+    removal shuffles only (id, pos, hash); the dedup shuffles 8-byte
+    fingerprints; the shard window runs per-lang over the already-deduped
+    representative set, orders of magnitude smaller than the corpus."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    t = T.tokens("text")
+    n = F.array_size(t)
+    n_chars = F.aggregate(t, F.lit(0), lambda a, w_: a + F.length(w_))
+    gated = docs.filter(
+        n.between(10, 100000)
+        & n_chars.between(3 * n, 10 * n)
+        & (T.stopword_hits("text", "en") >= 2)
+        & (10 * F.array_size(F.array_distinct(t)) > 3 * n)
+    )
+    cleaned = D.remove_duplicate_spans(gated, "doc_id", "text", w=15)
+    surv = cleaned.filter(F.length("clean_text") > 0).select("doc_id", "clean_text")
+    reps = (
+        surv.select("doc_id", T.fingerprint("clean_text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).cast("bigint").alias("n_dups"))
+    )
+    enr = (
+        reps.join(surv.withColumnRenamed("doc_id", "keep_id"), "keep_id")
+        .join(
+            gated.select(F.col("doc_id").alias("keep_id"), "lang"), "keep_id"
+        )
+        .select(
+            "keep_id",
+            "lang",
+            "n_dups",
+            F.size(F.split("clean_text", " ")).cast("bigint").alias("n_tok"),
+        )
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("keep_id").cast("string")), "keep_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return enr.select(
+        "keep_id",
+        "lang",
+        "n_dups",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 20000.0)
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     S.embedding_neardup_pairs_sql(threshold=0.9, blocked=True),
