@@ -1,0 +1,135 @@
+"""Distributed BPE merge learning — the tokenizer-training step of an
+LLM data pipeline (Sennrich et al., ACL 2016), restated for Spark.
+
+Shape (the part that matters at 100 TB): the corpus is touched ONCE — a
+single shuffle aggregates it to the word-frequency vocabulary (millions of
+rows for a trillion-token corpus, because Zipf). Every merge round then runs
+on the *vocabulary table*, not the corpus: one pair-count aggregation
+(map-side partials absorb the Zipf head) + one driver-side argmax of a
+single row — the same bounded-driver-state iteration pattern as
+`clustering.kmeans_fit` (k·d doubles there, one pair string here).
+
+Merge application uses the sentinel-marker string form: a word's working
+state is its units each prefixed with '_' and space-joined ('hello' →
+'_h _e _l _l _o'), so replacing '_a _b' → '_ab' (plain, non-overlapping,
+left-to-right — identical semantics in Spark `replace` and DuckDB
+`replace`) applies the merge exactly like greedy BPE: it can never match a
+unit *suffix* (markers only occur at unit starts) and chained occurrences
+all merge ('_a _b _a _b' → '_ab _ab').
+
+Determinism: round winner = max summed frequency, ties broken by pair
+string ascending — integer counts and ASCII compare, no floats anywhere.
+
+Reference parity: the reference engine has no tokenizer surface; this
+extends its WordCount-style keyed aggregation
+(flink-examples/.../wordcount/WordCount.java:12-35) into vocabulary
+construction for the LLM-pipeline layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mini_flink_spark.functions.text import tokens, tokens_sql
+
+
+def _seed_state(word: F.Column) -> F.Column:
+    """'hello' -> '_h _e _l _l _o' (sentinel-marked char units)."""
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: F.concat(F.lit("_"), F.substring(word, i, 1)),
+        ),
+        " ",
+    )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 3,
+) -> DataFrame:
+    """Learn `rounds` BPE merges over the corpus; returns one row per round:
+    (round int, pair string, cnt bigint) — the merge table a tokenizer ships.
+
+    Driver state per round is ONE (pair, count) row; the corpus-sized work
+    (vocab build) happens exactly once up front.
+    """
+    spark = df.sparkSession
+    parts = spark.sparkContext.defaultParallelism
+    wc = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    state = wc.select(_seed_state(F.col("w")).alias("s"), "cnt")
+    # rounds iterate on the vocab table: cache it once (tiny vs corpus)
+    state = state.repartition(min(parts, 8)).localCheckpoint(eager=True)
+    out = []
+    for r in range(1, rounds + 1):
+        u = F.split(F.col("s"), " ")
+        pairs = F.transform(
+            F.when(F.array_size(u) >= 2, F.sequence(F.lit(1), F.array_size(u) - 1))
+            .otherwise(F.array().cast("array<int>")),
+            lambda i: F.concat(
+                F.element_at(u, i), F.lit(" "), F.element_at(u, i + 1)
+            ),
+        )
+        best = (
+            state.select(F.explode(pairs).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0].pair, int(best[0].c)
+        out.append((r, pair, cnt))
+        merged = pair.replace(" ", "")
+        state = state.select(
+            F.replace(F.col("s"), F.lit(pair), F.lit(merged)).alias("s"), "cnt"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(out, "round int, pair string, cnt bigint")
+
+
+def bpe_learn_merges_sql(
+    text_col: str = "text", table: str = "documents", rounds: int = 3
+) -> str:
+    """DuckDB twin: the same rounds unrolled as chained CTEs; each round's
+    winner is a LIMIT-1 scalar CTE applied via scalar subqueries."""
+    toks = tokens_sql(text_col)
+    parts = [
+        f"""wc AS (
+  SELECT w, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest({toks}) AS w FROM {table}) WHERE length(w) > 0 GROUP BY w
+),
+w0 AS (
+  SELECT array_to_string(
+           list_transform(range(1, length(w) + 1), i -> '_' || w[i]), ' ') AS s,
+         cnt
+  FROM wc
+)"""
+    ]
+    sel = []
+    for r in range(1, rounds + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f"""p{r} AS (
+  SELECT pair, sum(cnt)::BIGINT AS c FROM (
+    SELECT unnest(list_transform(range(1, len(u)), i -> u[i] || ' ' || u[i+1])) AS pair,
+           cnt
+    FROM (SELECT string_split(s, ' ') AS u, cnt FROM {prev})
+  ) GROUP BY pair
+),
+b{r} AS (SELECT pair, c FROM p{r} ORDER BY c DESC, pair ASC LIMIT 1),
+w{r} AS (
+  SELECT replace(s, (SELECT pair FROM b{r}),
+                 replace((SELECT pair FROM b{r}), ' ', '')) AS s, cnt
+  FROM {prev}
+)"""
+        )
+        sel.append(f"SELECT {r}::INT AS round, pair, c::BIGINT AS cnt FROM b{r}")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)

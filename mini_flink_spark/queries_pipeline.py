@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mini_flink_spark.functions import bpe as B
 from mini_flink_spark.queries import _t, register
 
 
@@ -471,3 +472,17 @@ def q_incremental_revenue_agg(spark, sf_dir):
             F.round(F.col("s").cast("double") / F.col("n_orders"), 4).alias("avg_price"),
         )
     )
+
+
+@register(
+    "bpe_learn_merges",
+    B.bpe_learn_merges_sql("text", rounds=3),
+    ("pipeline", "tokenizer", "iterative"),
+)
+def q_bpe_learn_merges(spark, sf_dir):
+    """Tokenizer training: the first 3 BPE merges learned over the corpus
+    (functions/bpe.py has the sentinel-marker replace semantics and the
+    corpus-once / vocab-per-round scale argument). Output is the merge table
+    (round, pair, cnt) a tokenizer would ship."""
+    docs = _t(spark, sf_dir, "documents")
+    return B.bpe_learn_merges(docs, "text", rounds=3)
