@@ -31,7 +31,7 @@ from collections import Counter
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -111,3 +111,58 @@ FROM items
 GROUP BY {col}
 HAVING count(*) * {k} > (SELECT count(*) FROM items)
 """
+
+
+# ------------------------------------------------------------ Bloom filter
+#
+# An explicit, engine-portable Bloom filter (vs the *planner-injected*
+# runtime bloom pruning pinned in test_plans): build the bit set over a key
+# column with a seeded portable-hash family, probe another column, and report
+# hits — including the false positives, which are DETERMINISTIC here because
+# the hash family is fixed, so the DuckDB twin reproduces them bit-for-bit.
+#
+# Scale: the built filter is m bits (a few KB) independent of build-side
+# cardinality — it broadcasts anywhere; the probe is a per-row expression.
+# This is the manual form of what a 100 TB fact⋈selective-dim join wants
+# when the dim side is computed in a previous job (persist the bit set,
+# broadcast it into the next query).
+
+BLOOM_M = 8192  # bits (~0.5% FP at ~500 build keys, k=3)
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_positions(col: Column | str, m: int = BLOOM_M, k: int = BLOOM_K):
+    from mini_flink_spark.functions.hashing import seeded_hash
+
+    c = F.col(col) if isinstance(col, str) else col
+    return [F.pmod(seeded_hash(c.cast("string"), i), F.lit(m)) for i in range(k)]
+
+
+def bloom_build(df: DataFrame, col: str, m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """1-row DataFrame (bits array<bigint>) — the sorted distinct set bit
+    positions. Array-of-positions instead of a packed bitmap keeps the value
+    engine-portable; at m=8192 it is bounded by 8192 longs either way."""
+    pos = df.select(F.explode(F.array(*_bloom_positions(col, m, k))).alias("p"))
+    return pos.groupBy().agg(F.array_sort(F.collect_set("p")).alias("bits"))
+
+
+def bloom_probe(
+    probe: DataFrame,
+    bloom: DataFrame,
+    col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """probe columns + `bloom_hit` boolean: true iff every hash position of
+    the probe key is set. `bloom` broadcasts (1 row)."""
+    hit = None
+    for p in _bloom_positions(col, m, k):
+        term = F.array_contains(F.col("bits"), p)
+        hit = term if hit is None else (hit & term)
+    return probe.crossJoin(F.broadcast(bloom)).withColumn("bloom_hit", hit).drop("bits")
+
+
+def bloom_sql_positions(expr: str, m: int = BLOOM_M, k: int = BLOOM_K) -> list[str]:
+    from mini_flink_spark.functions.hashing import seeded_hash_sql
+
+    return [f"(({seeded_hash_sql(f'({expr})::VARCHAR', i)}) % {m} + {m}) % {m}" for i in range(k)]

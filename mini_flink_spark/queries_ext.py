@@ -1909,6 +1909,52 @@ def q_streaming_enrich_join(spark, sf_dir):
 
 
 @register(
+    "sketch_bloom_membership",
+    f"""
+    WITH keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 480000
+    ),
+    bits AS (
+      SELECT list_sort(list_distinct(flatten(list(ps)))) AS bits
+      FROM (SELECT [{', '.join(K.bloom_sql_positions('k'))}] AS ps FROM keys)
+    )
+    SELECT c_custkey,
+           ({' AND '.join(f'list_contains(bits, {p})' for p in K.bloom_sql_positions('c_custkey'))}) AS bloom_hit,
+           (c_custkey IN (SELECT k FROM keys)) AS actual
+    FROM customer CROSS JOIN bits
+    """,
+    ("sketch", "join"),
+)
+def q_sketch_bloom_membership(spark, sf_dir):
+    """Explicit engine-portable Bloom filter (vs the planner-injected runtime
+    bloom pruning pinned in test_plans): build over big-spender custkeys (o_totalprice > 480k) with
+    a seeded portable-hash family, probe every customer, emit the hit flag
+    AND the true membership — the false positives are deterministic because
+    the hash family is fixed, so the oracle reproduces them bit-for-bit.
+
+    Scale: the m-bit filter is KBs independent of build cardinality and
+    broadcasts anywhere; the probe is per-row arithmetic. This is the manual
+    cross-job form of semi-join reduction: persist the bit set from one job,
+    broadcast it into the next query's scan filter."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    build = (
+        orders.filter(F.col("o_totalprice") > 480000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bloom = K.bloom_build(build, "k")
+    probed = K.bloom_probe(cust.select("c_custkey"), bloom, "c_custkey")
+    return probed.join(
+        F.broadcast(build.withColumnRenamed("k", "c_custkey").withColumn("actual", F.lit(True))),
+        "c_custkey",
+        "left",
+    ).select(
+        "c_custkey", "bloom_hit", F.coalesce("actual", F.lit(False)).alias("actual")
+    )
+
+
+@register(
     "sketch_distinct_users",
     None,  # HLL estimates are engine-specific; accuracy pinned in tests instead
     ("sketch",),
