@@ -166,3 +166,70 @@ def bloom_sql_positions(expr: str, m: int = BLOOM_M, k: int = BLOOM_K) -> list[s
     from mini_flink_spark.functions.hashing import seeded_hash_sql
 
     return [f"(({seeded_hash_sql(f'({expr})::VARCHAR', i)}) % {m} + {m}) % {m}" for i in range(k)]
+
+
+# -------------------------------------------------------- Count-Min sketch
+
+CMS_D = 4  # hash rows
+CMS_W = 2048  # counters per row
+
+
+def _cms_positions(col: Column | str, w: int = CMS_W, d: int = CMS_D):
+    from mini_flink_spark.functions.hashing import seeded_hash
+
+    c = F.col(col) if isinstance(col, str) else col
+    # seeds offset by 100 so the family is independent of the Bloom filter's
+    return [F.pmod(seeded_hash(c.cast("string"), 100 + i), F.lit(w)) for i in range(d)]
+
+
+def cms_build(df: DataFrame, col: str, w: int = CMS_W, d: int = CMS_D) -> DataFrame:
+    """(row, pos, c) counter table of the Count-Min sketch over the item
+    stream — d*w bounded rows regardless of stream cardinality (the mergeable
+    form: sketches of two corpora ADD, which is why CMS is the streaming /
+    multi-datacenter counter of choice). Map-side partial aggs absorb the
+    Zipf head before the (row, pos)-keyed exchange."""
+    pos = _cms_positions(col, w, d)
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("row"), p.alias("pos"))
+                    for i, p in enumerate(pos)
+                ]
+            )
+        ).alias("rp")
+    )
+    return (
+        rows.select(F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"))
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def cms_estimate(
+    items: DataFrame, cms: DataFrame, col: str, w: int = CMS_W, d: int = CMS_D
+) -> DataFrame:
+    """items + `cms_est` = min over the d counters each item hashes to.
+    The d*w counter table broadcasts (bounded KBs)."""
+    est = None
+    for i, p in enumerate(_cms_positions(col, w, d)):
+        ci = cms.filter(F.col("row") == i).select(
+            F.col("pos").alias(f"pos{i}"), F.col("c").alias(f"c{i}")
+        )
+        items = items.join(
+            F.broadcast(ci), p == F.col(f"pos{i}"), "left"
+        ).drop(f"pos{i}")
+        term = F.coalesce(F.col(f"c{i}"), F.lit(0))
+        est = term if est is None else F.least(est, term)
+        items = items.withColumn("_est_acc", est).drop(f"c{i}")
+        est = F.col("_est_acc")
+    return items.withColumnRenamed("_est_acc", "cms_est")
+
+
+def cms_sql_positions(expr: str, w: int = CMS_W, d: int = CMS_D) -> list[str]:
+    from mini_flink_spark.functions.hashing import seeded_hash_sql
+
+    return [
+        f"(({seeded_hash_sql(f'({expr})::VARCHAR', 100 + i)}) % {w} + {w}) % {w}"
+        for i in range(d)
+    ]

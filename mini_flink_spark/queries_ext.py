@@ -1954,6 +1954,50 @@ def q_sketch_bloom_membership(spark, sf_dir):
     )
 
 
+def _cms_oracle_sql() -> str:
+    toks = T.tokens_sql("text")
+    build_pos = K.cms_sql_positions("tok")
+    probe_pos = K.cms_sql_positions("tok")
+    structs = ", ".join(
+        "{'r': %d, 'p': %s}" % (i, p) for i, p in enumerate(build_pos)
+    )
+    lookups = ", ".join(
+        f"coalesce((SELECT c FROM cms WHERE r = {i} AND p = {p}), 0)"
+        for i, p in enumerate(probe_pos)
+    )
+    return f"""
+    WITH items AS (SELECT unnest({toks}) AS tok FROM documents),
+    rp AS (SELECT unnest([{structs}]) AS s FROM items),
+    cms AS (SELECT s.r AS r, s.p AS p, count(*)::BIGINT AS c FROM rp GROUP BY 1, 2),
+    hh AS (
+      SELECT tok, count(*)::BIGINT AS exact_cnt FROM items GROUP BY tok
+      HAVING count(*) * 80 > (SELECT count(*) FROM items)
+    )
+    SELECT tok, exact_cnt, least({lookups})::BIGINT AS cms_est
+    FROM hh
+    """
+
+
+@register(
+    "sketch_count_min",
+    _cms_oracle_sql(),
+    ("sketch",),
+)
+def q_sketch_count_min(spark, sf_dir):
+    """Count-Min sketch over the token stream with a deterministic portable
+    hash family: the d*w counter table is bounded (KBs) regardless of stream
+    cardinality and MERGEABLE (sketches of two corpora add — the property
+    that makes CMS the cross-datacenter/streaming counter). Probed here with
+    the exact heavy hitters so the output shows estimate vs truth; the fixed
+    family makes every collision deterministic, so the oracle reproduces the
+    estimates exactly (cms_est >= exact_cnt always — one-sided error)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(T.tokens("text")).alias("tok"))
+    cms = K.cms_build(toks, "tok")
+    hh = K.heavy_hitters(toks, "tok", 80).withColumnRenamed("cnt", "exact_cnt")
+    return K.cms_estimate(hh, cms, "tok").select("tok", "exact_cnt", "cms_est")
+
+
 @register(
     "sketch_distinct_users",
     None,  # HLL estimates are engine-specific; accuracy pinned in tests instead
