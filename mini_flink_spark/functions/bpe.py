@@ -88,7 +88,11 @@ def bpe_learn_merges(
             break
         pair, cnt = best[0].pair, int(best[0].c)
         out.append((r, pair, cnt))
-        merged = pair.replace(" ", "")
+        # merged unit = single marker + concatenated unit CONTENTS: '_h _e'
+        # -> '_he', never '_h_e'. Keeping the second unit's marker inside the
+        # merged unit would break the markers-only-at-unit-starts invariant
+        # and let a later pattern ('_e _l') false-match a unit suffix.
+        merged = "_" + pair.replace("_", "").replace(" ", "")
         state = state.select(
             F.replace(F.col("s"), F.lit(pair), F.lit(merged)).alias("s"), "cnt"
         ).localCheckpoint(eager=True)
@@ -127,7 +131,8 @@ w0 AS (
 b{r} AS (SELECT pair, c FROM p{r} ORDER BY c DESC, pair ASC LIMIT 1),
 w{r} AS (
   SELECT replace(s, (SELECT pair FROM b{r}),
-                 replace((SELECT pair FROM b{r}), ' ', '')) AS s, cnt
+                 '_' || replace(replace((SELECT pair FROM b{r}), '_', ''), ' ', '')) AS s,
+         cnt
   FROM {prev}
 )"""
         )

@@ -1,0 +1,124 @@
+"""Behavior tests for the round-2 continuation operators: portable sketches
+(Bloom, Count-Min), BPE merge learning vs a pure-Python reference, and
+span-level dedup removal on planted duplicates."""
+
+from pyspark.sql import functions as F
+
+from mini_flink_spark.functions import bpe as B
+from mini_flink_spark.functions import dedup as D
+from mini_flink_spark.functions import sketches as K
+
+
+# ------------------------------------------------------------------- Bloom
+
+
+def test_bloom_never_false_negative(spark):
+    # Bloom's contract: members ALWAYS hit; only non-members may false-hit
+    members = [(i * 7 + 3,) for i in range(200)]
+    build = spark.createDataFrame(members, "k bigint")
+    bloom = K.bloom_build(build, "k")
+    probe = spark.createDataFrame([(i,) for i in range(2000)], "k bigint")
+    out = K.bloom_probe(probe, bloom, "k").collect()
+    member_set = {m[0] for m in members}
+    misses = [r.k for r in out if r.k in member_set and not r.bloom_hit]
+    assert misses == []
+    # and the filter is actually selective: FP rate bounded well under 10%
+    fps = sum(1 for r in out if r.k not in member_set and r.bloom_hit)
+    non_members = 2000 - len([r for r in out if r.k in member_set])
+    assert fps / non_members < 0.10
+
+
+# --------------------------------------------------------------- Count-Min
+
+
+def test_cms_one_sided_and_tight_when_sparse(spark):
+    rows = [("a",)] * 50 + [("b",)] * 20 + [(f"x{i}",) for i in range(30)]
+    items = spark.createDataFrame(rows, "tok string")
+    cms = K.cms_build(items, "tok")
+    exact = items.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("exact"))
+    est = K.cms_estimate(exact, cms, "tok").collect()
+    for r in est:
+        assert r.cms_est >= r.exact, r  # one-sided error, always
+    # 80 distinct positions into 4x2048 counters: collisions ~0 — estimates exact
+    assert all(r.cms_est == r.exact for r in est)
+
+
+# --------------------------------------------------------------------- BPE
+
+
+def _python_bpe(word_counts: dict[str, int], rounds: int):
+    """Reference greedy BPE on a word-frequency table (Sennrich'16 semantics:
+    count adjacent unit pairs weighted by word frequency, merge the argmax
+    everywhere left-to-right, repeat)."""
+    state = {tuple(w): c for w, c in word_counts.items()}
+    out = []
+    for r in range(1, rounds + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for units, c in state.items():
+            for i in range(len(units) - 1):
+                pairs[(units[i], units[i + 1])] = pairs.get((units[i], units[i + 1]), 0) + c
+        if not pairs:
+            break
+        # max count, tie -> pair ascending by the sentinel-marked string form
+        best = min(pairs.items(), key=lambda kv: (-kv[1], "_" + kv[0][0] + " _" + kv[0][1]))
+        (a, b), cnt = best
+        out.append((r, f"_{a} _{b}", cnt))
+        new_state: dict[tuple, int] = {}
+        for units, c in state.items():
+            merged, i = [], 0
+            while i < len(units):
+                if i + 1 < len(units) and units[i] == a and units[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(units[i])
+                    i += 1
+            t = tuple(merged)
+            new_state[t] = new_state.get(t, 0) + c
+        state = new_state
+    return out
+
+
+def test_bpe_matches_pure_python_reference(spark):
+    texts = [
+        ("the cat sat on the mat",),
+        ("the cat ate the rat",),
+        ("a cat and a rat sat",),
+    ]
+    df = spark.createDataFrame(texts, "text string")
+    got = [(r.round, r.pair, r.cnt) for r in B.bpe_learn_merges(df, "text", rounds=4).collect()]
+    wc: dict[str, int] = {}
+    for (t,) in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    assert got == _python_bpe(wc, 4)
+
+
+# ------------------------------------------------------------ span removal
+
+
+def test_span_removal_cuts_planted_span_only(spark):
+    boiler = " ".join(f"b{i}" for i in range(15))  # exactly w=15 tokens
+    rows = [
+        (1, f"alpha beta {boiler} gamma"),
+        (2, f"delta {boiler} epsilon zeta"),
+        (3, "unrelated text with no duplication at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in D.remove_duplicate_spans(df, "doc_id", "text", w=15).collect()}
+    assert out[1].clean_text == "alpha beta gamma"
+    assert out[1].n_removed == 15
+    assert out[2].clean_text == "delta epsilon zeta"
+    assert out[2].n_removed == 15
+    assert out[3].n_removed == 0
+    assert out[3].clean_text == rows[2][1]
+
+
+def test_duplicate_span_inventory_counts(spark):
+    boiler = " ".join(f"b{i}" for i in range(15))
+    rows = [(1, boiler), (2, boiler), (3, f"{boiler} extra")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    inv = D.duplicate_spans(df, "doc_id", "text", w=15).collect()
+    # the single 15-token span occurs once in docs 1,2 and once in doc 3
+    exact = [r for r in inv if r.n_docs == 3]
+    assert len(exact) == 1 and exact[0].n_occ == 3
