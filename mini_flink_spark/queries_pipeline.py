@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mini_flink_spark.functions import bpe as B
+from mini_flink_spark.functions import hashing as H
+from mini_flink_spark.functions import text as T
 from mini_flink_spark.queries import _t, register
 
 
@@ -486,3 +488,91 @@ def q_bpe_learn_merges(spark, sf_dir):
     (round, pair, cnt) a tokenizer would ship."""
     docs = _t(spark, sf_dir, "documents")
     return B.bpe_learn_merges(docs, "text", rounds=3)
+
+
+@register(
+    "weighted_sample_es",
+    f"""
+    WITH w AS (
+      SELECT doc_id, ({T.token_count_sql('text')})::BIGINT AS n_tokens,
+             ((({H.portable_hash64_sql("doc_id::VARCHAR || '#es'")}) % 1000000) + 1)
+               / 1000001.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, n_tokens
+    FROM w
+    ORDER BY pow(u, 1.0 / n_tokens) DESC, doc_id
+    LIMIT 50
+    """,
+    ("pipeline", "sampling"),
+)
+def q_weighted_sample_es(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis, IPL 2006):
+    each doc draws key u^(1/w) with u a DETERMINISTIC hash-uniform in (0,1)
+    and w its token count; the k largest keys are the sample. One pass + a
+    top-k — distributed as TakeOrderedAndProject, never a global sort of the
+    corpus. The fixed hash makes the draw reproducible, so the oracle selects
+    the identical sample (the standard trick for token-proportional corpus
+    subsampling where a seeded `rand()` would differ per engine/partitioning).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        (F.pmod(H.portable_hash64(F.concat(F.col("doc_id").cast("string"), F.lit("#es"))), F.lit(1000000)) + 1)
+        / 1000001.0
+    )
+    w = docs.select(
+        "doc_id",
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        u.alias("u"),
+    )
+    return (
+        w.orderBy(F.pow("u", 1.0 / F.col("n_tokens")).desc(), F.col("doc_id"))
+        .select("doc_id", "n_tokens")
+        .limit(50)
+    )
+
+
+@register(
+    "mixture_weights_temperature",
+    f"""
+    WITH per_src AS (
+      SELECT source, (sum({T.token_count_sql('text')}))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    sh AS (
+      SELECT source, n_tokens,
+             n_tokens::DOUBLE / (sum(n_tokens) OVER ()) AS share
+      FROM per_src
+    )
+    SELECT source, n_tokens, round(share, 6) AS share,
+           round(pow(share, 0.7) / (sum(pow(share, 0.7)) OVER ()), 6) AS p_sample,
+           round(pow(share, 0.7) / (sum(pow(share, 0.7)) OVER ()) / share, 6)
+             AS up_weight
+    FROM sh
+    """,
+    ("pipeline", "mixture"),
+)
+def q_mixture_weights_temperature(spark, sf_dir):
+    """Temperature-scaled mixture sampling (the multilingual-corpus trick,
+    tau=0.7): sampling probability p_i ∝ share_i^tau flattens the source
+    distribution — rare sources up-weight (up_weight > 1), dominant ones
+    down-weight — without the hard uniformity of equal shares.
+
+    Scale: one corpus-scan agg to per-source token counts (num_sources rows);
+    every window below runs on that aggregate, so the global windows are
+    free."""
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(T.token_count("text").cast("bigint")).alias("n_tokens")
+    )
+    wall = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(wall)
+    sh = per_src.select("source", "n_tokens", share.alias("share"))
+    p = F.pow("share", 0.7) / F.sum(F.pow("share", 0.7)).over(wall)
+    return sh.select(
+        "source",
+        "n_tokens",
+        F.round("share", 6).alias("share"),
+        F.round(p, 6).alias("p_sample"),
+        F.round(p / F.col("share"), 6).alias("up_weight"),
+    )
