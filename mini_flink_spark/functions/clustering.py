@@ -167,7 +167,6 @@ def pq_fit(
     if d % m:
         raise ValueError(f"pq_fit: dim {d} not divisible by m={m}")
     dsub = d // m
-    k = min(k, len(rows))
     # books[s][c] = centroid c of subspace s, seeded from the first-k rows'
     # subvector slices (identical to fitting each sliced column separately)
     books = [

@@ -702,6 +702,72 @@ def q_dedup_span_removal(spark, sf_dir):
     return D.remove_duplicate_spans(docs, "doc_id", "text", w=15)
 
 
+# Gopher rule thresholds (Rae et al. 2021 §A1.1, adapted to this corpus) —
+# the single source of truth for the flags query, the curation-pipeline gate,
+# and every oracle rendering. Integer cross-multiplication form throughout so
+# no flag ever compares floats at a rule boundary.
+GOPHER_TOKENS_LO, GOPHER_TOKENS_HI = 10, 100000
+GOPHER_MWL_LO, GOPHER_MWL_HI = 3, 10  # mean word length bounds
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_DISTINCT_NUM, GOPHER_DISTINCT_DEN = 10, 3  # 10*distinct > 3*tokens
+
+_SW_EN_SQL = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
+
+# metric SQL over a token-list column named t
+GOPHER_METRICS_SQL = {
+    "n_tokens": "len(t)::BIGINT",
+    "n_chars": "list_sum(list_transform(t, w -> length(w)))::BIGINT",
+    "sw_hits": f"len(list_filter(t, w -> list_contains([{_SW_EN_SQL}], w)))::BIGINT",
+    "n_distinct": "len(list_distinct(t))::BIGINT",
+}
+
+
+def gopher_flag_sqls(
+    nt: str = "n_tokens",
+    nc: str = "n_chars",
+    sw: str = "sw_hits",
+    nd: str = "n_distinct",
+) -> dict[str, str]:
+    return {
+        "flag_word_count": f"({nt} BETWEEN {GOPHER_TOKENS_LO} AND {GOPHER_TOKENS_HI})",
+        "flag_mean_word_len": f"({nc} BETWEEN {GOPHER_MWL_LO} * {nt} AND {GOPHER_MWL_HI} * {nt})",
+        "flag_stopwords": f"({sw} >= {GOPHER_MIN_STOPWORDS})",
+        "flag_distinct": f"({GOPHER_DISTINCT_NUM} * {nd} > {GOPHER_DISTINCT_DEN} * {nt})",
+    }
+
+
+def gopher_pass_sql(**kw: str) -> str:
+    return " AND ".join(gopher_flag_sqls(**kw).values())
+
+
+def gopher_metrics(t) -> dict:
+    """Token-array Column -> the four rule-metric Columns."""
+    sw = F.array(*[F.lit(w) for w in T.LANG_STOPWORDS["en"]])
+    return {
+        "n_tokens": F.array_size(t).cast("bigint"),
+        "n_chars": F.aggregate(
+            t, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+        ),
+        "sw_hits": F.size(F.filter(t, lambda w: F.array_contains(sw, w))).cast(
+            "bigint"
+        ),
+        "n_distinct": F.array_size(F.array_distinct(t)).cast("bigint"),
+    }
+
+
+def gopher_flags(nt, nc, sw, nd) -> tuple:
+    """Metric Columns -> the four rule flags (same order as gopher_flag_sqls)."""
+    return (
+        nt.between(GOPHER_TOKENS_LO, GOPHER_TOKENS_HI),
+        nc.between(GOPHER_MWL_LO * nt, GOPHER_MWL_HI * nt),
+        sw >= GOPHER_MIN_STOPWORDS,
+        GOPHER_DISTINCT_NUM * nd > GOPHER_DISTINCT_DEN * nt,
+    )
+
+
+_GF = gopher_flag_sqls()
+
+
 @register(
     "gopher_quality_flags",
     f"""
@@ -709,22 +775,20 @@ def q_dedup_span_removal(spark, sf_dir):
       SELECT doc_id, {T.tokens_sql('text')} AS t FROM documents
     ),
     m AS (
-      SELECT doc_id, len(t)::BIGINT AS n_tokens,
-             list_sum(list_transform(t, w -> length(w)))::BIGINT AS n_chars,
-             len(list_filter(t, w -> list_contains([{", ".join(f"'{w}'" for w in T.LANG_STOPWORDS['en'])}], w)))::BIGINT AS sw_hits,
-             len(list_distinct(t))::BIGINT AS n_distinct
+      SELECT doc_id,
+             {GOPHER_METRICS_SQL['n_tokens']} AS n_tokens,
+             {GOPHER_METRICS_SQL['n_chars']} AS n_chars,
+             {GOPHER_METRICS_SQL['sw_hits']} AS sw_hits,
+             {GOPHER_METRICS_SQL['n_distinct']} AS n_distinct
       FROM toks
     )
     SELECT doc_id, n_tokens,
            round(n_chars::DOUBLE / n_tokens, 4) AS mean_word_len,
-           (n_tokens BETWEEN 10 AND 100000) AS flag_word_count,
-           (n_chars BETWEEN 3 * n_tokens AND 10 * n_tokens) AS flag_mean_word_len,
-           (sw_hits >= 2) AS flag_stopwords,
-           (10 * n_distinct > 3 * n_tokens) AS flag_distinct,
-           ((n_tokens BETWEEN 10 AND 100000)
-            AND (n_chars BETWEEN 3 * n_tokens AND 10 * n_tokens)
-            AND sw_hits >= 2
-            AND 10 * n_distinct > 3 * n_tokens) AS pass_gopher
+           {_GF['flag_word_count']} AS flag_word_count,
+           {_GF['flag_mean_word_len']} AS flag_mean_word_len,
+           {_GF['flag_stopwords']} AS flag_stopwords,
+           {_GF['flag_distinct']} AS flag_distinct,
+           ({gopher_pass_sql()}) AS pass_gopher
     FROM m
     """,
     ("text", "quality", "pipeline"),
@@ -742,22 +806,13 @@ def q_gopher_quality_flags(spark, sf_dir):
     no Python); runs map-side inside the corpus scan like the rest of text.py.
     """
     docs = _spread(_t(spark, sf_dir, "documents"))
-    t = T.tokens("text")
+    mx = gopher_metrics(T.tokens("text"))
     m = docs.select(
-        "doc_id",
-        F.array_size(t).cast("bigint").alias("n_tokens"),
-        F.aggregate(
-            t, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
-        ).alias("n_chars"),
-        T.stopword_hits("text", "en").cast("bigint").alias("sw_hits"),
-        F.array_size(F.array_distinct(t)).cast("bigint").alias("n_distinct"),
+        "doc_id", *[c.alias(name) for name, c in mx.items()]
     )
-    flag_wc = F.col("n_tokens").between(10, 100000)
-    flag_mwl = F.col("n_chars").between(
-        3 * F.col("n_tokens"), 10 * F.col("n_tokens")
+    flag_wc, flag_mwl, flag_sw, flag_dr = gopher_flags(
+        F.col("n_tokens"), F.col("n_chars"), F.col("sw_hits"), F.col("n_distinct")
     )
-    flag_sw = F.col("sw_hits") >= 2
-    flag_dr = 10 * F.col("n_distinct") > 3 * F.col("n_tokens")
     return m.select(
         "doc_id",
         "n_tokens",
@@ -811,6 +866,13 @@ def q_lm_perplexity_score(spark, sf_dir):
     double-addition ordering that varies across partitionings and engines;
     one final double division + round(4)."""
     docs = _spread(_t(spark, sf_dir, "documents"))
+    return _doc_avg_nll(docs)
+
+
+def _doc_avg_nll(docs):
+    """(doc_id, avg_nll) under the corpus char-trigram LM — the shared
+    scoring convention (1e6-scaled integer log-probs, round(4) at the end)
+    for lm_perplexity_score and ccnet_perplexity_buckets."""
     tri = _char_trigrams(docs)
     model = tri.groupBy("tri").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     tot = model.agg(F.sum("cnt").cast("double").alias("total"))
@@ -902,25 +964,7 @@ def q_ccnet_perplexity_buckets(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _spread(_t(spark, sf_dir, "documents"))
-    tri = _char_trigrams(docs)
-    model = tri.groupBy("tri").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    tot = model.agg(F.sum("cnt").cast("double").alias("total"))
-    nll = (
-        tri.join(F.broadcast(model), "tri")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "doc_id",
-            F.round((F.log(F.col("cnt").cast("double")) - F.log("total")) * 1e6)
-            .cast("bigint")
-            .alias("lp"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                -(F.sum("lp").cast("double")) / (F.count(F.lit(1)) * 1e6), 4
-            ).alias("avg_nll")
-        )
-    )
+    nll = _doc_avg_nll(docs)
     w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
     n3 = F.ntile(3).over(w)
     return (
@@ -1099,13 +1143,12 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
-_GOPHER_GATE_SQL = (
-    f"len(t) BETWEEN 10 AND 100000"
-    f" AND list_sum(list_transform(t, w -> length(w)))"
-    f"     BETWEEN 3 * len(t) AND 10 * len(t)"
-    f" AND len(list_filter(t, w -> list_contains("
-    f"[{', '.join(chr(39) + w + chr(39) for w in T.LANG_STOPWORDS['en'])}], w))) >= 2"
-    f" AND 10 * len(list_distinct(t)) > 3 * len(t)"
+# the same rule set inlined over the token-list column (shared thresholds)
+_GOPHER_GATE_SQL = gopher_pass_sql(
+    nt=GOPHER_METRICS_SQL["n_tokens"],
+    nc=GOPHER_METRICS_SQL["n_chars"],
+    sw=GOPHER_METRICS_SQL["sw_hits"],
+    nd=GOPHER_METRICS_SQL["n_distinct"],
 )
 
 
@@ -1159,15 +1202,11 @@ def q_curation_pipeline_v2(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    t = T.tokens("text")
-    n = F.array_size(t)
-    n_chars = F.aggregate(t, F.lit(0), lambda a, w_: a + F.length(w_))
-    gated = docs.filter(
-        n.between(10, 100000)
-        & n_chars.between(3 * n, 10 * n)
-        & (T.stopword_hits("text", "en") >= 2)
-        & (10 * F.array_size(F.array_distinct(t)) > 3 * n)
+    mx = gopher_metrics(T.tokens("text"))
+    f1, f2, f3, f4 = gopher_flags(
+        mx["n_tokens"], mx["n_chars"], mx["sw_hits"], mx["n_distinct"]
     )
+    gated = docs.filter(f1 & f2 & f3 & f4)
     cleaned = D.remove_duplicate_spans(gated, "doc_id", "text", w=15)
     surv = cleaned.filter(F.length("clean_text") > 0).select("doc_id", "clean_text")
     reps = (
@@ -1915,7 +1954,9 @@ def q_streaming_enrich_join(spark, sf_dir):
       SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 480000
     ),
     bits AS (
-      SELECT list_sort(list_distinct(flatten(list(ps)))) AS bits
+      -- coalesce: list() over an empty build side is NULL in DuckDB, but
+      -- Spark's collect_set yields [] — an empty filter must probe false
+      SELECT coalesce(list_sort(list_distinct(flatten(list(ps)))), []) AS bits
       FROM (SELECT [{', '.join(K.bloom_sql_positions('k'))}] AS ps FROM keys)
     )
     SELECT c_custkey,

@@ -501,7 +501,7 @@ def q_bpe_learn_merges(spark, sf_dir):
     )
     SELECT doc_id, n_tokens
     FROM w
-    ORDER BY pow(u, 1.0 / n_tokens) DESC, doc_id
+    ORDER BY round(pow(u, 1.0 / n_tokens), 12) DESC, doc_id
     LIMIT 50
     """,
     ("pipeline", "sampling"),
@@ -511,8 +511,9 @@ def q_weighted_sample_es(spark, sf_dir):
     each doc draws key u^(1/w) with u a DETERMINISTIC hash-uniform in (0,1)
     and w its token count; the k largest keys are the sample. One pass + a
     top-k — distributed as TakeOrderedAndProject, never a global sort of the
-    corpus. The fixed hash makes the draw reproducible, so the oracle selects
-    the identical sample (the standard trick for token-proportional corpus
+    corpus. The fixed hash makes the draw reproducible, and the key rounds to
+    12 dp before ordering (pow is only ulp-accurate per engine), so the
+    oracle selects the identical sample (the standard trick for token-proportional corpus
     subsampling where a seeded `rand()` would differ per engine/partitioning).
     """
     docs = _t(spark, sf_dir, "documents")
@@ -526,7 +527,7 @@ def q_weighted_sample_es(spark, sf_dir):
         u.alias("u"),
     )
     return (
-        w.orderBy(F.pow("u", 1.0 / F.col("n_tokens")).desc(), F.col("doc_id"))
+        w.orderBy(F.round(F.pow("u", 1.0 / F.col("n_tokens")), 12).desc(), F.col("doc_id"))
         .select("doc_id", "n_tokens")
         .limit(50)
     )
