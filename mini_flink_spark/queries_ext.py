@@ -1000,7 +1000,7 @@ def q_ccnet_perplexity_buckets(spark, sf_dir):
       LEFT JOIN tgt_m m USING (tri)
       CROSS JOIN consts
     )
-    SELECT doc_id, round(sum(lw)::DOUBLE / 1e6, 4) AS log_weight
+    SELECT doc_id, sum(lw)::BIGINT AS log_weight_micros
     FROM lw GROUP BY doc_id
     """,
     ("text", "pipeline", "mixture"),
@@ -1049,8 +1049,12 @@ def q_dsir_importance_weights(spark, sf_dir):
             .alias("lw"),
         )
     )
+    # exact integer micro-units, NOT a rounded double: round(sum/1e6, 4)
+    # lands on decimal-tie boundaries (...50 micro) where Spark's
+    # BigDecimal HALF_UP and DuckDB's binary-double rounding split —
+    # observed 5 flipped docs at sf0.1. The integer sum is exact everywhere.
     return lw.groupBy("doc_id").agg(
-        F.round(F.sum("lw").cast("double") / 1e6, 4).alias("log_weight")
+        F.sum("lw").cast("bigint").alias("log_weight_micros")
     )
 
 
