@@ -115,12 +115,18 @@ def running_reduce_stream(
 
     def fn(key, pdf_iter, state):
         acc = state.get[0] if state.exists else 0
+        # Concatenate the key's Arrow chunks BEFORE sorting: a key's batch
+        # data can span chunk boundaries (chunks are ~10k rows across all
+        # keys of the task), and sorting each chunk independently would
+        # accumulate in chunk-arrival order, not order_col order — observed
+        # as running-sum divergence at sf0.1 where keys straddle chunks.
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(order_col, kind="mergesort")
         rows = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(order_col, kind="mergesort")
-            for r in pdf.itertuples(index=False):
-                acc += int(round(float(getattr(r, value_col)) * 1_000_000))
-                rows.append((key[0], getattr(r, order_col), acc))
+        for r in pdf.itertuples(index=False):
+            acc += int(round(float(getattr(r, value_col)) * 1_000_000))
+            rows.append((key[0], getattr(r, order_col), acc))
         state.update((acc,))
         yield pd.DataFrame(rows, columns=[key_col, order_col, "running_micros"])
 
