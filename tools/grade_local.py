@@ -55,8 +55,15 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
             if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
                 import numpy as np
 
+                # rtol matters: big DECIMAL sums cast to DOUBLE carry ulp
+                # (~1e-16 relative) noise from decimal-cast boundaries; a
+                # pure-absolute tolerance flags 1e9-magnitude sums spuriously
                 if not np.allclose(
-                    av.astype(float), bv.astype(float), rtol=0, atol=1e-9, equal_nan=True
+                    av.astype(float),
+                    bv.astype(float),
+                    rtol=1e-12,
+                    atol=1e-9,
+                    equal_nan=True,
                 ):
                     return False
             else:
