@@ -577,3 +577,152 @@ def q_mixture_weights_temperature(spark, sf_dir):
         F.round(p, 6).alias("p_sample"),
         F.round(p / F.col("share"), 6).alias("up_weight"),
     )
+
+
+@register(
+    "tfidf_keywords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({T.tokens_sql('text')}) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY tok),
+    n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM toks),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln(n.n_docs / df.df) * 1e6)::BIGINT AS score_micros
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, score_micros FROM (
+      SELECT doc_id, tok, score_micros,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_micros DESC, tok) AS rn
+      FROM scored) t
+    WHERE rn <= 3
+    """,
+    ("text", "ir"),
+)
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document — the classic per-doc salience
+    signal (keyword indexing, near-dup explanation, topic labeling).
+    Scores quantize to integer micro-units BEFORE the ranking window so the
+    top-3 cut is deterministic across engines (ln is only ulp-accurate;
+    ranking raw doubles could flip the rank-3/rank-4 boundary).
+
+    Scale: tf is one (doc, tok) agg; df one tok agg that BROADCASTS (vocab ≪
+    corpus); the rank window partitions by doc — per-doc state is the doc's
+    distinct tokens, never corpus-wide."""
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    df = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    n = toks.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 1e6)
+            .cast("bigint")
+            .alias("score_micros"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score_micros").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "score_micros")
+    )
+
+
+@register(
+    "pmi_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {T.tokens_sql('text')} AS t FROM documents
+    ),
+    uni AS (
+      SELECT tok, count(*)::BIGINT AS c FROM (
+        SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ),
+    bi AS (
+      SELECT pair, count(*)::BIGINT AS c2 FROM (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair
+        FROM toks) GROUP BY pair
+    ),
+    tot AS (
+      SELECT (SELECT sum(c) FROM uni)::DOUBLE AS n1,
+             (SELECT sum(c2) FROM bi)::DOUBLE AS n2
+    ),
+    scored AS (
+      SELECT b.pair, b.c2,
+             round(ln((b.c2 / tot.n2) /
+                      ((u1.c / tot.n1) * (u2.c / tot.n1))) * 1e6)::BIGINT AS pmi_micros
+      FROM bi b
+      JOIN uni u1 ON u1.tok = string_split(b.pair, ' ')[1]
+      JOIN uni u2 ON u2.tok = string_split(b.pair, ' ')[2]
+      CROSS JOIN tot
+      WHERE b.c2 >= 5
+    )
+    SELECT pair, c2, pmi_micros FROM scored
+    ORDER BY pmi_micros DESC, pair LIMIT 20
+    """,
+    ("text", "ngram-stats"),
+)
+def q_pmi_collocations(spark, sf_dir):
+    """Top-20 collocations by pointwise mutual information — the corpus
+    statistic behind multi-word-expression vocab entries and tokenizer merge
+    audits. A minimum pair count (>= 5 at test SF) applies the standard PMI
+    low-frequency correction; scores quantize to micro-units before the
+    top-k so the cut is engine-deterministic.
+
+    Scale: unigram and bigram tables are vocab-bounded aggs (map-side
+    partials absorb the Zipf head); both BROADCAST into the scoring join;
+    the final top-20 is TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(T.tokens("text").alias("t"))
+    uni = toks.select(F.explode("t").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    pairs_arr = F.when(
+        F.array_size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.array_size("t") - 1),
+            lambda i: F.concat(
+                F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = toks.select(F.explode(pairs_arr).alias("pair")).groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("n1")).crossJoin(
+        bi.agg(F.sum("c2").cast("double").alias("n2"))
+    )
+    w1 = F.split(F.col("pair"), " ").getItem(0)
+    w2 = F.split(F.col("pair"), " ").getItem(1)
+    scored = (
+        bi.filter(F.col("c2") >= 5)
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w1k").withColumnRenamed("c", "c_1")), w1 == F.col("w1k"))
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w2k").withColumnRenamed("c", "c_2")), w2 == F.col("w2k"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pair",
+            "c2",
+            F.round(
+                F.log(
+                    (F.col("c2") / F.col("n2"))
+                    / ((F.col("c_1") / F.col("n1")) * (F.col("c_2") / F.col("n1")))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("pmi_micros"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_micros").desc(), "pair").limit(20)
