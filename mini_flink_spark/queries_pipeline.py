@@ -726,3 +726,103 @@ def q_pmi_collocations(spark, sf_dir):
         )
     )
     return scored.orderBy(F.col("pmi_micros").desc(), "pair").limit(20)
+
+
+@register(
+    "packed_sequence_offsets",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, ({T.token_count_sql('text')})::BIGINT AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang
+                                 ORDER BY md5(doc_id::VARCHAR), doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM w
+    )
+    SELECT doc_id, lang, n_tokens,
+           ((cum - n_tokens) // 2048)::BIGINT AS seq_id,
+           ((cum - n_tokens) % 2048)::BIGINT AS start_pos
+    FROM c
+    """,
+    ("pipeline", "packing"),
+)
+def q_packed_sequence_offsets(spark, sf_dir):
+    """Sequence packing for training: concatenate each language's shuffled
+    doc stream and cut it into fixed 2048-token sequences — every doc gets
+    (seq_id, start_pos), the metadata a dataloader needs to pack batches and
+    reset attention masks at document boundaries. Pure integer arithmetic on
+    a per-stratum running sum (docs may straddle a boundary — the packed
+    stream is contiguous, exactly like GPT-style pretraining corpora).
+
+    Scale: one shuffle on lang + a per-stratum window; the order key is
+    data-derived (md5), so packing is reproducible for any partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = docs.select(
+        "doc_id", "lang", T.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    cum = base.withColumn("cum", F.sum("n_tokens").over(w))
+    off = F.col("cum") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(off / 2048).cast("bigint").alias("seq_id"),
+        (off % 2048).cast("bigint").alias("start_pos"),
+    )
+
+
+@register(
+    "length_outliers_iqr",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, ({T.token_count_sql('text')})::BIGINT AS n_tokens
+      FROM documents
+    ),
+    q AS (
+      SELECT source,
+             round(quantile_cont(n_tokens, 0.25), 6) AS q1,
+             round(quantile_cont(n_tokens, 0.75), 6) AS q3
+      FROM w GROUP BY source
+    )
+    SELECT w.doc_id, w.source, w.n_tokens,
+           (w.n_tokens < q.q1 - 1.5 * (q.q3 - q.q1)
+            OR w.n_tokens > q.q3 + 1.5 * (q.q3 - q.q1)) AS is_outlier
+    FROM w JOIN q USING (source)
+    """,
+    ("pipeline", "quality"),
+)
+def q_length_outliers_iqr(spark, sf_dir):
+    """Robust per-source length outlier flag (Tukey 1.5-IQR fences on token
+    counts) — the distribution-aware cousin of fixed length cutoffs: a
+    source of tweets and a source of articles get different fences without
+    per-source config. Exact interpolated quartiles (Spark `percentile` and
+    DuckDB `quantile_cont` share the (1-g)a + gb definition), rounded to 6dp
+    before the fence compare on both engines.
+
+    Scale: quartiles are a per-source agg (num_sources rows) broadcast back
+    over the corpus — no corpus shuffle; swap in percentile_approx when a
+    single source's exact sort-based percentile no longer fits."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", "source", T.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    q = w.groupBy("source").agg(
+        F.round(F.percentile("n_tokens", 0.25), 6).alias("q1"),
+        F.round(F.percentile("n_tokens", 0.75), 6).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return w.join(F.broadcast(q), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (
+            (F.col("n_tokens") < F.col("q1") - 1.5 * iqr)
+            | (F.col("n_tokens") > F.col("q3") + 1.5 * iqr)
+        ).alias("is_outlier"),
+    )
