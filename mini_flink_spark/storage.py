@@ -152,3 +152,30 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    part_col: str = "event_date",
+    mode: str = "overwrite",
+) -> str:
+    """Hive-style date-partitioned parquet layout: one directory per day.
+
+    The third storage lever next to bucketing (join-key co-location) and
+    Z-order (multi-dim stats pruning): a time predicate prunes whole
+    PARTITION DIRECTORIES at planning time — `PartitionFilters` in the scan —
+    so a day query over a 100 TB / 3-year corpus lists and reads ~0.1% of
+    files without touching any footer. Time is the near-universal first
+    filter on event data (the reference's whole domain), which makes
+    date the default outermost partition key; avoid over-partitioning
+    (sub-day keys multiply tiny files — keep >= 100 MB per partition-file).
+    """
+    (
+        df.withColumn(part_col, F.to_date(F.col(ts_col)))
+        .write.partitionBy(part_col)
+        .mode(mode)
+        .parquet(path)
+    )
+    return path

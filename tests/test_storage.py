@@ -120,3 +120,24 @@ def test_zorder_roundtrip_preserves_rows(spark, sf_dir, tmp_path):
     got = sorted(r.event_id for r in spark.read.parquet(path).filter(pred).collect())
     want = sorted(r.event_id for r in ev.filter(pred).collect())
     assert got == want and len(got) > 0
+
+
+def test_date_partition_pruning(spark, sf_dir, tmp_path):
+    from mini_flink_spark.session import read_table
+    from mini_flink_spark.storage import write_date_partitioned
+
+    ev = read_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_date")
+    write_date_partitioned(ev, path, "ts")
+    back = spark.read.parquet(path)
+
+    one_day = ev.select(F.to_date("ts").alias("d")).distinct().orderBy("d").first().d
+    q = back.filter(F.col("event_date") == F.lit(one_day))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # pruning happens at PLANNING: the predicate lands in PartitionFilters
+    # (directory-level skip), not PushedFilters (footer/row-group level)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_date" in pf[0]
+    # and the layout is lossless for the day
+    expect = ev.filter(F.to_date("ts") == F.lit(one_day)).count()
+    assert q.count() == expect > 0
