@@ -899,3 +899,87 @@ SELECT id AS {id_col},
        (len(t) - len(kept))::BIGINT AS n_removed
 FROM rebuilt
 """
+
+
+def incremental_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    new_pred: str = "doc_id >= 450",
+    w: int = 15,
+) -> DataFrame:
+    """Ingestion-time span dedup: which w-token spans of the NEW batch
+    already exist in the INDEXED corpus (old docs)? Returns
+    (doc_id, n_spans, n_dup_spans) per new doc — the signal an ingest
+    pipeline uses to drop or trim boilerplate-heavy arrivals without
+    re-running corpus-wide dedup.
+
+    Scale shape mirrors `minhash_incremental_pairs`: old×old is never
+    compared, the old corpus contributes only its (bounded, persisted)
+    distinct span-hash inventory, and the join runs new-side hashes against
+    it — at steady state the inventory is an incrementally-maintained table,
+    not a recompute (the recompute here stands in for reading it)."""
+    from mini_flink_spark.functions.hashing import portable_hash64
+
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    raw = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        F.expr(new_pred).alias("is_new"),
+    ).repartition(parts)
+    toks = raw.select("id", "is_new", tokens("_text").alias("t"))
+    k = F.array_size("t") - (w - 1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ph = toks.select(
+        "id",
+        "is_new",
+        F.explode(
+            F.transform(
+                idx, lambda i: portable_hash64(F.array_join(F.slice("t", i, w), " "))
+            )
+        ).alias("h"),
+    )
+    index = ph.filter(~F.col("is_new")).select("h").distinct()
+    new_spans = ph.filter(F.col("is_new"))
+    hits = new_spans.join(index.withColumn("dup", F.lit(1)), "h", "left")
+    return (
+        hits.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.count("dup").cast("bigint").alias("n_dup_spans"),
+        )
+        .select(F.col("id").alias(id_col), "n_spans", "n_dup_spans")
+    )
+
+
+def incremental_duplicate_spans_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    new_pred: str = "doc_id >= 450",
+    w: int = 15,
+) -> str:
+    toks = tokens_sql(text_col)
+    span = portable_hash64_sql(f"array_to_string(t[i:i+{w - 1}], ' ')")
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, ({new_pred}) AS is_new, {toks} AS t FROM {table}
+),
+ph AS (
+  SELECT id, is_new,
+         unnest(list_transform(range(1, greatest(len(t) - {w - 1}, 0) + 1),
+                               i -> {span})) AS h
+  FROM toks
+),
+index_h AS (SELECT DISTINCT h FROM ph WHERE NOT is_new),
+hits AS (
+  SELECT n.id, (i.h IS NOT NULL) AS dup
+  FROM (SELECT id, h FROM ph WHERE is_new) n
+  LEFT JOIN index_h i USING (h)
+)
+SELECT id AS {id_col}, count(*)::BIGINT AS n_spans,
+       count(CASE WHEN dup THEN 1 END)::BIGINT AS n_dup_spans
+FROM hits GROUP BY id
+"""

@@ -2436,3 +2436,19 @@ def q_array_battery(spark, sf_dir):
         F.reverse(head4).alias("head4_rev"),
         F.array_contains("embedding", F.lit(0.0)).alias("has_zero"),
     )
+
+
+@register(
+    "dedup_spans_incremental",
+    D.incremental_duplicate_spans_sql("doc_id", "text", new_pred="doc_id >= 450", w=15),
+    ("dedup", "spans", "incremental"),
+)
+def q_dedup_spans_incremental(spark, sf_dir):
+    """Ingestion-time span dedup: per NEW doc (doc_id >= 450), how many of
+    its 15-token spans already exist in the indexed corpus — the drop/trim
+    signal an ingest pipeline applies per batch against a persisted span
+    inventory (old×old never recompared; see functions/dedup.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.incremental_duplicate_spans(
+        docs, "doc_id", "text", new_pred="doc_id >= 450", w=15
+    )

@@ -122,3 +122,21 @@ def test_duplicate_span_inventory_counts(spark):
     # the single 15-token span occurs once in docs 1,2 and once in doc 3
     exact = [r for r in inv if r.n_docs == 3]
     assert len(exact) == 1 and exact[0].n_occ == 3
+
+
+def test_cms_sketches_merge_by_addition(spark):
+    # THE CMS scale property: sketch(A ∪ B) == sketch(A) + sketch(B) —
+    # counter tables from disjoint corpus shards add cell-wise
+    a = spark.createDataFrame([("a",)] * 30 + [("b",)] * 7, "tok string")
+    b = spark.createDataFrame([("a",)] * 12 + [("c",)] * 9, "tok string")
+    both = a.union(b)
+    merged = (
+        K.cms_build(a, "tok")
+        .union(K.cms_build(b, "tok"))
+        .groupBy("row", "pos")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = K.cms_build(both, "tok")
+    assert (
+        sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    )
