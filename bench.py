@@ -59,6 +59,11 @@ HEADLINE = [
     "dedup_duplicate_spans",
     "dedup_span_removal",
     "gopher_quality_flags",
+    "curation_pipeline_v2",
+    "bpe_learn_merges",
+    "sketch_count_min",
+    "tfidf_keywords",
+    "packed_sequence_offsets",
 ]
 
 
