@@ -107,13 +107,16 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
 # Multi-table OR-amplified LSH: a single table of b hyperplanes has recall
 # p(cos)^b per pair (p = 1 - θ/π), which collapses for mid-similarity
 # neighbors; L independent tables raise it to 1 - (1 - p^b)^L at L× candidate
-# cost — the standard tradeoff. Defaults (6 tables × 6 planes) give ~95%
-# bucket-collision probability at cosine 0.9 while pruning ~91% of random
-# pairs; tune per corpus density.
+# cost — the standard tradeoff. Defaults (12 tables × 4 planes) are tuned to
+# this corpus's neighbor-density: random 64-dim embeddings put true top-5
+# neighbors near cosine ~0.4 (p ≈ 0.63), where 6×6 tables collapse to ~0.3
+# recall but 12×4 reach ~0.8 (measured recall@5 via ann_recall_eval).
+# At billion-vector scale, b grows ~log2(n/target_bucket_size) and L with
+# the recall target — the (b, L) pair is THE tuning surface of this index.
 
 N_PLANES = 8  # single-table bucket width (kept for bucket-id helpers)
-L_TABLES = 6
-PLANES_PER_TABLE = 6
+L_TABLES = 12
+PLANES_PER_TABLE = 4
 
 
 def _plane_component(j: int, d: int) -> float:
