@@ -2500,3 +2500,62 @@ def q_dedup_spans_incremental(spark, sf_dir):
     return D.incremental_duplicate_spans(
         docs, "doc_id", "text", new_pred="doc_id >= 450", w=15
     )
+
+
+@register(
+    "source_overlap_matrix",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT source, s FROM (
+        SELECT source, unnest({D.shingles_sql('text', 3)}) AS s FROM documents)
+    ),
+    sizes AS (SELECT source, count(*)::BIGINT AS n FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_common
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_common,
+           round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+    ("dedup", "analytics"),
+)
+def q_source_overlap_matrix(spark, sf_dir):
+    """Pairwise 3-gram Jaccard between SOURCES — the corpus-composition
+    diagnostic behind mixture design (two crawls of the same sites show up
+    as a high-overlap pair; a contaminated source lights up against the
+    benchmark-derived one). Shingle sets collapse to DISTINCT (source,
+    shingle) first, so the self-join is vocabulary-bounded — at 100 TB the
+    join input is each source's shingle VOCABULARY (Zipf-bounded), not its
+    token stream, and the matrix is num_sources², not corpus-sized."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    sh = (
+        docs.select("source", F.explode(D.shingles("text", 3)).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("n", "na")), "src_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("n", "nb")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
