@@ -705,6 +705,46 @@ WHERE round(inter::DOUBLE / (x.n_sh + y.n_sh - inter)::DOUBLE, 6) >= {threshold}
 # ------------------------------------------------- span-level exact dedup
 
 
+def _span_positions(t: Column, w: int) -> Column:
+    """1-based start positions of every w-token span; [] for short docs via
+    the `when` guard (a pushed-down length filter would re-run the tokenizer
+    below the repartition — same trap as `shingled`; and sequence(1, 0)
+    DESCENDS in Spark)."""
+    k = F.array_size(t) - (w - 1)
+    return F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def span_hash_array(t: Column, w: int) -> Column:
+    """array<bigint>: portable hash of tokens[i..i+w-1] per start position —
+    THE span definition all three span-dedup operators share."""
+    from mini_flink_spark.functions.hashing import portable_hash64
+
+    return F.transform(
+        _span_positions(t, w),
+        lambda i: portable_hash64(F.array_join(F.slice(t, i, w), " ")),
+    )
+
+
+def span_pos_hashes(t: Column, w: int) -> Column:
+    """array<struct<pos int, h bigint>> — positions paired with their span
+    hashes (for removal, which must map hits back to token ranges)."""
+    idx = _span_positions(t, w)
+    return F.arrays_zip(idx.alias("pos"), span_hash_array(t, w).alias("h"))
+
+
+def span_hash_sql(w: int) -> str:
+    """The identical span hash in DuckDB SQL, over a token-list column `t`
+    and a position variable `i`."""
+    return portable_hash64_sql(f"array_to_string(t[i:i+{w - 1}], ' ')")
+
+
+def span_range_sql(w: int) -> str:
+    """DuckDB twin of `_span_positions` (range() yields [] when empty)."""
+    return f"range(1, greatest(len(t) - {w - 1}, 0) + 1)"
+
+
 def duplicate_spans(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = 15
 ) -> DataFrame:
@@ -727,30 +767,16 @@ def duplicate_spans(
     array (inherently a global sort of the whole corpus) with one hash
     aggregation — the standard distributed restatement.
 
-    Short docs (< w tokens) contribute an empty hash array via the `when`
-    guard rather than a filter: a pushed-down token-count predicate would be
-    substituted below the repartition and re-run the tokenizer in the
-    (often single-task) scan — same trap documented on `shingled`.
+    Short docs (< w tokens) contribute an empty hash array (see
+    `_span_positions` for the filter-pushdown rationale).
     """
-    from mini_flink_spark.functions.hashing import portable_hash64
-
     parts = df.sparkSession.sparkContext.defaultParallelism
     raw = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("_text")
     ).repartition(parts)
     toks = raw.select("id", tokens("_text").alias("t"))
-    k = F.array_size("t") - (w - 1)
-    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
-        F.array().cast("array<int>")
-    )
     sp = toks.select(
-        "id",
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: portable_hash64(F.array_join(F.slice("t", i, w), " ")),
-            )
-        ).alias("span_hash"),
+        "id", F.explode(span_hash_array(F.col("t"), w)).alias("span_hash")
     )
     return (
         sp.groupBy("span_hash")
@@ -772,13 +798,11 @@ def duplicate_spans_sql(
     """DuckDB twin: same rolling w-gram hash inventory via list_transform +
     unnest; grouping key is the identical 56-bit portable hash."""
     toks = tokens_sql(text_col)
-    span = portable_hash64_sql(f"array_to_string(t[i:i+{w - 1}], ' ')")
     return f"""
 WITH toks AS (SELECT {id_col} AS id, {toks} AS t FROM {table}),
 spans AS (
   SELECT id,
-         unnest(list_transform(range(1, greatest(len(t) - {w - 1}, 0) + 1),
-                               i -> {span})) AS span_hash
+         unnest(list_transform({span_range_sql(w)}, i -> {span_hash_sql(w)})) AS span_hash
   FROM toks
 )
 SELECT span_hash, count(DISTINCT id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ
@@ -812,27 +836,13 @@ def remove_duplicate_spans(
     `clean_text` is the *normalized* token stream re-joined — the same
     canonical form every other dedup operator keys on.
     """
-    from mini_flink_spark.functions.hashing import portable_hash64
-
     parts = df.sparkSession.sparkContext.defaultParallelism
     raw = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("_text")
     ).repartition(parts)
     toks = raw.select("id", tokens("_text").alias("t"))
-    k = F.array_size("t") - (w - 1)
-    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
-        F.array().cast("array<int>")
-    )
     ph = toks.select(
-        "id",
-        F.explode(
-            F.arrays_zip(
-                idx.alias("pos"),
-                F.transform(
-                    idx, lambda i: portable_hash64(F.array_join(F.slice("t", i, w), " "))
-                ).alias("h"),
-            )
-        ).alias("z"),
+        "id", F.explode(span_pos_hashes(F.col("t"), w)).alias("z")
     ).select("id", F.col("z.pos").alias("pos"), F.col("z.h").alias("h"))
     inv = (
         ph.groupBy("h")
@@ -872,12 +882,11 @@ def remove_duplicate_spans_sql(
     min_docs: int = 2,
 ) -> str:
     toks = tokens_sql(text_col)
-    span = portable_hash64_sql(f"array_to_string(t[i:i+{w - 1}], ' ')")
     return f"""
 WITH toks AS (SELECT {id_col} AS id, {toks} AS t FROM {table}),
 ph AS (
-  SELECT id, i AS pos, {span} AS h
-  FROM toks, unnest(range(1, greatest(len(t) - {w - 1}, 0) + 1)) AS u(i)
+  SELECT id, i AS pos, {span_hash_sql(w)} AS h
+  FROM toks, unnest({span_range_sql(w)}) AS u(i)
 ),
 inv AS (SELECT h FROM ph GROUP BY h HAVING count(DISTINCT id) >= {min_docs}),
 starts AS (SELECT id, list(pos) AS ps FROM ph JOIN inv USING (h) GROUP BY id),
@@ -919,8 +928,6 @@ def incremental_duplicate_spans(
     distinct span-hash inventory, and the join runs new-side hashes against
     it — at steady state the inventory is an incrementally-maintained table,
     not a recompute (the recompute here stands in for reading it)."""
-    from mini_flink_spark.functions.hashing import portable_hash64
-
     parts = df.sparkSession.sparkContext.defaultParallelism
     raw = df.select(
         F.col(id_col).alias("id"),
@@ -928,19 +935,12 @@ def incremental_duplicate_spans(
         F.expr(new_pred).alias("is_new"),
     ).repartition(parts)
     toks = raw.select("id", "is_new", tokens("_text").alias("t"))
-    k = F.array_size("t") - (w - 1)
-    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
-        F.array().cast("array<int>")
-    )
     ph = toks.select(
-        "id",
-        "is_new",
-        F.explode(
-            F.transform(
-                idx, lambda i: portable_hash64(F.array_join(F.slice("t", i, w), " "))
-            )
-        ).alias("h"),
-    )
+        "id", "is_new", F.explode(span_hash_array(F.col("t"), w)).alias("h")
+    ).localCheckpoint(eager=True)  # index + probe branches both consume ph:
+    # materialize once instead of re-running tokenize+hash over the corpus
+    # twice (12s -> ~6s warm at sf0.01); at steady state the index side is
+    # a persisted table, not a recompute at all
     index = ph.filter(~F.col("is_new")).select("h").distinct()
     new_spans = ph.filter(F.col("is_new"))
     hits = new_spans.join(index.withColumn("dup", F.lit(1)), "h", "left")
@@ -962,15 +962,13 @@ def incremental_duplicate_spans_sql(
     w: int = 15,
 ) -> str:
     toks = tokens_sql(text_col)
-    span = portable_hash64_sql(f"array_to_string(t[i:i+{w - 1}], ' ')")
     return f"""
 WITH toks AS (
   SELECT {id_col} AS id, ({new_pred}) AS is_new, {toks} AS t FROM {table}
 ),
 ph AS (
   SELECT id, is_new,
-         unnest(list_transform(range(1, greatest(len(t) - {w - 1}, 0) + 1),
-                               i -> {span})) AS h
+         unnest(list_transform({span_range_sql(w)}, i -> {span_hash_sql(w)})) AS h
   FROM toks
 ),
 index_h AS (SELECT DISTINCT h FROM ph WHERE NOT is_new),

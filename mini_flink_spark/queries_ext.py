@@ -1282,49 +1282,55 @@ def q_ann_lsh(spark, sf_dir):
     return S.lsh_topk(emb, k=5, query_pred="vec_id < 10")
 
 
-@register(
-    "ann_recall_eval",
-    f"""
+def _recall_eval_sql(index_sql: str) -> str:
+    """recall@5 oracle: brute-force ground truth LEFT JOIN an index's top-k."""
+    return f"""
     WITH bf AS ({S.brute_force_topk_sql(k=5, query_pred="vec_id < 10")}),
-         lsh AS ({S.lsh_topk_sql(k=5, query_pred="vec_id < 10")})
+         ix AS ({index_sql})
     SELECT bf.query_id,
-           sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
-           sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0 AS recall
-    FROM bf LEFT JOIN lsh
-      ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+           sum(CASE WHEN ix.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+           sum(CASE WHEN ix.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0 AS recall
+    FROM bf LEFT JOIN ix
+      ON bf.query_id = ix.query_id AND bf.neighbor_id = ix.neighbor_id
     GROUP BY bf.query_id
-    """,
-    ("similarity", "eval"),
-)
-def q_ann_recall_eval(spark, sf_dir):
-    """In-engine ANN quality evaluation: recall@5 of the multi-table LSH
-    index against exact brute-force ground truth, per query — the
-    measurement loop an ANN deployment tunes (tables × planes) against.
-
-    Scale: ground truth on the FULL corpus is the expensive side (that is
-    inherent to recall measurement — run it on a sampled query set, which
-    `query_pred` already is); the LSH side stays pruned. The join of two
-    k-row-per-query results is trivially small.
     """
+
+
+def _recall_eval(spark, sf_dir, index_topk):
+    """Per-query recall@5 of `index_topk(emb)` against brute-force ground
+    truth — ground truth on the full corpus is inherent to recall
+    measurement (run on the sampled query set); the index side stays pruned."""
     emb = _t(spark, sf_dir, "embeddings")
     bf = S.brute_force_topk(emb, emb.filter("vec_id < 10"), k=5).select(
         "query_id", F.col("neighbor_id").alias("bf_neighbor")
     )
-    lsh = S.lsh_topk(emb, k=5, query_pred="vec_id < 10").select(
-        "query_id", F.col("neighbor_id").alias("lsh_neighbor"), F.lit(1).alias("hit")
+    ix = index_topk(emb).select(
+        "query_id", F.col("neighbor_id").alias("ix_neighbor"), F.lit(1).alias("hit")
     )
     return (
         bf.join(
-            lsh,
-            (bf.query_id == lsh.query_id) & (bf.bf_neighbor == lsh.lsh_neighbor),
+            ix,
+            (bf.query_id == ix.query_id) & (bf.bf_neighbor == ix.ix_neighbor),
             "left",
         )
         .groupBy(bf.query_id)
         .agg(
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+            (F.sum(F.coalesce("hit", F.lit(0))) / 5.0).alias("recall"),
         )
-        .withColumn("recall", F.col("n_hits") / 5.0)
     )
+
+
+@register(
+    "ann_recall_eval",
+    _recall_eval_sql(S.lsh_topk_sql(k=5, query_pred="vec_id < 10")),
+    ("similarity", "eval"),
+)
+def q_ann_recall_eval(spark, sf_dir):
+    """recall@5 of the multi-table LSH index vs brute force — the
+    measurement loop an ANN deployment tunes (tables x planes) against;
+    0.76 at sf0.01 with the density-tuned 12x4 defaults."""
+    return _recall_eval(spark, sf_dir, lambda emb: S.lsh_topk(emb, k=5, query_pred="vec_id < 10"))
 
 
 @register(
@@ -1341,43 +1347,15 @@ def q_ann_ivf(spark, sf_dir):
 
 @register(
     "ivf_recall_eval",
-    f"""
-    WITH bf AS ({S.brute_force_topk_sql(k=5, query_pred="vec_id < 10")}),
-         ivf AS ({S.ivf_topk_sql(k=5, query_pred="vec_id < 10")})
-    SELECT bf.query_id,
-           sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
-           sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0 AS recall
-    FROM bf LEFT JOIN ivf
-      ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
-    GROUP BY bf.query_id
-    """,
+    _recall_eval_sql(S.ivf_topk_sql(k=5, query_pred="vec_id < 10")),
     ("similarity", "eval"),
 )
 def q_ivf_recall_eval(spark, sf_dir):
-    """recall@5 of the IVF index against brute-force ground truth — the
-    companion eval to `ann_recall_eval` (LSH). Measures 0.92 at sf0.01 with
-    nprobe=3 of 16 cells even on the deterministic stand-in centroids
-    (trained KMeans centroids raise it further); the ~3/16 scan fraction
-    is the IVF tradeoff dial (nprobe/n_cells)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    bf = S.brute_force_topk(emb, emb.filter("vec_id < 10"), k=5).select(
-        "query_id", F.col("neighbor_id").alias("bf_neighbor")
-    )
-    ivf = S.ivf_topk(emb, k=5, query_pred="vec_id < 10").select(
-        "query_id", F.col("neighbor_id").alias("ivf_neighbor"), F.lit(1).alias("hit")
-    )
-    return (
-        bf.join(
-            ivf,
-            (bf.query_id == ivf.query_id) & (bf.bf_neighbor == ivf.ivf_neighbor),
-            "left",
-        )
-        .groupBy(bf.query_id)
-        .agg(
-            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
-            (F.sum(F.coalesce("hit", F.lit(0))) / 5.0).alias("recall"),
-        )
-    )
+    """recall@5 of the IVF index vs brute force — companion to
+    `ann_recall_eval`: 0.92 at sf0.01 with nprobe=3 of 16 cells on the
+    stand-in centroids (trained KMeans raises it further); nprobe/n_cells
+    is the IVF quality/scan-fraction dial."""
+    return _recall_eval(spark, sf_dir, lambda emb: S.ivf_topk(emb, k=5, query_pred="vec_id < 10"))
 
 
 @register(
@@ -2545,7 +2523,9 @@ def q_source_overlap_matrix(spark, sf_dir):
     shingle) first (vocabulary-bounded), then to a per-shingle source
     BITMASK histogram — at 100 TB the intersection arithmetic touches the
     co-occurrence-pattern histogram (tiny), never |vocab| x sources²
-    exploded rows; sources beyond 63 shard into multiple mask words."""
+    exploded rows. This single-long rendering supports <= 63 sources
+    (asserted below — Spark's shiftleft would silently wrap mod 64 and the
+    oracle errors); more sources need an array-of-longs mask, same shape."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     # materialize tokens in their own projection first — the inline
     # shingles(text) form re-runs the tokenizer once per shingle position
@@ -2573,6 +2553,12 @@ def q_source_overlap_matrix(spark, sf_dir):
         .distinct()
         .withColumn("idx", F.row_number().over(W.orderBy("source")) - 1)
     )
+    n_src = src_idx.count()
+    if n_src > 63:
+        raise ValueError(
+            f"source_overlap_matrix: {n_src} sources exceed the 63-bit "
+            "single-long mask; shard into an array-of-longs mask first"
+        )
     masks = (
         sh.join(F.broadcast(src_idx), "source")
         .groupBy("s")

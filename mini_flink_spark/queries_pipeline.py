@@ -772,7 +772,7 @@ def q_packed_sequence_offsets(spark, sf_dir):
         "doc_id",
         "lang",
         "n_tokens",
-        F.floor(off / 2048).cast("bigint").alias("seq_id"),
+        F.expr("(cum - n_tokens) div 2048").alias("seq_id"),
         (off % 2048).cast("bigint").alias("start_pos"),
     )
 
