@@ -1649,6 +1649,41 @@ def q_streaming_wordcount(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_quality_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {T.tokens_sql('text')} AS t FROM documents
+    )
+    SELECT doc_id, {GOPHER_METRICS_SQL['n_tokens']} AS n_tokens
+    FROM toks WHERE {_GOPHER_GATE_SQL}
+    """,
+    ("streaming", "quality"),
+)
+def q_streaming_quality_filter(spark, sf_dir):
+    """The Gopher rule gate on the STREAMING path: documents arrive as a file
+    stream and pass/fail the stateless per-row rules in-flight — the shape of
+    an ingest-time quality filter (no state, no watermark; every micro-batch
+    filters independently). Converged survivors equal the batch oracle, and
+    the rule set is the same single source of truth as the batch gate."""
+    from mini_flink_spark.sources import parquet_stream, write_stream_fixture
+    from mini_flink_spark.streaming import run_stream_to_memory
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fixture = write_stream_fixture(
+        docs, tempfile.mkdtemp(prefix="q_stream_gq_"), n_files=4
+    )
+    stream = parquet_stream(spark, fixture, "doc_id bigint, text string")
+    mx = gopher_metrics(T.tokens("text"))
+    f1, f2, f3, f4 = gopher_flags(
+        mx["n_tokens"], mx["n_chars"], mx["sw_hits"], mx["n_distinct"]
+    )
+    out = stream.filter(f1 & f2 & f3 & f4).select(
+        "doc_id", mx["n_tokens"].alias("n_tokens")
+    )
+    return run_stream_to_memory(out, spark, "append").select("doc_id", "n_tokens")
+
+
 # Fixed element list for the user-defined-source query: lowercase, no
 # punctuation, so the Spark tokenizer (\W+ split) and the oracle's
 # space-split agree exactly.
