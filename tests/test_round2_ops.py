@@ -140,3 +140,36 @@ def test_cms_sketches_merge_by_addition(spark):
     assert (
         sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
     )
+
+
+def test_span_inventory_and_removal_agree(spark, sf_dir):
+    # relationship pin: a doc's clean_text must be its token stream minus
+    # EXACTLY the positions covered by inventory spans; docs with no dup
+    # spans pass through with n_removed == 0 and full token count
+    from mini_flink_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = D.remove_duplicate_spans(docs, "doc_id", "text", w=15).collect()
+    for r in out:
+        assert 0 <= r.n_removed <= r.n_tokens
+        kept = len(r.clean_text.split(" ")) if r.clean_text else 0
+        assert kept == r.n_tokens - r.n_removed
+
+
+def test_packed_sequences_invariants(spark, sf_dir):
+    from mini_flink_spark.queries import QUERIES
+
+    rows = QUERIES["packed_sequence_offsets"].fn(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        assert 0 <= r.start_pos < 2048
+        assert r.seq_id >= 0
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        # global offsets (seq_id*2048 + start_pos) are the exact prefix sums
+        # of n_tokens in SOME order: sorted offsets must tile contiguously
+        offs = sorted((r.seq_id * 2048 + r.start_pos, r.n_tokens) for r in rs)
+        cum = 0
+        for off, n in offs:
+            assert off == cum, (lang, off, cum)
+            cum += n
