@@ -395,3 +395,30 @@ def test_dsir_and_ccnet_broadcast_models(spark, sf_dir):
         plan = plan_of(spark, sf_dir, q)
         assert "BroadcastHashJoin" in plan, q
         assert "SortMergeJoin" not in plan, q
+
+
+def test_ir_and_sketch_plans(spark, sf_dir):
+    # TF-IDF: vocab df broadcasts; corpus never sort-merges
+    plan = plan_of(spark, sf_dir, "tfidf_keywords")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # PMI: unigram tables broadcast; final top-20 is TakeOrderedAndProject
+    plan = plan_of(spark, sf_dir, "pmi_collocations")
+    assert "TakeOrderedAndProject" in plan and "SortMergeJoin" not in plan
+    # Bloom probe: the 1-row filter broadcasts; membership join broadcasts
+    plan = plan_of(spark, sf_dir, "sketch_bloom_membership")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # IQR fences: per-source quartiles broadcast back over the corpus
+    plan = plan_of(spark, sf_dir, "length_outliers_iqr")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # weighted sampling: global top-k, never a full sort
+    plan = plan_of(spark, sf_dir, "weighted_sample_es")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_source_overlap_histogram_shape(spark, sf_dir):
+    # the mask histogram path: no shingle self-join anywhere — the only
+    # joins are the broadcast src-index attach and the 190-pair lookup
+    plan = plan_of(spark, sf_dir, "source_overlap_matrix")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
