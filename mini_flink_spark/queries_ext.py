@@ -1410,20 +1410,43 @@ def q_warc_ingest_roundtrip(spark, sf_dir):
     alignment path actually exercises across many tasks) — record ids, URIs,
     and UTF-8 payload byte lengths must survive the round trip exactly
     (sources/warc_source.py has the split-ownership rule and 100 TB notes).
-    The driver-side collect exists only to WRITE the fixture file (at scale
-    the crawl archive already exists); the measured operator is the parallel
-    read."""
+    The fixture itself is written DISTRIBUTIVELY — one WARC segment per input
+    partition via mapInPandas, no document text ever reaching the driver (at
+    scale the crawl archive already exists; here the write doubles as a test
+    of the segment-per-task archive layout). Local-mode note: the segment dir
+    is a local tempdir, which executors share in local[*]; a real cluster
+    would point this at shared storage, where crawl archives live anyway."""
     import os
     import tempfile
 
     from mini_flink_spark.sources import warc_source as W
 
-    docs = sorted(
-        (r.doc_id, r.source, r.text.encode())
-        for r in _t(spark, sf_dir, "documents").collect()
-    )
     d = tempfile.mkdtemp(prefix="warc_q_")
-    W.write_warc(os.path.join(d, "docs.warc"), [(str(i), s, p) for i, s, p in docs])
+
+    def _write_segment(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs: list[tuple[str, str, bytes]] = []
+        for pdf in batches:
+            recs.extend(
+                (str(rid), uri, txt.encode())
+                for rid, uri, txt in zip(pdf["doc_id"], pdf["source"], pdf["text"])
+            )
+        if recs:
+            # per-partition-id file name => a task retry truncates and
+            # rewrites its own segment, never duplicates records
+            W.write_warc(os.path.join(d, f"part-{pid:05d}.warc"), recs)
+        yield pd.DataFrame({"n": [len(recs)]})
+
+    (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .mapInPandas(_write_segment, "n long")
+        .agg(F.sum("n"))
+        .collect()  # 1-row write-barrier, not a data collect
+    )
     W.register_warc_source(spark)
     return (
         spark.read.format(W.WARC_SOURCE_NAME)
