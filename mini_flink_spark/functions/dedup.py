@@ -858,8 +858,13 @@ def remove_duplicate_spans(
     joined = toks.join(starts, "id", "left").select(
         "id", "t", F.coalesce("ps", F.array().cast("array<int>")).alias("ps")
     )
+    # sequence(1, 0) DESCENDS in Spark — guard the now-possible empty token
+    # array (blank docs tokenize to [] since tokens() filters empties)
+    all_pos = F.when(
+        F.array_size("t") >= 1, F.sequence(F.lit(1), F.array_size("t"))
+    ).otherwise(F.array().cast("array<int>"))
     kept = F.filter(
-        F.sequence(F.lit(1), F.array_size("t")),
+        all_pos,
         lambda j: ~F.exists(
             F.col("ps"), lambda p: (j >= p) & (j <= p + F.lit(w - 1))
         ),
@@ -927,7 +932,12 @@ def incremental_duplicate_spans(
     compared, the old corpus contributes only its (bounded, persisted)
     distinct span-hash inventory, and the join runs new-side hashes against
     it — at steady state the inventory is an incrementally-maintained table,
-    not a recompute (the recompute here stands in for reading it)."""
+    not a recompute (the recompute here stands in for reading it).
+
+    Every new doc gets a row, including docs shorter than w tokens
+    (n_spans = n_dup_spans = 0 via a left join back onto the new-doc id
+    list) — a consumer acting per new arrival must be able to distinguish
+    'zero dup spans' from 'doc absent'."""
     parts = df.sparkSession.sparkContext.defaultParallelism
     raw = df.select(
         F.col(id_col).alias("id"),
@@ -944,13 +954,15 @@ def incremental_duplicate_spans(
     index = ph.filter(~F.col("is_new")).select("h").distinct()
     new_spans = ph.filter(F.col("is_new"))
     hits = new_spans.join(index.withColumn("dup", F.lit(1)), "h", "left")
-    return (
-        hits.groupBy("id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
-            F.count("dup").cast("bigint").alias("n_dup_spans"),
-        )
-        .select(F.col("id").alias(id_col), "n_spans", "n_dup_spans")
+    per_doc = hits.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.count("dup").cast("bigint").alias("n_dup_spans"),
+    )
+    new_ids = toks.filter(F.col("is_new")).select("id")
+    return new_ids.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
     )
 
 
@@ -977,7 +989,14 @@ hits AS (
   FROM (SELECT id, h FROM ph WHERE is_new) n
   LEFT JOIN index_h i USING (h)
 )
-SELECT id AS {id_col}, count(*)::BIGINT AS n_spans,
-       count(CASE WHEN dup THEN 1 END)::BIGINT AS n_dup_spans
-FROM hits GROUP BY id
+agg AS (
+  SELECT id, count(*)::BIGINT AS n_spans,
+         count(CASE WHEN dup THEN 1 END)::BIGINT AS n_dup_spans
+  FROM hits GROUP BY id
+)
+SELECT t.id AS {id_col},
+       coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(a.n_dup_spans, 0)::BIGINT AS n_dup_spans
+FROM (SELECT id FROM toks WHERE is_new) t
+LEFT JOIN agg a USING (id)
 """

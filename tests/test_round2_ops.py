@@ -173,3 +173,72 @@ def test_packed_sequences_invariants(spark, sf_dir):
         for off, n in offs:
             assert off == cum, (lang, off, cum)
             cum += n
+
+
+# ------------------------------------------------- sharded source overlap
+def test_source_overlap_shards_past_63_sources(spark):
+    """80 sources (> one 63-bit mask word) with engineered overlap: source i
+    shares shingles with source i+1. Overlap is verified against a Python
+    set oracle computed from the same normalize/shingle semantics."""
+    import re
+
+    from mini_flink_spark.queries_ext import source_overlap
+
+    n_src = 80
+    rows = []
+    # source i emits two 3-token phrases: one shared with i+1, one unique;
+    # tokens are alnum so normalization is the identity
+    for i in range(n_src):
+        rows.append((f"s{i:03d}", f"shared{i} link{i} common{i}"))
+        rows.append((f"s{i:03d}", f"only{i} unique{i} token{i}"))
+        if i + 1 < n_src:
+            rows.append((f"s{i + 1:03d}", f"shared{i} link{i} common{i}"))
+    docs = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r.src_a, r.src_b): (r.n_common, r.jaccard)
+        for r in source_overlap(docs).collect()
+    }
+    # python oracle
+    def shingle_set(texts):
+        out = set()
+        for t in texts:
+            toks = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip().split(" ")
+            out |= {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return out
+
+    by_src: dict[str, list[str]] = {}
+    for s, t in rows:
+        by_src.setdefault(s, []).append(t)
+    sets = {s: shingle_set(ts) for s, ts in by_src.items()}
+    srcs = sorted(sets)
+    assert len(got) == n_src * (n_src - 1) // 2
+    for ai, a in enumerate(srcs):
+        for b in srcs[ai + 1 :]:
+            common = len(sets[a] & sets[b])
+            jac = round(common / len(sets[a] | sets[b]), 6)
+            assert got[(a, b)] == (common, jac), (a, b, got[(a, b)], (common, jac))
+
+
+def test_blank_docs_tokenize_empty_and_span_invariants_hold(spark):
+    """Blank/whitespace-only docs: tokens() must yield [] (not ['']), span
+    removal must report n_tokens=0, and incremental span dedup must still
+    emit a row per new doc (0, 0) so 'no dup spans' is distinguishable from
+    'doc absent' (ADVICE r2 items 1 and 3)."""
+    from mini_flink_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "real tokens here and more of them right"), (2, ""), (3, "   "),
+         (4, "short doc")],
+        "doc_id bigint, text string",
+    )
+    tok = {r.doc_id: r.n for r in docs.select(
+        "doc_id", F.array_size(T.tokens("text")).alias("n")).collect()}
+    assert tok[2] == 0 and tok[3] == 0 and tok[4] == 2
+    rem = {r.doc_id: (r.n_tokens, r.n_removed)
+           for r in D.remove_duplicate_spans(docs, w=3).collect()}
+    assert rem[2] == (0, 0) and rem[3] == (0, 0)
+    inc = {r.doc_id: (r.n_spans, r.n_dup_spans)
+           for r in D.incremental_duplicate_spans(docs, new_pred="doc_id >= 2", w=3).collect()}
+    # every new doc present, short/blank docs report (0, 0)
+    assert set(inc) == {2, 3, 4}
+    assert inc[2] == (0, 0) and inc[3] == (0, 0) and inc[4] == (0, 0)

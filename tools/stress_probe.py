@@ -1,0 +1,100 @@
+"""Adversarial-density scale probe (the SCALE_NOTES protocol, reproducible).
+
+Builds the 20× synthetic corpus from the sf0.1 driver data — each base row
+replicated R times with small per-replica perturbations, so every vector/doc
+gains R-1 planted NEAR-duplicates (real corpora carry ~1% dups; this one
+~95%) — and times the requested operators end-to-end on local[32].
+
+Usage:
+    python tools/stress_probe.py embedding_cosine      # expr vs arrow verify
+    python tools/stress_probe.py kmeans_largek         # k=256 broadcast path
+    python tools/stress_probe.py all
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def get_spark():
+    from mini_flink_spark.session import get_spark as g
+
+    return g()
+
+
+def dense_embeddings(spark, sf_dir="/root/testdata/sf0.1", replicas=20):
+    """40k vectors: 2k base × `replicas`, replica r of vector v perturbed by
+    a deterministic per-(v, r, dim) jitter — near-dups, not exact dups.
+    Built distributively (explode + expression jitter), no driver data."""
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        base.select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep"),
+        )
+        .select(
+            (F.col("vec_id") * replicas + F.col("rep")).alias("vec_id"),
+            F.expr(
+                # ±0.005 deterministic jitter per (vec, rep, dim) — cosine vs
+                # the base stays ≥ ~0.99, so all replica pairs are true
+                # near-dups at threshold 0.95
+                "transform(embedding, (x, i) -> cast(x + "
+                "((pmod(hash(vec_id, rep, i), 1000) - 500) / 100000.0) as float))"
+            ).alias("embedding"),
+        )
+    )
+
+
+def probe_embedding_cosine(spark):
+    from mini_flink_spark.functions import similarity as S
+
+    emb = dense_embeddings(spark).localCheckpoint()  # exclude build from timing
+    n = emb.count()
+    out = {}
+    for verify in ("expr", "arrow"):
+        t0 = time.time()
+        pairs = S.embedding_neardup_pairs(emb, 0.95, blocked=True, verify=verify)
+        rows = pairs.count()
+        out[verify] = (time.time() - t0, rows)
+        print(f"embedding_cosine verify={verify}: {out[verify][0]:.1f}s "
+              f"{rows} pairs over {n} vectors", flush=True)
+    assert out["expr"][1] == out["arrow"][1], "verify paths disagree on pair count"
+    return out
+
+
+def probe_kmeans_largek(spark):
+    from mini_flink_spark.functions import clustering as C
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(
+            F.col("vec_id").alias("id"),
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+    )
+    for k in (8, 256):
+        t0 = time.time()
+        cents = C.kmeans_fit(emb, k=k, iters=3)
+        dt = time.time() - t0
+        path = "literal" if k * len(cents[0]) <= C.LITERAL_KD_MAX else "broadcast"
+        print(f"kmeans k={k} ({path}): {dt:.1f}s, {len(cents)} centroids", flush=True)
+
+
+PROBES = {
+    "embedding_cosine": probe_embedding_cosine,
+    "kmeans_largek": probe_kmeans_largek,
+}
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = get_spark()
+    for name, fn in PROBES.items():
+        if which in (name, "all"):
+            fn(spark)
