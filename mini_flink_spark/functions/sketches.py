@@ -155,11 +155,17 @@ def bloom_probe(
 ) -> DataFrame:
     """probe columns + `bloom_hit` boolean: true iff every hash position of
     the probe key is set. `bloom` broadcasts (1 row)."""
+    # the filter column joins in under a __bloom_ sentinel so a probe frame
+    # that already carries a `bits` column can't collide (ADVICE r2)
     hit = None
     for p in _bloom_positions(col, m, k):
-        term = F.array_contains(F.col("bits"), p)
+        term = F.array_contains(F.col("__bloom_bits"), p)
         hit = term if hit is None else (hit & term)
-    return probe.crossJoin(F.broadcast(bloom)).withColumn("bloom_hit", hit).drop("bits")
+    return (
+        probe.crossJoin(F.broadcast(bloom.withColumnRenamed("bits", "__bloom_bits")))
+        .withColumn("bloom_hit", hit)
+        .drop("__bloom_bits")
+    )
 
 
 def bloom_sql_positions(expr: str, m: int = BLOOM_M, k: int = BLOOM_K) -> list[str]:
@@ -211,19 +217,21 @@ def cms_estimate(
 ) -> DataFrame:
     """items + `cms_est` = min over the d counters each item hashes to.
     The d*w counter table broadcasts (bounded KBs)."""
+    # internal join/accumulator columns carry a __cms_ sentinel so a probe
+    # frame that already has pos0/c0/... columns can't collide (ADVICE r2)
     est = None
     for i, p in enumerate(_cms_positions(col, w, d)):
         ci = cms.filter(F.col("row") == i).select(
-            F.col("pos").alias(f"pos{i}"), F.col("c").alias(f"c{i}")
+            F.col("pos").alias(f"__cms_pos{i}"), F.col("c").alias(f"__cms_c{i}")
         )
         items = items.join(
-            F.broadcast(ci), p == F.col(f"pos{i}"), "left"
-        ).drop(f"pos{i}")
-        term = F.coalesce(F.col(f"c{i}"), F.lit(0))
+            F.broadcast(ci), p == F.col(f"__cms_pos{i}"), "left"
+        ).drop(f"__cms_pos{i}")
+        term = F.coalesce(F.col(f"__cms_c{i}"), F.lit(0))
         est = term if est is None else F.least(est, term)
-        items = items.withColumn("_est_acc", est).drop(f"c{i}")
-        est = F.col("_est_acc")
-    return items.withColumnRenamed("_est_acc", "cms_est")
+        items = items.withColumn("__cms_est_acc", est).drop(f"__cms_c{i}")
+        est = F.col("__cms_est_acc")
+    return items.withColumnRenamed("__cms_est_acc", "cms_est")
 
 
 def cms_sql_positions(expr: str, w: int = CMS_W, d: int = CMS_D) -> list[str]:

@@ -501,7 +501,7 @@ def q_bpe_learn_merges(spark, sf_dir):
     )
     SELECT doc_id, n_tokens
     FROM w
-    ORDER BY round(pow(u, 1.0 / n_tokens), 12) DESC, doc_id
+    ORDER BY round(ln(u) * 1000000.0 / n_tokens)::BIGINT DESC, doc_id
     LIMIT 50
     """,
     ("pipeline", "sampling"),
@@ -511,10 +511,12 @@ def q_weighted_sample_es(spark, sf_dir):
     each doc draws key u^(1/w) with u a DETERMINISTIC hash-uniform in (0,1)
     and w its token count; the k largest keys are the sample. One pass + a
     top-k — distributed as TakeOrderedAndProject, never a global sort of the
-    corpus. The fixed hash makes the draw reproducible, and the key rounds to
-    12 dp before ordering (pow is only ulp-accurate per engine), so the
-    oracle selects the identical sample (the standard trick for token-proportional corpus
-    subsampling where a seeded `rand()` would differ per engine/partitioning).
+    corpus. The fixed hash makes the draw reproducible; the ORDER key is the
+    monotone-equivalent integer micro-unit form round(ln(u)*1e6 / w) (u is
+    the same exact double on both engines, so only ln's final ulp can differ
+    — a boundary collision needs the product within ~1e-10 of a .5, vs the
+    round-2 pow(u, 1/w) 12-dp rounding whose boundary the ADVICE flagged;
+    same integer-key convention as dsir_importance_weights).
     """
     docs = _t(spark, sf_dir, "documents")
     u = (
@@ -526,8 +528,9 @@ def q_weighted_sample_es(spark, sf_dir):
         T.token_count("text").cast("bigint").alias("n_tokens"),
         u.alias("u"),
     )
+    key = F.round(F.log("u") * 1e6 / F.col("n_tokens")).cast("bigint")
     return (
-        w.orderBy(F.round(F.pow("u", 1.0 / F.col("n_tokens")), 12).desc(), F.col("doc_id"))
+        w.orderBy(key.desc(), F.col("doc_id"))
         .select("doc_id", "n_tokens")
         .limit(50)
     )

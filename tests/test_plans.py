@@ -385,7 +385,12 @@ def test_span_removal_never_shuffles_text(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_span_removal")
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert exchanges
-    assert not any("_text" in l or "t#" in l for l in exchanges)
+    # match the specific attribute names with a word boundary — a bare
+    # "t#" substring would spuriously hit any attribute ending in t
+    # (cnt#, kept#) that later appears in an exchange (ADVICE r2 item 4)
+    import re
+
+    assert not any(re.search(r"\b(_text|t)#\d", l) for l in exchanges)
 
 
 def test_dsir_and_ccnet_broadcast_models(spark, sf_dir):

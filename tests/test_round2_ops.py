@@ -242,3 +242,23 @@ def test_blank_docs_tokenize_empty_and_span_invariants_hold(spark):
     # every new doc present, short/blank docs report (0, 0)
     assert set(inc) == {2, 3, 4}
     assert inc[2] == (0, 0) and inc[3] == (0, 0) and inc[4] == (0, 0)
+
+
+def test_sketch_probes_survive_colliding_column_names(spark):
+    """A probe frame that already carries the sketches' former internal
+    column names (bits, pos0, c0, _est_acc) must not hit ambiguous-reference
+    errors or wrong output (ADVICE r2 item 2)."""
+    build = spark.createDataFrame([(f"k{i}",) for i in range(50)], "key string")
+    bloom = K.bloom_build(build, "key")
+    cms = K.cms_build(build, "key")
+    probe = spark.createDataFrame(
+        [("k1", [1], 7, 8, 9), ("nope", [2], 7, 8, 9)],
+        "key string, bits array<bigint>, pos0 int, c0 int, _est_acc int",
+    )
+    b = {r.key: r.bloom_hit for r in K.bloom_probe(probe, bloom, "key").collect()}
+    assert b["k1"] is True
+    e = {r.key: r.cms_est for r in K.cms_estimate(probe, cms, "key").collect()}
+    assert e["k1"] >= 1 and e["nope"] >= 0
+    # caller columns pass through untouched
+    cols = set(K.cms_estimate(probe, cms, "key").columns)
+    assert {"key", "bits", "pos0", "c0", "_est_acc", "cms_est"} <= cols
