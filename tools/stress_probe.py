@@ -87,9 +87,82 @@ def probe_kmeans_largek(spark):
         print(f"kmeans k={k} ({path}): {dt:.1f}s, {len(cents)} centroids", flush=True)
 
 
+def probe_streaming_state(spark):
+    """Bounded-state demonstration (VERDICT r2 next-round #7): a file stream
+    of 10 waves x 20k UNIQUE keys (200k distinct keys total), event time
+    advancing 20 min per wave, deduped via dropDuplicatesWithinWatermark
+    under a 10-min watermark with the RocksDB state store enabled. If state
+    were unbounded it would grow to 200k rows; with watermark expiry the
+    per-batch `numRowsTotal` state metric must stay ~one wave (20k), flat
+    across waves."""
+    import datetime
+    import os
+    import tempfile
+
+    for k, v in __import__(
+        "mini_flink_spark.session", fromlist=["rocksdb_state_conf"]
+    ).rocksdb_state_conf().items():
+        spark.conf.set(k, v)
+
+    waves, per_wave = 10, 20_000
+    src = tempfile.mkdtemp(prefix="probe_state_src_")
+    base = datetime.datetime(2026, 1, 1)
+    stamped: set[str] = set()
+    for i in range(waves):
+        ts = base + datetime.timedelta(minutes=20 * i)
+        (
+            spark.range(i * per_wave, (i + 1) * per_wave)
+            .selectExpr("id AS key", f"timestamp'{ts:%Y-%m-%d %H:%M:%S}' AS ts")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        # file-stream batch order follows modification time: stamp each
+        # wave's new files with an ascending mtime
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in stamped:
+                os.utime(os.path.join(src, f), (1_000_000 + i, 1_000_000 + i))
+                stamped.add(f)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("key bigint, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["key"]
+    )
+    ckpt = tempfile.mkdtemp(prefix="probe_state_ckpt_")
+    q = (
+        deduped.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    rows_per_batch = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    q.stop()
+    provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    print(
+        f"streaming_state rocksdb={'RocksDB' in provider} "
+        f"distinct_keys={waves * per_wave} state_rows_per_batch={rows_per_batch}",
+        flush=True,
+    )
+    peak = max(rows_per_batch)
+    assert peak <= 3 * per_wave, (
+        f"state grew to {peak} rows — watermark expiry is not bounding it"
+    )
+
+
 PROBES = {
     "embedding_cosine": probe_embedding_cosine,
     "kmeans_largek": probe_kmeans_largek,
+    "streaming_state": probe_streaming_state,
 }
 
 if __name__ == "__main__":
