@@ -988,7 +988,7 @@ hits AS (
   SELECT n.id, (i.h IS NOT NULL) AS dup
   FROM (SELECT id, h FROM ph WHERE is_new) n
   LEFT JOIN index_h i USING (h)
-)
+),
 agg AS (
   SELECT id, count(*)::BIGINT AS n_spans,
          count(CASE WHEN dup THEN 1 END)::BIGINT AS n_dup_spans
@@ -999,4 +999,173 @@ SELECT t.id AS {id_col},
        coalesce(a.n_dup_spans, 0)::BIGINT AS n_dup_spans
 FROM (SELECT id FROM toks WHERE is_new) t
 LEFT JOIN agg a USING (id)
+"""
+
+
+# ------------------------------------------- intra-document block dedup
+
+
+def intradoc_block_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = 10
+) -> DataFrame:
+    """Self-repetition removal WITHIN each document: the token stream is cut
+    into consecutive w-token blocks (tail block may be shorter) and every
+    block whose content already occurred earlier in the same document is
+    dropped, keeping first occurrences. The trimming complement of Gopher's
+    repetition FLAGS (which drop whole docs): crawled pages repeating nav
+    boilerplate or scraped templates get cleaned, not discarded.
+
+    Returns (doc_id, n_blocks, n_dropped, clean_text).
+
+    100 TB shape: a pure per-row array computation — tokens, block slicing,
+    first-occurrence filter, and rejoin all happen inside one projection
+    (one `F.expr` parse, whole-stage codegen, zero shuffle, text never
+    leaves its partition)."""
+    expr = f"""
+    transform(
+      filter(sequence(0, greatest(cast(ceil(size(t) / {w}.0) as int), 1) - 1),
+             i -> size(slice(t, i * {w} + 1, {w})) > 0),
+      b -> slice(t, b * {w} + 1, {w})
+    )
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("t")
+    ).withColumn("blocks", F.expr(expr))
+    hashed = base.withColumn(
+        "bh",
+        F.expr(
+            "transform(blocks, b -> cast(conv(substring(md5(array_join(b, ' ')), 1, 14), 16, 10) as bigint))"
+        ),
+    )
+    kept = hashed.withColumn(
+        "kept_idx",
+        F.expr(
+            "filter(sequence(0, size(blocks) - 1),"
+            " i -> array_position(bh, element_at(bh, i + 1)) = i + 1)"
+        ),
+    )
+    return kept.select(
+        F.col("id").alias(id_col),
+        F.size("blocks").cast("bigint").alias("n_blocks"),
+        (F.size("blocks") - F.size("kept_idx")).cast("bigint").alias("n_dropped"),
+        F.expr(
+            "array_join(transform(kept_idx,"
+            " i -> array_join(element_at(blocks, i + 1), ' ')), ' ')"
+        ).alias("clean_text"),
+    )
+
+
+def intradoc_block_dedup_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    w: int = 10,
+) -> str:
+    """DuckDB twin of `intradoc_block_dedup` (same blocks, same 56-bit
+    portable block hash, same first-occurrence keep)."""
+    toks = tokens_sql(text_col)
+    bh = portable_hash64_sql("array_to_string(b, ' ')")
+    return f"""
+WITH toks AS (SELECT {id_col} AS id, {toks} AS t FROM {table}),
+blocked AS (
+  SELECT id, t,
+         list_transform(
+           list_filter(range(0, greatest(cast(ceil(len(t) / {w}.0) as int), 1)),
+                       i -> len(t[i * {w} + 1 : i * {w} + {w}]) > 0),
+           b -> t[b * {w} + 1 : b * {w} + {w}]) AS blocks
+  FROM toks
+),
+hashed AS (
+  SELECT id, blocks,
+         list_transform(blocks, b -> {bh}) AS bhs
+  FROM blocked
+),
+kept AS (
+  SELECT id, blocks,
+         list_filter(range(0, len(blocks)),
+                     i -> list_position(bhs, bhs[i + 1]) = i + 1) AS kept_idx
+  FROM hashed
+)
+SELECT id AS {id_col},
+       len(blocks)::BIGINT AS n_blocks,
+       (len(blocks) - len(kept_idx))::BIGINT AS n_dropped,
+       coalesce(array_to_string(
+         list_transform(kept_idx, i -> array_to_string(blocks[i + 1], ' ')),
+         ' '), '') AS clean_text
+FROM kept
+"""
+
+
+# --------------------------------------------------- containment near-dup
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    n: int = 3,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """Directed containment C(a ⊂ b) = |Sa ∩ Sb| / |Sa| over shingle sets —
+    the asymmetric cousin of Jaccard, catching the duplication Jaccard
+    structurally misses: a short document quoted wholesale inside a much
+    longer one scores C ≈ 1 while J = |Sa|/|Sb| can be arbitrarily small
+    (Broder's resemblance-vs-containment distinction, SEQUENCES '97).
+    Emits (a, b, containment) for ORDERED pairs a ≠ b with C(a ⊂ b) ≥
+    threshold — both directions are scored, since containment is directed.
+
+    Same inverted-index plan (and max_df cap rationale) as
+    `ngram_jaccard_pairs`: posting-list self-join on the shingle key, pair
+    counts, then a per-pair division by the CONTAINED side's set size."""
+    sh = (
+        shingled(df, id_col, text_col, n)
+        .select("id", F.explode("sh").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    if max_df is not None:
+        keep = sh.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
+        sh = sh.join(F.broadcast(keep), "s")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), "s")
+        .filter(F.col("l.id") != F.col("r.id"))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .withColumn("containment", F.round(F.col("inter") / F.col("na"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "containment")
+    )
+
+
+def ngram_containment_pairs_sql(
+    id_col: str,
+    text_col: str,
+    table: str = "documents",
+    threshold: float = 0.9,
+    n: int = 3,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> str:
+    sh = shingles_sql(text_col, n)
+    df_cap = (
+        f"sh AS (SELECT sh0.id, sh0.s FROM sh0 JOIN "
+        f"(SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {max_df}) keep USING (s))"
+        if max_df is not None
+        else "sh AS (SELECT id, s FROM sh0)"
+    )
+    return f"""
+WITH sh0 AS (SELECT {id_col} AS id, unnest({sh}) AS s FROM {table}),
+{df_cap},
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT l.id AS a, r.id AS b, count(*) AS inter
+  FROM sh l JOIN sh r USING (s) WHERE l.id != r.id GROUP BY 1, 2
+)
+SELECT a, b, round(inter::DOUBLE / x.n_sh::DOUBLE, 6) AS containment
+FROM inter JOIN sizes x ON x.id = a
+WHERE round(inter::DOUBLE / x.n_sh::DOUBLE, 6) >= {threshold}
 """

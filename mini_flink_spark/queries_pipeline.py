@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mini_flink_spark.functions import bpe as B
+from mini_flink_spark.functions import dedup as D
 from mini_flink_spark.functions import hashing as H
 from mini_flink_spark.functions import text as T
 from mini_flink_spark.queries import _t, register
@@ -829,3 +830,165 @@ def q_length_outliers_iqr(spark, sf_dir):
             | (F.col("n_tokens") > F.col("q3") + 1.5 * iqr)
         ).alias("is_outlier"),
     )
+
+
+# ----------------------------------------------------- round-3 additions
+
+
+@register(
+    "dedup_intradoc_blocks",
+    D.intradoc_block_dedup_sql(w=10),
+    ("dedup", "pipeline"),
+)
+def q_dedup_intradoc_blocks(spark, sf_dir):
+    """Self-repetition removal WITHIN documents: consecutive 10-token blocks,
+    repeated block content dropped keeping first occurrence — the trimming
+    complement of Gopher's repetition flags (functions/dedup.py
+    intradoc_block_dedup has the zero-shuffle scale argument)."""
+    return D.intradoc_block_dedup(_t(spark, sf_dir, "documents"), w=10)
+
+
+@register(
+    "zipf_fit",
+    f"""
+    WITH tok AS (
+      SELECT unnest({T.tokens_sql('text')}) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT tok, count(*)::BIGINT AS cnt FROM tok GROUP BY tok
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY cnt DESC, tok) AS rank, cnt
+      FROM freq
+      QUALIFY rank <= 100
+    ),
+    pts AS (
+      SELECT list(ln(rank::DOUBLE) ORDER BY rank) AS xs,
+             list(ln(cnt::DOUBLE) ORDER BY rank) AS ys
+      FROM ranked
+    )
+    SELECT len(xs)::BIGINT AS n_top,
+           round((len(xs) * list_sum(list_transform(range(1, len(xs) + 1), i -> xs[i] * ys[i]))
+                  - list_sum(xs) * list_sum(ys))
+                 / (len(xs) * list_sum(list_transform(xs, x -> x * x))
+                    - list_sum(xs) * list_sum(xs)), 6) AS slope,
+           round((list_sum(ys) - (len(xs) * list_sum(list_transform(range(1, len(xs) + 1), i -> xs[i] * ys[i]))
+                  - list_sum(xs) * list_sum(ys))
+                 / (len(xs) * list_sum(list_transform(xs, x -> x * x))
+                    - list_sum(xs) * list_sum(xs)) * list_sum(xs)) / len(xs), 6) AS intercept
+    FROM pts
+    """,
+    ("analytics", "text"),
+)
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus token distribution: least-squares slope
+    of ln(freq) vs ln(rank) on the top-100 tokens (natural text ≈ -1; a
+    synthetic or heavily-templated corpus deviates — a quick corpus-health
+    diagnostic). The regression sums are SEQUENTIAL folds over the
+    rank-sorted point list on both engines (collect_list over 100 rows, not
+    the corpus), so the 6-dp-rounded coefficients hash-match.
+
+    Scale: one token-frequency aggregation (map-side partials, 8-byte-ish
+    keys), a 100-row top-k (TakeOrderedAndProject), and a 1-row fold."""
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # distributed top-k FIRST (TakeOrderedAndProject), THEN the rank window —
+    # a bare row_number() over the full vocabulary would drag every token
+    # count into one partition; over the 100 survivors it's free
+    top = freq.orderBy(F.desc("cnt"), F.asc("tok")).limit(100)
+    ranked = top.select(
+        "cnt",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok"))).alias("rank"),
+    )
+    pts = ranked.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("rank", "cnt"))).alias("pr")
+    )
+    # sequential folds (left-to-right over rank order) for engine-identical
+    # double sums; slope = (nΣxy - ΣxΣy) / (nΣx² - (Σx)²)
+    return pts.select(
+        F.expr("size(pr)").cast("bigint").alias("n_top"),
+        F.expr("""
+          round((size(pr) * aggregate(pr, 0.0D, (a, p) -> a + ln(double(p.rank)) * ln(double(p.cnt)))
+                 - aggregate(pr, 0.0D, (a, p) -> a + ln(double(p.rank)))
+                   * aggregate(pr, 0.0D, (a, p) -> a + ln(double(p.cnt))))
+                / (size(pr) * aggregate(pr, 0.0D, (a, p) -> a + ln(double(p.rank)) * ln(double(p.rank)))
+                   - aggregate(pr, 0.0D, (a, p) -> a + ln(double(p.rank)))
+                     * aggregate(pr, 0.0D, (a, p) -> a + ln(double(p.rank)))), 6)
+        """).alias("slope"),
+        F.expr("""
+          round((aggregate(pr, 0.0D, (a, p) -> a + ln(double(p.cnt)))
+                 - (size(pr) * aggregate(pr, 0.0D, (a, p) -> a + ln(double(p.rank)) * ln(double(p.cnt)))
+                    - aggregate(pr, 0.0D, (a, p) -> a + ln(double(p.rank)))
+                      * aggregate(pr, 0.0D, (a, p) -> a + ln(double(p.cnt))))
+                   / (size(pr) * aggregate(pr, 0.0D, (a, p) -> a + ln(double(p.rank)) * ln(double(p.rank)))
+                      - aggregate(pr, 0.0D, (a, p) -> a + ln(double(p.rank)))
+                        * aggregate(pr, 0.0D, (a, p) -> a + ln(double(p.rank))))
+                   * aggregate(pr, 0.0D, (a, p) -> a + ln(double(p.rank)))) / size(pr), 6)
+        """).alias("intercept"),
+    )
+
+
+FEATURE_HASH_DIMS = 32
+
+
+@register(
+    "feature_hash_embed",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({T.tokens_sql('text')}) AS tok FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             ({H.portable_hash64_sql('tok')}) % {FEATURE_HASH_DIMS} AS dim,
+             CASE WHEN ({H.portable_hash64_sql("(tok || '#sign')")}) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    )
+    SELECT doc_id, dim::BIGINT AS dim, sum(sgn)::BIGINT AS weight
+    FROM feat GROUP BY doc_id, dim
+    HAVING sum(sgn) != 0
+    """,
+    ("embedding", "text"),
+)
+def q_feature_hash_embed(spark, sf_dir):
+    """Feature-hashing document embedding (Weinberger et al., ICML 2009):
+    each token hashes to one of 32 dims with a ±1 sign hash; the doc vector
+    is the signed count per dim, emitted SPARSE as (doc_id, dim, weight)
+    rows with zero dims dropped — the honest shape at corpus scale (dense
+    arrays would carry mostly zeros through the shuffle). Integer weights ⇒
+    exactly deterministic across engines, no float summation order at all.
+    Bridges the text layer to the ANN/clustering layer without a model."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    feat = tok.select(
+        "doc_id",
+        F.pmod(H.portable_hash64("tok"), F.lit(FEATURE_HASH_DIMS)).cast("bigint").alias("dim"),
+        F.when(
+            F.pmod(H.portable_hash64(F.concat(F.col("tok"), F.lit("#sign"))), F.lit(2)) == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return (
+        feat.groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+
+
+@register(
+    "dedup_containment",
+    D.ngram_containment_pairs_sql("doc_id", "text", threshold=0.9),
+    ("dedup", "pipeline"),
+)
+def q_dedup_containment(spark, sf_dir):
+    """Directed shingle containment ≥ 0.9 — catches short-doc-inside-long-doc
+    duplication that symmetric Jaccard misses (functions/dedup.py
+    ngram_containment_pairs has the Broder containment framing and the
+    max_df join-explosion cap)."""
+    return D.ngram_containment_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9)

@@ -482,3 +482,21 @@ def test_assign_clusters_large_k_routes_to_broadcast(spark, sf_dir):
     assert "pythonUDF" in plan or "_cid" in plan, plan[:500]
     n = base.count()
     assert assigned.filter(f"cid >= 0 and cid < {k}").count() == n
+
+
+def test_containment_catches_doc_inside_doc(spark, sf_dir):
+    """A short doc quoted wholesale inside a long doc: containment ≈ 1 in the
+    short→long direction even though Jaccard is far below any dedup
+    threshold — the case the symmetric operator structurally misses."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    long_doc = docs.filter("doc_id = 0").collect()[0].text
+    short = " ".join(long_doc.split()[:8])  # first 8 tokens of doc 0
+    aug = docs.union(
+        spark.createDataFrame([(900000, short)], "doc_id bigint, text string")
+    )
+    cont = {(r.a, r.b): r.containment
+            for r in D.ngram_containment_pairs(aug, "doc_id", "text", threshold=0.9).collect()}
+    assert (900000, 0) in cont and cont[(900000, 0)] == 1.0
+    jac = {(r.a, r.b)
+           for r in D.ngram_jaccard_pairs(aug, "doc_id", "text", threshold=0.5).collect()}
+    assert (900000, 0) not in jac  # Jaccard misses it

@@ -427,3 +427,31 @@ def test_source_overlap_histogram_shape(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "source_overlap_matrix")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_intradoc_block_dedup_zero_shuffle(spark, sf_dir):
+    # pure per-row array computation: blocks, hashes, first-occurrence filter
+    # and rejoin all live in one projection — no exchange, no join
+    plan = plan_of(spark, sf_dir, "dedup_intradoc_blocks")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_zipf_fit_topk_not_global_window(spark, sf_dir):
+    # the rank window must run over the 100 TakeOrderedAndProject survivors,
+    # never the full vocabulary (a bare global row_number would single-thread
+    # every token count)
+    plan = plan_of(spark, sf_dir, "zipf_fit")
+    assert "TakeOrderedAndProject(limit=100" in plan
+    lines = plan.splitlines()
+    w = next(i for i, l in enumerate(lines) if "Window [row_number()" in l)
+    assert any("TakeOrderedAndProject" in l for l in lines[w:w + 4])
+
+
+def test_feature_hash_embed_single_shuffle(spark, sf_dir):
+    # explode → hash-to-dim → one (doc_id, dim) keyed agg with map-side
+    # partials; integer weights, no float agg, no join
+    plan = plan_of(spark, sf_dir, "feature_hash_embed")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+    assert "Join" not in plan

@@ -262,3 +262,22 @@ def test_sketch_probes_survive_colliding_column_names(spark):
     # caller columns pass through untouched
     cols = set(K.cms_estimate(probe, cms, "key").columns)
     assert {"key", "bits", "pos0", "c0", "_est_acc", "cms_est"} <= cols
+
+
+def test_intradoc_block_dedup_removes_repeated_blocks(spark):
+    """A doc built as [X Y X Z] in 10-token blocks keeps X once; a doc with
+    unique blocks is untouched; a short doc (< one block) passes through."""
+    X = " ".join(f"x{i}" for i in range(10))
+    Y = " ".join(f"y{i}" for i in range(10))
+    Z = " ".join(f"z{i}" for i in range(10))
+    U = " ".join(f"u{i}" for i in range(25))  # 2.5 blocks, all unique
+    docs = spark.createDataFrame(
+        [(1, f"{X} {Y} {X} {Z}"), (2, U), (3, "tiny doc")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in D.intradoc_block_dedup(docs, w=10).collect()}
+    assert out[1].n_blocks == 4 and out[1].n_dropped == 1
+    assert out[1].clean_text == f"{X} {Y} {Z}"
+    assert out[2].n_blocks == 3 and out[2].n_dropped == 0 and out[2].clean_text == U
+    assert out[3].n_blocks == 1 and out[3].n_dropped == 0
+    assert out[3].clean_text == "tiny doc"
