@@ -583,3 +583,70 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------- IVF as a partitioned table
+#
+# The persisted form the module docstring promises: at warehouse scale the
+# IVF index IS a `PARTITIONED BY (cell)` parquet table, and a probe is
+# partition pruning — the nprobe cells of a query batch prune to nprobe/
+# n_cells of the corpus at the FILE level before a single row is read.
+
+
+def ivf_persist(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_CELLS,
+    centroids: DataFrame | None = None,
+) -> None:
+    """Build and persist the IVF index: assign every vector to its nearest
+    cell (one broadcast pass, same determinism as `ivf_topk`) and write
+    `PARTITIONED BY (cell)` parquet. Distributed write — no driver data."""
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
+        )
+    assigned = _assign_cells(base, centroids, 1, "id").select("id", "v", "cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_probe_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Top-k against the persisted index. The probe cells (|Q| x nprobe ints
+    — model-bounded, like the centroids themselves) become a partition
+    filter, so the scan prunes to the probed cells at the directory level:
+    `PartitionFilters: [cell IN (...)]` in the plan, ~nprobe/n_cells of the
+    index bytes read. Scoring is then the same exact-cosine + per-query
+    window as `ivf_topk`."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probes = _assign_cells(q, centroids, nprobe, "query_id", vec_col="qv").select(
+        "query_id", "qv", "cell"
+    )
+    # driver-side cell list: |Q| * nprobe ints — the partition-pruning key
+    cells = sorted({int(r.cell) for r in probes.select("cell").distinct().collect()})
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    scored = (
+        idx.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .select("query_id", F.col("id").alias("neighbor_id"), "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 from mini_flink_spark.functions import bpe as B
 from mini_flink_spark.functions import dedup as D
 from mini_flink_spark.functions import hashing as H
+from mini_flink_spark.functions import similarity as S
 from mini_flink_spark.functions import text as T
 from mini_flink_spark.queries import _t, register
 
@@ -992,3 +993,29 @@ def q_dedup_containment(spark, sf_dir):
     ngram_containment_pairs has the Broder containment framing and the
     max_df join-explosion cap)."""
     return D.ngram_containment_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9)
+
+
+@register(
+    "ann_topk_ivf_persisted",
+    S.ivf_topk_sql(k=5, query_pred="vec_id < 10"),
+    ("similarity", "storage"),
+)
+def q_ann_topk_ivf_persisted(spark, sf_dir):
+    """The IVF index in its WAREHOUSE-NATIVE form: the cell assignment is
+    persisted as `PARTITIONED BY (cell)` parquet (distributed write), and a
+    probe becomes PARTITION PRUNING — the query batch's nprobe cells turn
+    into `PartitionFilters`, so only ~nprobe/n_cells of the index bytes are
+    ever read (pinned in tests/test_plans.py). Results are identical to the
+    in-memory `ann_topk_ivf` (same oracle), because the persisted layout
+    changes WHERE rows live, never which rows score."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_idx_")
+    S.ivf_persist(emb, path)
+    cents = emb.filter(F.col("vec_id") < S.IVF_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+    )
+    return S.ivf_probe_persisted(
+        spark, path, emb.filter("vec_id < 10"), cents, k=5
+    )

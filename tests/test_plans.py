@@ -455,3 +455,13 @@ def test_feature_hash_embed_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_sum" in plan
     assert "Join" not in plan
+
+
+def test_ivf_persisted_probe_prunes_partitions(spark, sf_dir):
+    # the probe scan must carry the nprobe cells as PartitionFilters (cell is
+    # the partitioning column of the persisted index) — directory-level
+    # pruning, the point of the layout
+    plan = plan_of(spark, sf_dir, "ann_topk_ivf_persisted")
+    scan = [l for l in plan.splitlines() if "Scan parquet" in l and "ivf_idx_" in l]
+    assert scan, plan[:800]
+    assert "PartitionFilters: [cell" in plan
