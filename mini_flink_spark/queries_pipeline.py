@@ -1019,3 +1019,55 @@ def q_ann_topk_ivf_persisted(spark, sf_dir):
     return S.ivf_probe_persisted(
         spark, path, emb.filter("vec_id < 10"), cents, k=5
     )
+
+
+@register(
+    "text_entropy",
+    f"""
+    WITH chars AS (
+      SELECT doc_id,
+             list_sort(list_distinct(string_split_regex(lower(text), ''))) AS cs,
+             len(text) AS n
+      FROM documents WHERE len(text) > 0
+    ),
+    hist AS (
+      SELECT doc_id, n,
+             list_transform(cs, c -> len(text) - len(replace(lower(text), c, '')))
+               AS cnts
+      FROM chars JOIN documents USING (doc_id)
+    )
+    SELECT doc_id,
+           round(-list_sum(list_transform(cnts,
+               c -> (c::DOUBLE / n) * ln(c::DOUBLE / n))), 6) AS entropy
+    FROM hist
+    """,
+    ("text", "quality"),
+)
+def q_text_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the cheap gibberish /
+    degenerate-text detector (binary blobs masquerading as text score near
+    the alphabet maximum; 'aaaa...' scores near 0; natural text sits in a
+    stable band). Histogram built IN-ARRAY per row: distinct chars of the
+    lowercased text (sorted, so the -Σ p·ln p fold visits terms in the same
+    order on both engines), each counted via length-difference — zero
+    shuffle, zero Python, pure codegen.
+
+    Scale: O(alphabet × len) per row, embarrassingly parallel."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return docs.select(
+        "doc_id",
+        F.round(
+            F.expr(
+                """
+          -aggregate(
+            transform(
+              array_sort(array_distinct(split(lower(text), ''))),
+              c -> (cast(length(text) - length(replace(lower(text), c, '')) as double)
+                    / length(text))),
+            0.0D,
+            (acc, p) -> acc + p * ln(p))
+          """
+            ),
+            6,
+        ).alias("entropy"),
+    )

@@ -281,3 +281,22 @@ def test_intradoc_block_dedup_removes_repeated_blocks(spark):
     assert out[2].n_blocks == 3 and out[2].n_dropped == 0 and out[2].clean_text == U
     assert out[3].n_blocks == 1 and out[3].n_dropped == 0
     assert out[3].clean_text == "tiny doc"
+
+
+def test_text_entropy_ordering_and_bounds(spark):
+    """Degenerate text scores ~0, uniform-alphabet text scores ln(k), mixed
+    natural-ish text in between; uppercase is folded before counting."""
+    import math
+
+    from mini_flink_spark.queries import QUERIES
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1, "aaaaaaaaaaaa"), (2, "abcdefgh"), (3, "The Quick Brown"), (4, "AaAa")],
+        "doc_id bigint, text string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r.entropy for r in QUERIES["text_entropy"].fn(spark, d).collect()}
+    assert out[1] == 0.0
+    assert abs(out[2] - round(math.log(8), 6)) < 1e-9
+    assert 0 < out[3] <= math.log(15) + 1e-9
+    assert out[4] == 0.0  # case-folded: all 'a'
