@@ -1039,9 +1039,12 @@ def intradoc_block_dedup(
     )
     kept = hashed.withColumn(
         "kept_idx",
+        # sequence(0, -1) DESCENDS — guard the empty-blocks case (blank doc)
         F.expr(
-            "filter(sequence(0, size(blocks) - 1),"
-            " i -> array_position(bh, element_at(bh, i + 1)) = i + 1)"
+            "CASE WHEN size(blocks) >= 1 THEN"
+            " filter(sequence(0, size(blocks) - 1),"
+            "  i -> array_position(bh, element_at(bh, i + 1)) = i + 1)"
+            " ELSE cast(array() as array<int>) END"
         ),
     )
     return kept.select(

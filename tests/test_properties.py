@@ -195,3 +195,65 @@ def test_zorder_key_monotone_when_other_dim_fixed(spark, fixed_b, avals):
     by_a = sorted((r.a, r.z) for r in rows)
     zs = [z for _, z in by_a]
     assert zs == sorted(zs)
+
+
+WORDS = st.lists(
+    st.sampled_from([f"w{i}" for i in range(12)]), min_size=0, max_size=60
+)
+
+
+@given(toks=WORDS)
+@PROP
+def test_intradoc_block_dedup_equals_python_reference(spark, toks):
+    """Randomized validation of the in-array first-occurrence block filter
+    against a plain-Python reference over the same 5-token blocking."""
+    from mini_flink_spark.functions.dedup import intradoc_block_dedup
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    row = intradoc_block_dedup(df, w=5).collect()[0]
+    blocks = [tuple(toks[i : i + 5]) for i in range(0, len(toks), 5)]
+    seen, kept = set(), []
+    for b in blocks:
+        if b not in seen:
+            seen.add(b)
+            kept.append(b)
+    assert row.n_blocks == len(blocks)
+    assert row.n_dropped == len(blocks) - len(kept)
+    assert row.clean_text == " ".join(" ".join(b) for b in kept).strip()
+
+
+@given(
+    ta=st.lists(st.sampled_from(["p", "q", "r", "s", "t"]), min_size=3, max_size=25),
+    tb=st.lists(st.sampled_from(["p", "q", "r", "s", "t"]), min_size=3, max_size=25),
+)
+@PROP
+def test_containment_dominates_jaccard(spark, ta, tb):
+    """For any doc pair: max-direction containment ≥ Jaccard (|∩|/min ≥
+    |∩|/|∪|), and both match the Python set computation on 3-shingles."""
+    from mini_flink_spark.functions.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, " ".join(ta)), (2, " ".join(tb))], "doc_id bigint, text string"
+    )
+    sa = {tuple(ta[i : i + 3]) for i in range(len(ta) - 2)}
+    sb = {tuple(tb[i : i + 3]) for i in range(len(tb) - 2)}
+    inter = len(sa & sb)
+    cont = {
+        (r.a, r.b): r.containment
+        for r in ngram_containment_pairs(df, "doc_id", "text", threshold=-1.0, max_df=None).collect()
+    }
+    jac = {
+        (r.a, r.b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=-1.0, max_df=None).collect()
+    }
+    if inter == 0:
+        assert not cont and not jac
+        return
+    assert cont[(1, 2)] == round(inter / len(sa), 6)
+    assert cont[(2, 1)] == round(inter / len(sb), 6)
+    assert jac[(1, 2)] == round(inter / (len(sa | sb)), 6)
+    assert max(cont[(1, 2)], cont[(2, 1)]) >= jac[(1, 2)]
