@@ -2671,3 +2671,52 @@ def source_overlap(docs):
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "streaming_curation_gate_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, {T.tokens_sql('text')} AS t FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, {T.fingerprint_sql('text')} AS fp
+      FROM toks WHERE {_GOPHER_GATE_SQL}
+    )
+    SELECT fp, min(doc_id) AS canonical_id, count(*) AS n_members
+    FROM gated GROUP BY fp
+    """,
+    ("streaming", "dedup", "quality"),
+)
+def q_streaming_curation_gate_dedup(spark, sf_dir):
+    """The curation pipeline's first two stages composed ON THE STREAMING
+    path: documents arrive as a file stream, pass the stateless Gopher rule
+    gate in-flight, are content-fingerprinted per row, and one keyed
+    aggregation maintains (canonical_id, n_members) per fingerprint in
+    update mode — ingest-time gate + exact dedup in a single streaming job.
+    State is one row per distinct surviving fingerprint (corpus
+    distinctness, not stream length; add a watermark + event-time column to
+    bound it on unbounded streams, as streaming_dedup demonstrates).
+    Converged groups equal the batch oracle exactly."""
+    from mini_flink_spark.sources import parquet_stream, write_stream_fixture
+    from mini_flink_spark.streaming import run_stream_to_memory
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fixture = write_stream_fixture(
+        docs, tempfile.mkdtemp(prefix="q_stream_cur_"), n_files=4
+    )
+    stream = parquet_stream(spark, fixture, "doc_id bigint, text string")
+    mx = gopher_metrics(T.tokens("text"))
+    f1, f2, f3, f4 = gopher_flags(
+        mx["n_tokens"], mx["n_chars"], mx["sw_hits"], mx["n_distinct"]
+    )
+    grouped = (
+        stream.filter(f1 & f2 & f3 & f4)
+        .select("doc_id", T.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+    return run_stream_to_memory(grouped, spark, "update")
