@@ -1071,3 +1071,82 @@ def q_text_entropy(spark, sf_dir):
             6,
         ).alias("entropy"),
     )
+
+
+@register(
+    "curriculum_global_rank",
+    f"""
+    WITH q AS (
+      SELECT doc_id, ({T.token_count_sql('text')})::BIGINT AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rank
+    FROM q
+    """,
+    ("pipeline", "ordering"),
+)
+def q_curriculum_global_rank(spark, sf_dir):
+    """Total global ordering of the corpus (curriculum ordering: longest
+    docs first, doc_id tiebreak) WITHOUT the single-partition window trap.
+    A bare `row_number() OVER (ORDER BY ...)` drags the whole corpus into
+    one task; the scalable rendering is the classic two-pass rank:
+
+      1. range-partition + sort on the full ordering key (Spark's
+         distributed sort — each partition holds a contiguous key range),
+      2. count rows per sorted partition (tiny: one long per partition),
+      3. broadcast the cumulative offsets; each partition stamps
+         rank = its offset + local row index via one Arrow pass.
+
+    Partition boundaries come from range sampling and are NOT deterministic
+    — but the stamped ranks are, because the ordering key (n_tokens desc,
+    doc_id) is total: offsets absorb whatever boundary the sampler picked.
+    At 100 TB this is the only rank that works; the single-task window is
+    the oracle's luxury."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", T.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    ranked = (
+        keyed.repartitionByRange(
+            keyed.sparkSession.sparkContext.defaultParallelism,
+            F.desc("n_tokens"),
+            F.asc("doc_id"),
+        )
+        .sortWithinPartitions(F.desc("n_tokens"), F.asc("doc_id"))
+        # materialize the sorted layout ONCE: the count pass and the stamp
+        # pass must see the identical partitioning (and the sort shouldn't
+        # run twice) — at corpus scale this is persist(DISK_ONLY)
+        .localCheckpoint(eager=True)
+    )
+
+    # pass 1: per-partition row counts (one long per partition)
+    sizes = (
+        ranked.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    counts = {int(r.pid): int(r["count"]) for r in sizes}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    # pass 2: stamp rank = partition offset + local index (Arrow-batched,
+    # order-preserving within the sorted partition)
+    def _stamp(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        off = offsets.get(TaskContext.get().partitionId(), 0)
+        seen = 0
+        for pdf in batches:
+            n = len(pdf)
+            out = pdf.copy()
+            out["rank"] = range(off + seen + 1, off + seen + n + 1)
+            seen += n
+            yield out
+
+    return ranked.mapInPandas(_stamp, "doc_id long, n_tokens long, rank long")

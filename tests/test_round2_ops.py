@@ -300,3 +300,22 @@ def test_text_entropy_ordering_and_bounds(spark):
     assert abs(out[2] - round(math.log(8), 6)) < 1e-9
     assert 0 < out[3] <= math.log(15) + 1e-9
     assert out[4] == 0.0  # case-folded: all 'a'
+
+
+def test_global_rank_is_dense_total_permutation(spark):
+    """The two-pass distributed rank must produce exactly 1..N with no gaps
+    or dupes and agree with the single-partition window reference."""
+    from mini_flink_spark.queries import QUERIES
+    import os, tempfile
+
+    d = tempfile.mkdtemp()
+    docs = spark.range(0, 3000).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, cast(pmod(id * 37, 50) + 1 as int)), i -> 'w')) AS text",
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = QUERIES["curriculum_global_rank"].fn(spark, d).collect()
+    ranks = sorted(r.rank for r in out)
+    assert ranks == list(range(1, 3001))
+    by_key = sorted(out, key=lambda r: (-r.n_tokens, r.doc_id))
+    assert [r.rank for r in by_key] == list(range(1, 3001))
