@@ -241,3 +241,114 @@ def cms_sql_positions(expr: str, w: int = CMS_W, d: int = CMS_D) -> list[str]:
         f"(({seeded_hash_sql(f'({expr})::VARCHAR', 100 + i)}) % {w} + {w}) % {w}"
         for i in range(d)
     ]
+
+
+# ------------------------------------- portable histogram quantile sketch
+
+HIST_LO = 0.0
+HIST_HI = 500.0
+HIST_BINS = 1000
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Approximate quantiles from a FIXED equi-width histogram — the
+    engine-portable member of the quantile-sketch family (t-digest / GK
+    summaries are implementation-specific, so `sketch_value_percentiles`
+    can only be rows-checked; this one's estimates hash-match the oracle,
+    collisions of binning included).
+
+    Estimate for q: with n total rows and t = ceil(q·n), find the first
+    bin whose cumulative count reaches t, then interpolate linearly inside
+    it: lo + width·bin + width·(t - cum_before)/bin_count. All inputs to
+    the arithmetic are integers plus the fixed bin edges, so both engines
+    compute identical doubles (rounded to 6 dp for the compare).
+
+    Scale: one groupBy on the bin index — the shuffle carries at most
+    `bins` rows per partition (map-side partials), the fold runs over the
+    ≤`bins`-element collected list. Error is bounded by the bin width, the
+    standard fixed-histogram tradeoff; values outside [lo, hi) clamp to
+    the edge bins."""
+    width = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(col) - lo) / width).cast("int")),
+    )
+    hist = (
+        df.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("bin", "c"))).alias("h"))
+    )
+    # per-quantile fold over the sorted (bin, count) list: carry cumulative
+    # count; once it reaches t, record the bin and the pre-bin cumulative
+    out = hist
+    cols = []
+    for i, q in enumerate(qs):
+        t = f"cast(ceil({q!r}D * aggregate(h, 0L, (a, x) -> a + x.c)) as bigint)"
+        fold = (
+            "aggregate(h,"
+            " named_struct('cum', 0L, 'bin', -1, 'before', 0L),"
+            " (acc, x) -> IF(acc.bin >= 0, acc,"
+            f"   IF(acc.cum + x.c >= {t},"
+            "      named_struct('cum', acc.cum + x.c, 'bin', x.bin, 'before', acc.cum),"
+            "      named_struct('cum', acc.cum + x.c, 'bin', -1, 'before', 0L))))"
+        )
+        out = out.withColumn(f"__r{i}", F.expr(fold))
+        cols.append(
+            F.expr(
+                f"named_struct('q', {q!r}D, 'est',"
+                f" round({lo!r}D + {width!r}D * __r{i}.bin"
+                f" + {width!r}D * (cast({t} - __r{i}.before as double)"
+                f" / cast(__r{i}.cum - __r{i}.before as double)), 6))"
+            )
+        )
+    return (
+        out.select(F.explode(F.array(*cols)).alias("z"))
+        .select(F.col("z.q").alias("q"), F.col("z.est").alias("est"))
+    )
+
+
+def histogram_quantiles_sql(
+    inner_sql: str,
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    bins: int = HIST_BINS,
+) -> str:
+    """DuckDB twin: same binning, cumulative window over the ≤bins rows,
+    first bin reaching each target, identical interpolation."""
+    width = (hi - lo) / bins
+    q_rows = ", ".join(f"({q!r})" for q in qs)
+    return f"""
+WITH items AS ({inner_sql}),
+hist AS (
+  SELECT least({bins - 1}, greatest(0, floor(({col} - {lo!r}) / {width!r})::INT)) AS bin,
+         count(*)::BIGINT AS c
+  FROM items GROUP BY 1
+),
+cum AS (
+  SELECT bin, c,
+         sum(c) OVER (ORDER BY bin) AS cum,
+         sum(c) OVER (ORDER BY bin) - c AS before
+  FROM hist
+),
+qs(q) AS (VALUES {q_rows}),
+tot AS (SELECT sum(c)::BIGINT AS n FROM hist),
+hit AS (
+  SELECT q, min(bin) AS bin FROM qs, cum, tot
+  WHERE cum >= ceil(q * n)::BIGINT GROUP BY q
+)
+SELECT q, round({lo!r} + {width!r} * h.bin
+       + {width!r} * ((ceil(q * n)::BIGINT - c2.before)::DOUBLE
+                      / (c2.cum - c2.before)::DOUBLE), 6) AS est
+FROM hit h JOIN cum c2 ON c2.bin = h.bin CROSS JOIN tot
+"""

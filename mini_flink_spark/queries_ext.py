@@ -2720,3 +2720,19 @@ def q_streaming_curation_gate_dedup(spark, sf_dir):
         )
     )
     return run_stream_to_memory(grouped, spark, "update")
+
+
+@register(
+    "sketch_histogram_quantiles",
+    K.histogram_quantiles_sql("SELECT value FROM events", "value"),
+    ("sketch", "quantiles"),
+)
+def q_sketch_histogram_quantiles(spark, sf_dir):
+    """Approximate p50/p90/p99 of the event value from a fixed equi-width
+    histogram — the engine-PORTABLE quantile sketch (t-digest/GK internals
+    are engine-specific, so `sketch_value_percentiles` is only
+    rows-checked; this one's estimates hash-match the oracle, interpolation
+    and binning collisions included). functions/sketches.py
+    histogram_quantiles has the bounded-shuffle scale argument."""
+    ev = _t(spark, sf_dir, "events")
+    return K.histogram_quantiles(ev, "value")

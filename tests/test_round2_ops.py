@@ -319,3 +319,18 @@ def test_global_rank_is_dense_total_permutation(spark):
     assert ranks == list(range(1, 3001))
     by_key = sorted(out, key=lambda r: (-r.n_tokens, r.doc_id))
     assert [r.rank for r in by_key] == list(range(1, 3001))
+
+
+def test_histogram_quantiles_error_bounded_by_bin_width(spark):
+    """Estimates must sit within one bin width of the exact quantiles."""
+    from mini_flink_spark.functions.sketches import HIST_BINS, HIST_HI, HIST_LO, histogram_quantiles
+
+    df = spark.range(0, 20000).selectExpr("cast(pmod(id * 97, 500) as double) + 0.25 AS v")
+    got = {r.q: r.est for r in histogram_quantiles(df, "v").collect()}
+    exact = df.selectExpr(
+        "percentile(v, 0.5) p50", "percentile(v, 0.9) p90", "percentile(v, 0.99) p99"
+    ).collect()[0]
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    assert abs(got[0.5] - exact.p50) <= width + 1e-9
+    assert abs(got[0.9] - exact.p90) <= width + 1e-9
+    assert abs(got[0.99] - exact.p99) <= width + 1e-9
