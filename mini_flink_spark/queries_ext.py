@@ -2736,3 +2736,23 @@ def q_sketch_histogram_quantiles(spark, sf_dir):
     histogram_quantiles has the bounded-shuffle scale argument."""
     ev = _t(spark, sf_dir, "events")
     return K.histogram_quantiles(ev, "value")
+
+
+@register(
+    "dedup_embedding_components",
+    D.connected_components_sql(
+        S.embedding_neardup_pairs_sql(threshold=0.4, blocked=True)
+    ),
+    ("dedup", "embedding", "iterative"),
+)
+def q_dedup_embedding_components(spark, sf_dir):
+    """Embedding near-dup GROUPS: the same pairs→components closure the text
+    path has (dedup_components), over the hyperplane-blocked cosine pair
+    graph — semantic-duplicate clusters whose min-id member survives
+    downstream dedup. Threshold 0.4 so the random driver embeddings yield a
+    non-trivial graph; blocking and verify are oracle-mirrored, so the
+    (approximate) candidate set is identical on both engines."""
+    pairs = S.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, blocked=True
+    )
+    return D.connected_components(pairs)
