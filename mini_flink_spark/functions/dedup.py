@@ -1172,3 +1172,108 @@ SELECT a, b, round(inter::DOUBLE / x.n_sh::DOUBLE, 6) AS containment
 FROM inter JOIN sizes x ON x.id = a
 WHERE round(inter::DOUBLE / x.n_sh::DOUBLE, 6) >= {threshold}
 """
+
+
+# ------------------------------------------- persisted MinHash band index
+
+
+def minhash_index_persist(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+) -> None:
+    """Materialize the corpus-side index `minhash_incremental_pairs`
+    recomputes inline: `<path>/bands` (id, band key) and `<path>/shingles`
+    (id, sh, n_sh — the exact-verify side). This is the steady-state shape
+    the incremental operator's docstring promises: ingest batches probe a
+    PERSISTED inventory instead of re-tokenizing the corpus. Distributed
+    write; at warehouse scale `bands` would be bucketed by band key so the
+    probe join co-locates without a shuffle (storage.py has the layout)."""
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    raw = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
+    ).repartition(parts)
+    toks = raw.select("id", tokens("_text").alias("t"))
+    base = (
+        toks.select("id", shingles_from_tokens(F.col("t"), n).alias("sh"))
+        .withColumn("n_sh", F.array_size("sh"))
+        .localCheckpoint(eager=False)
+    )
+    base.write.mode("overwrite").parquet(f"{path}/shingles")
+    sh_rows = base.select("id", F.explode("sh").alias("s"))
+    hash_cols = [seeded_hash(F.col("s"), i).alias(f"h{i}") for i in range(k)]
+    sig = (
+        sh_rows.select("id", *hash_cols)
+        .groupBy("id")
+        .agg(F.array(*[F.min(f"h{i}") for i in range(k)]).alias("sig"))
+    )
+    sig.select(
+        "id", F.explode(minhash_bands(F.col("sig"), k, bands)).alias("band")
+    ).write.mode("overwrite").parquet(f"{path}/bands")
+
+
+def minhash_probe_persisted(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """Probe a NEW batch against the persisted index: the batch's band keys
+    broadcast into a join against the on-disk band table (the index is never
+    shuffled), candidates verify exact-Jaccard against the on-disk shingle
+    sets. Output (a=indexed id, b=new id, jaccard) — identical to
+    `minhash_incremental_pairs` over the union (pinned by test)."""
+    parts = spark.sparkContext.defaultParallelism
+    raw = new_docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
+    ).repartition(parts)
+    toks = raw.select("id", tokens("_text").alias("t"))
+    nbase = (
+        toks.select("id", shingles_from_tokens(F.col("t"), n).alias("sh"))
+        .withColumn("n_sh", F.array_size("sh"))
+        .localCheckpoint(eager=False)
+    )
+    sh_rows = nbase.select("id", F.explode("sh").alias("s"))
+    hash_cols = [seeded_hash(F.col("s"), i).alias(f"h{i}") for i in range(k)]
+    nsig = (
+        sh_rows.select("id", *hash_cols)
+        .groupBy("id")
+        .agg(F.array(*[F.min(f"h{i}") for i in range(k)]).alias("sig"))
+    )
+    new_keys = nsig.select(
+        F.col("id").alias("new_id"),
+        F.explode(minhash_bands(F.col("sig"), k, bands)).alias("band"),
+    )
+    idx_bands = spark.read.parquet(f"{path}/bands")
+    idx_sh = spark.read.parquet(f"{path}/shingles")
+    cand = (
+        idx_bands.join(F.broadcast(new_keys), "band")
+        .select(F.col("id").alias("a"), F.col("new_id").alias("b"))
+        .distinct()
+    )
+    lhs = idx_sh.select(
+        F.col("id").alias("a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
+    )
+    rhs = nbase.select(
+        F.col("id").alias("b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")
+    )
+    return (
+        cand.join(lhs, "a")
+        .join(rhs, "b")
+        .withColumn("inter", F.array_size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -500,3 +500,30 @@ def test_containment_catches_doc_inside_doc(spark, sf_dir):
     jac = {(r.a, r.b)
            for r in D.ngram_jaccard_pairs(aug, "doc_id", "text", threshold=0.5).collect()}
     assert (900000, 0) not in jac  # Jaccard misses it
+
+
+def test_minhash_persisted_index_matches_inline_incremental(spark, sf_dir):
+    """Probing the persisted band/shingle index must produce exactly the
+    pairs the inline incremental operator computes over the same old/new
+    split — the persisted layout changes WHERE the index lives, not what
+    matches."""
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    old = docs.filter("doc_id < 450")
+    new = docs.filter("doc_id >= 450")
+    path = tempfile.mkdtemp(prefix="mh_idx_")
+    D.minhash_index_persist(old, path, "doc_id", "text")
+    persisted = {
+        (r.a, r.b): r.jaccard
+        for r in D.minhash_probe_persisted(
+            spark, path, new, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    inline = {
+        (r.a, r.b): r.jaccard
+        for r in D.minhash_incremental_pairs(
+            docs, "doc_id", "text", "doc_id >= 450", threshold=0.3
+        ).collect()
+    }
+    assert persisted == inline
