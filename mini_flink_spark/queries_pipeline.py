@@ -1150,3 +1150,48 @@ def q_curriculum_global_rank(spark, sf_dir):
             yield out
 
     return ranked.mapInPandas(_stamp, "doc_id long, n_tokens long, rank long")
+
+
+@register(
+    "record_linkage_customers",
+    """
+    SELECT l.c_custkey AS a, r.c_custkey AS b,
+           levenshtein(l.c_name, r.c_name)::BIGINT AS dist
+    FROM customer l
+    JOIN customer r
+      ON l.c_nationkey = r.c_nationkey
+     AND l.c_mktsegment = r.c_mktsegment
+     AND l.c_custkey < r.c_custkey
+    WHERE levenshtein(l.c_name, r.c_name) <= 2
+    """,
+    ("linkage", "dedup"),
+)
+def q_record_linkage_customers(spark, sf_dir):
+    """Entity resolution on STRUCTURED records (the record-linkage cousin of
+    text dedup): candidate pairs are generated by BLOCKING on
+    (nation, market segment) — the classic Fellegi-Sunter reduction that
+    bounds the quadratic compare to within-block pairs — and verified with
+    an edit-distance predicate (integer Levenshtein ⇒ exactly portable
+    across engines). Output: matched pairs at distance ≤ 2.
+
+    Scale: the self-join shuffles only the blocking key; a hot block would
+    be capped the same way n-gram dedup caps document frequency (count
+    blocks first, drop or sub-block the pathological ones). Real linkage
+    swaps the name predicate for a scored rule set — the plan shape is
+    identical."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    l = c.alias("l")
+    r = c.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.c_nationkey") == F.col("r.c_nationkey"))
+            & (F.col("l.c_mktsegment") == F.col("r.c_mktsegment"))
+            & (F.col("l.c_custkey") < F.col("r.c_custkey")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("l.c_name"), F.col("r.c_name")).cast("bigint"))
+        .filter(F.col("dist") <= 2)
+        .select(F.col("l.c_custkey").alias("a"), F.col("r.c_custkey").alias("b"), "dist")
+    )
