@@ -1191,7 +1191,13 @@ def q_record_linkage_customers(spark, sf_dir):
             & (F.col("l.c_mktsegment") == F.col("r.c_mktsegment"))
             & (F.col("l.c_custkey") < F.col("r.c_custkey")),
         )
-        .withColumn("dist", F.levenshtein(F.col("l.c_name"), F.col("r.c_name")).cast("bigint"))
-        .filter(F.col("dist") <= 2)
+        # bounded form early-exits the DP once distance exceeds 2 (Spark
+        # returns -1 then — excluded by the >= 0 conjunct); same integers as
+        # the oracle's unbounded levenshtein on the surviving pairs
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("l.c_name"), F.col("r.c_name"), 2).cast("bigint"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 2))
         .select(F.col("l.c_custkey").alias("a"), F.col("r.c_custkey").alias("b"), "dist")
     )
