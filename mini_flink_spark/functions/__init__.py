@@ -1,3 +1,21 @@
-from mini_flink_spark.functions import hashing, text, dedup, similarity, multimodal
+from mini_flink_spark.functions import (
+    bpe,
+    clustering,
+    dedup,
+    hashing,
+    multimodal,
+    similarity,
+    sketches,
+    text,
+)
 
-__all__ = ["hashing", "text", "dedup", "similarity", "multimodal"]
+__all__ = [
+    "bpe",
+    "clustering",
+    "dedup",
+    "hashing",
+    "multimodal",
+    "similarity",
+    "sketches",
+    "text",
+]

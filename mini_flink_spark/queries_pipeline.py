@@ -1,5 +1,8 @@
 """Training-data-pipeline battery: sampling, chunking, repetition scoring,
-corpus n-gram stats, and token-budget sharding over the `documents` table.
+corpus n-gram stats, token-budget sharding, intra-doc block dedup, directed
+containment pairs, Zipf fitting, feature-hash embeddings, character entropy,
+scalable global ranking, the persisted IVF probe, and blocked record linkage
+over the driver tables.
 
 The reference engine (confucianzuoyuan/mini-flink) has no document-processing
 surface at all — its only text program is WordCount
