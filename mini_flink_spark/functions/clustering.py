@@ -428,21 +428,15 @@ def kmeans_centroids_df(
     )
 
 
-def kmeans_clusters_sql(
-    table: str = "embeddings",
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = 8,
-    iters: int = 3,
-    d: int = 64,
-) -> str:
-    """DuckDB twin: the same Lloyd's rounds unrolled as chained CTEs.
-
-    Mirrors every determinism choice (double cast, 6-dp distance rounding,
-    12-dp centroid-mean rounding, first-position tie-break, empty-cluster
-    carry-forward via LEFT JOIN + coalesce), so cluster sizes AND 4-dp
-    centroid norms hash-match.
-    """
+def _lloyds_ctes(
+    table: str, vec_col: str, id_col: str, k: int, iters: int, d: int
+) -> tuple[str, list[str]]:
+    """The Lloyd's-rounds CTE chain shared by every clustering oracle
+    (kmeans_clusters_sql, semdedup_sql): returns (dist_expr, ctes) where
+    `ctes` builds emb → c0 → (a1, c1) … (a{iters}, c{iters}) with the exact
+    determinism conventions of `kmeans_fit` (first-k init, 6-dp distance
+    round, first-position tie-break, 12-dp centroid means, empty-cluster
+    carry-forward)."""
     dist = (
         f"round(list_sum(list_transform(range(1, {d}+1),"
         " i -> (v[i]-c[i])*(v[i]-c[i]))), 6)"
@@ -470,6 +464,25 @@ def kmeans_clusters_sql(
       FROM a{t} CROSS JOIN range(1, {d}+1) t(i)
       GROUP BY cid, i) GROUP BY cid) n USING (cid))"""
         )
+    return dist, ctes
+
+
+def kmeans_clusters_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    d: int = 64,
+) -> str:
+    """DuckDB twin: the same Lloyd's rounds unrolled as chained CTEs.
+
+    Mirrors every determinism choice (double cast, 6-dp distance rounding,
+    12-dp centroid-mean rounding, first-position tie-break, empty-cluster
+    carry-forward via LEFT JOIN + coalesce), so cluster sizes AND 4-dp
+    centroid norms hash-match.
+    """
+    dist, ctes = _lloyds_ctes(table, vec_col, id_col, k, iters, d)
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -484,3 +497,190 @@ CROSS JOIN c{iters} cf
 GROUP BY a.cid, cf.cents
 ORDER BY cid"""
     )
+
+
+# =========================================================================
+# SemDeDup — semantic dedup via cluster-then-prune (Abbas et al. 2023)
+# =========================================================================
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    tau: float = 0.5,
+) -> DataFrame:
+    """SemDeDup: KMeans-cluster the embeddings, then mark as a semantic
+    duplicate any vector whose cosine to a LOWER-ID member of the SAME
+    cluster is >= tau (4-dp rounded). Returns one row per vector:
+    (vec_id, cid, dup_of, kept) where dup_of is the smallest qualifying
+    lower id (NULL ⇒ kept).
+
+    The keep-lowest-id rule is deliberately non-transitive (a row is pruned
+    if ANY lower-id cluster-mate is close, kept or not) — deterministic,
+    order-free, and exactly mirrorable in SQL; the paper's
+    "keep-farthest-from-centroid" variant only changes the tie ordering.
+
+    Scale shape (100 TB): this is the whole point of SemDeDup — cosine pairs
+    are confined to clusters, so the self-join shuffles on cid and costs
+    Σ|cluster|² instead of n². k is chosen so n/k (the mean cluster size)
+    stays constant as the corpus grows (FAISS-style: k ≈ n/1000), which the
+    large-k broadcast assignment path (`assign_clusters`, k·d > 4096)
+    supports without plan blow-up. The assignment output is checkpointed so
+    the hi/lo sides of the pair join don't re-run Lloyd's assignment twice.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    cents = kmeans_fit(base, "v", "id", k, iters)
+    asg = assign_clusters(base, cents, "v").localCheckpoint(eager=True)
+    from mini_flink_spark.functions.similarity import cosine
+
+    lo = asg.select(F.col("cid"), F.col("id").alias("lo_id"), F.col("v").alias("lo_v"))
+    dups = (
+        asg.join(lo, "cid")
+        .where(F.col("lo_id") < F.col("id"))
+        .where(F.round(cosine(F.col("v"), F.col("lo_v")), 4) >= F.lit(tau))
+        .groupBy("id")
+        .agg(F.min("lo_id").alias("dup_of"))
+    )
+    return (
+        asg.join(dups, "id", "left")
+        .select(
+            F.col("id").cast("bigint").alias(id_col),
+            F.col("cid").cast("bigint").alias("cid"),
+            F.col("dup_of").cast("bigint").alias("dup_of"),
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )
+
+
+def semdedup_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    d: int = 64,
+    tau: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`semdedup`: the shared Lloyd's CTE chain, final
+    assignment, then the intra-cluster lower-id cosine prune."""
+    from mini_flink_spark.functions.similarity import cosine_sql
+
+    dist, ctes = _lloyds_ctes(table, vec_col, id_col, k, iters, d)
+    cos = cosine_sql("hi.v", "lo.v")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+asg AS (
+  SELECT id, v, list_position(dd, list_min(dd)) - 1 AS cid
+  FROM (SELECT id, v, list_transform(cents, c -> {dist}) AS dd
+        FROM emb, c{iters})),
+dups AS (
+  SELECT hi.id AS id, min(lo.id) AS dup_of
+  FROM asg hi JOIN asg lo ON hi.cid = lo.cid AND lo.id < hi.id
+  WHERE round({cos}, 4) >= {tau}
+  GROUP BY hi.id)
+SELECT a.id::BIGINT AS {id_col}, a.cid::BIGINT AS cid,
+       dup_of::BIGINT AS dup_of, dup_of IS NULL AS kept
+FROM asg a LEFT JOIN dups USING (id)"""
+    )
+
+
+# =========================================================================
+# Greedy k-center coreset selection (farthest-point traversal)
+# =========================================================================
+
+
+def kcenter_select(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+) -> DataFrame:
+    """Greedy k-center (Gonzalez farthest-point) coreset: seed with the
+    lowest-id vector, then k-1 rounds each picking the vector that maximizes
+    its min squared-distance (6-dp rounded) to the already-selected set —
+    ties break to the lowest id. Returns the selection in order:
+    (sel_rank, vec_id, min_dist); the seed's min_dist is 0.0.
+
+    This is the diversity-first data-selection primitive (coreset sampling
+    for training-data curation, 2-approximation to the k-center objective).
+
+    Scale shape: k full scans, each a codegen'd expression over the selected
+    set carried as a broadcast literal (same plan family as
+    `assign_clusters`) followed by a TakeOrdered(1) — no shuffle wider than
+    the single-row argmax. Driver state is k·d doubles, exactly like
+    `kmeans_fit`."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    first = base.orderBy("id").limit(1).collect()[0]
+    sel: list[tuple[int, list[float], float]] = [
+        (int(first.id), [float(x) for x in first.v], 0.0)
+    ]
+    for _ in range(1, k):
+        dists = F.transform(
+            _centroid_lit([s[1] for s in sel]),
+            lambda c: F.round(sq_dist(F.col("v"), c), 6),
+        )
+        row = (
+            base.where(~F.col("id").isin([s[0] for s in sel]))
+            .select("id", "v", F.array_min(dists).alias("md"))
+            .orderBy(F.desc("md"), F.asc("id"))
+            .limit(1)
+            .collect()
+        )
+        if not row:  # fewer than k rows: the whole input is the coreset
+            break
+        r = row[0]
+        sel.append((int(r.id), [float(x) for x in r.v], float(r.md)))
+    return df.sparkSession.createDataFrame(
+        [(i, s[0], s[2]) for i, s in enumerate(sel)],
+        "sel_rank bigint, vec_id bigint, min_dist double",
+    )
+
+
+def kcenter_select_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    d: int = 64,
+) -> str:
+    """DuckDB twin of :func:`kcenter_select`: the greedy rounds unrolled as
+    chained CTEs (sel{r} accumulates picks; p{r} is round r's argmax)."""
+    sq = (
+        f"round(list_sum(list_transform(range(1, {d}+1),"
+        " i -> (e.v[i]-s.v[i])*(e.v[i]-s.v[i]))), 6)"
+    )
+    ctes = [
+        f"emb AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table})",
+        "p1 AS (SELECT id, v, 0.0::DOUBLE AS md FROM emb ORDER BY id LIMIT 1)",
+        "sel1 AS (SELECT id, v FROM p1)",
+    ]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT e.id, any_value(e.v) AS v, min({sq}) AS md
+  FROM emb e CROSS JOIN sel{r - 1} s
+  WHERE e.id NOT IN (SELECT id FROM sel{r - 1})
+  GROUP BY e.id
+  ORDER BY md DESC, e.id ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"sel{r} AS (SELECT id, v FROM sel{r - 1}"
+            f" UNION ALL SELECT id, v FROM p{r})"
+        )
+    picks = "\nUNION ALL ".join(
+        f"SELECT {r - 1}::BIGINT AS sel_rank, id::BIGINT AS {id_col},"
+        f" md AS min_dist FROM p{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + picks

@@ -2756,3 +2756,33 @@ def q_dedup_embedding_components(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), threshold=0.4, blocked=True
     )
     return D.connected_components(pairs)
+
+
+@register(
+    "dedup_semantic_semdedup",
+    C.semdedup_sql(k=8, iters=3, d=64, tau=0.3),
+    ("dedup", "embedding", "clustering"),
+)
+def q_dedup_semantic_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): Lloyd's-cluster the embedding corpus,
+    then prune any vector whose cosine to a lower-id member of the SAME
+    cluster is >= 0.3 — pairwise work confined to clusters, the property
+    that makes semantic dedup tractable at corpus scale (clustering.py
+    `semdedup` has the k ≈ n/1000 sizing argument)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return C.semdedup(emb, "embedding", "vec_id", k=8, iters=3, tau=0.3)
+
+
+@register(
+    "coreset_kcenter",
+    C.kcenter_select_sql(k=8, d=64),
+    ("selection", "embedding", "clustering"),
+)
+def q_coreset_kcenter(spark, sf_dir):
+    """Greedy k-center coreset (Gonzalez farthest-point traversal): 8
+    maximally-diverse representatives of the embedding corpus — the
+    diversity-first data-selection primitive. k scans, each a broadcast-
+    literal distance expression + TakeOrdered(1); driver state is k·d
+    doubles (clustering.py `kcenter_select`)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return C.kcenter_select(emb, "embedding", "vec_id", k=8)

@@ -1,0 +1,83 @@
+"""Round-3 operators: SemDeDup semantic dedup and greedy k-center coreset.
+
+Oracle parity for both is covered by test_oracle_parity (they are registered
+queries); these tests pin the *semantic invariants* the oracle hash alone
+doesn't state explicitly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_flink_spark.functions import clustering as C
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from mini_flink_spark.session import read_table
+
+    return read_table(spark, sf_dir, "embeddings")
+
+
+class TestSemDeDup:
+    @pytest.fixture(scope="class")
+    def result(self, emb):
+        return C.semdedup(emb, "embedding", "vec_id", k=4, iters=2, tau=0.3).cache()
+
+    def test_one_row_per_vector(self, result, emb):
+        assert result.count() == emb.count()
+        assert result.select("vec_id").distinct().count() == emb.count()
+
+    def test_dup_of_is_a_lower_id_cluster_mate(self, result):
+        dup = result.where(~F.col("kept")).alias("d")
+        joined = dup.join(
+            result.alias("r"), F.col("d.dup_of") == F.col("r.vec_id")
+        )
+        assert joined.where(F.col("d.dup_of") >= F.col("d.vec_id")).count() == 0
+        assert joined.where(F.col("d.cid") != F.col("r.cid")).count() == 0
+
+    def test_kept_iff_dup_of_null(self, result):
+        assert result.where(F.col("kept") != F.col("dup_of").isNull()).count() == 0
+
+    def test_lowest_id_always_kept(self, result):
+        # the globally lowest id has no lower-id cluster mate by construction
+        low = result.orderBy("vec_id").limit(1).collect()[0]
+        assert low.kept
+
+    def test_tau_monotonicity(self, emb):
+        # raising tau can only keep more: dup sets shrink as the bar rises
+        loose = C.semdedup(emb, "embedding", "vec_id", k=4, iters=2, tau=0.2)
+        tight = C.semdedup(emb, "embedding", "vec_id", k=4, iters=2, tau=0.4)
+        n_loose = loose.where("kept").count()
+        n_tight = tight.where("kept").count()
+        assert n_tight >= n_loose
+
+
+class TestKCenter:
+    @pytest.fixture(scope="class")
+    def picks(self, emb):
+        return C.kcenter_select(emb, "embedding", "vec_id", k=6).collect()
+
+    def test_seed_is_lowest_id(self, picks, emb):
+        lowest = emb.agg(F.min("vec_id")).collect()[0][0]
+        assert picks[0].vec_id == lowest
+        assert picks[0].min_dist == 0.0
+
+    def test_selection_order_and_distinct(self, picks):
+        assert [p.sel_rank for p in picks] == list(range(len(picks)))
+        assert len({p.vec_id for p in picks}) == len(picks)
+
+    def test_min_dist_nonincreasing(self, picks):
+        # farthest-point traversal: each pick's distance to the selected set
+        # can only shrink as the set grows
+        ds = [p.min_dist for p in picks[1:]]
+        assert all(a >= b for a, b in zip(ds, ds[1:]))
+
+    def test_k_exceeding_rows_degrades(self, spark):
+        tiny = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [2.0, 0.0])],
+            "vec_id bigint, embedding array<double>",
+        )
+        out = C.kcenter_select(tiny, "embedding", "vec_id", k=10).collect()
+        assert len(out) == 3
