@@ -1204,3 +1204,353 @@ def q_record_linkage_customers(spark, sf_dir):
         .filter((F.col("dist") >= 0) & (F.col("dist") <= 2))
         .select(F.col("l.c_custkey").alias("a"), F.col("r.c_custkey").alias("b"), "dist")
     )
+
+
+@register(
+    "timeseries_gapfill",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM span
+    ), grid AS (
+      SELECT hour, event_type
+      FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT g.event_type, g.hour, coalesce(h.n, 0)::BIGINT AS n
+    FROM grid g LEFT JOIN hourly h ON g.hour = h.hour AND g.event_type = h.event_type
+    """,
+    ("extension", "timeseries"),
+)
+def q_timeseries_gapfill(spark, sf_dir):
+    """Dense hourly series per event type with missing hours zero-filled —
+    the gap-fill primitive every downstream rate/anomaly computation needs
+    (a missing hour is a ZERO observation, not an absent row).
+
+    Scale: the spine is a 1-row min/max aggregate exploded via `sequence`
+    (hours × types rows — calendar-bounded, never data-bounded), the type
+    dimension is a broadcast, and the only data-sized shuffle is the hourly
+    pre-aggregation, map-side combined. The left join runs grid × hourly on
+    (hour, type) — both sides already partial-aggregated."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    spine = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour"))
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    return grid.join(hourly, ["hour", "event_type"], "left").select(
+        "event_type", "hour", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
+
+
+@register(
+    "ewma_hourly_rate",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ), pre AS (
+      SELECT event_type, hour, n,
+             list(n::DOUBLE) OVER (PARTITION BY event_type ORDER BY hour
+                                   ROWS UNBOUNDED PRECEDING) AS xs
+      FROM hourly
+    )
+    SELECT event_type, hour, n,
+           round(list_reduce(xs, (acc, x) -> x * 0.5 + acc * 0.5), 6) AS ewma
+    FROM pre
+    """,
+    ("extension", "timeseries"),
+)
+def q_ewma_hourly_rate(spark, sf_dir):
+    """EWMA-smoothed hourly event rate per type (alpha = 0.5, y_0 = x_0):
+    the classic monitoring smoother. The recurrence y_t = a·x_t + (1-a)·y_{t-1}
+    is rendered as a sequential fold over the ordered prefix list — identical
+    IEEE op order on both engines (list_reduce seeds with the first element,
+    exactly like the Spark slice+aggregate), rounded to 6 dp.
+
+    Scale: one shuffle on the series key; the prefix list is bounded by the
+    series LENGTH (calendar hours), not the data size — a year is 8,760
+    doubles per key. Series count distributes across the cluster. For
+    unbounded series, the same recurrence runs in
+    `applyInPandasWithState` (see operators/running_reduce.py) instead of a
+    prefix window."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = hourly.withColumn("xs", F.collect_list(F.col("n").cast("double")).over(w))
+    ewma = F.aggregate(
+        F.slice(F.col("xs"), F.lit(2), F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at("xs", 1),
+        lambda acc, x: x * F.lit(0.5) + acc * F.lit(0.5),
+    )
+    return pre.select("event_type", "hour", "n", F.round(ewma, 6).alias("ewma"))
+
+
+@register(
+    "vocab_oov_rate",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({T.tokens_sql('text')}) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok, 1 AS in_v FROM (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 15)
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_tokens,
+           count(*) FILTER (in_v IS NULL)::BIGINT AS n_oov,
+           round((count(*) FILTER (in_v IS NULL))::DOUBLE / count(*), 6) AS oov_rate
+    FROM toks LEFT JOIN vocab USING (tok)
+    GROUP BY source
+    """,
+    ("extension", "text", "vocab"),
+)
+def q_vocab_oov_rate(spark, sf_dir):
+    """Vocabulary coverage per source: share of token occurrences OUTSIDE the
+    corpus top-15 vocabulary (the driver corpus draws from a ~31-word pool;
+    production vocabs swap the constant) — the OOV-rate check run before committing to a
+    tokenizer/vocab (high OOV ⇒ the vocab underfits that slice).
+
+    Scale: the token stream is materialized once (localCheckpoint) for its
+    two consumers (vocab build, coverage scan) — the BM25/minhash
+    multi-consumer pattern; the vocab is a TakeOrdered(100) broadcast, so
+    the coverage pass is a broadcast-hash left join, no token-keyed
+    shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(T.tokens("text")).alias("tok")
+    ).localCheckpoint(eager=True)
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(15)
+        .select("tok", F.lit(1).alias("in_v"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6)
+        )
+    )
+
+
+@register(
+    "dataset_split_assign",
+    f"""
+    SELECT source, split, count(*)::BIGINT AS n_docs FROM (
+      SELECT source,
+             CASE WHEN b < 90 THEN 'train'
+                  WHEN b < 95 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM (SELECT source,
+                   (({H.portable_hash64_sql("doc_id::VARCHAR || '#split'")} % 100)
+                    + 100) % 100 AS b
+            FROM documents))
+    GROUP BY source, split
+    """,
+    ("extension", "sampling", "split"),
+)
+def q_dataset_split_assign(spark, sf_dir):
+    """Deterministic 90/5/5 train/validation/test assignment by hashing the
+    doc id (salted so the split is independent of any other hash use of the
+    id) — reproducible across runs, engines, and partitionings, which a
+    Bernoulli `randomSplit` is not. Emits per-(source, split) counts: the
+    balance audit that catches a skewed split before training does.
+
+    Scale: a pure per-row projection (codegen) plus one partial-aggregated
+    count shuffle on (source, split) — cardinality = sources × 3."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.pmod(
+        H.portable_hash64(F.concat(F.col("doc_id").cast("string"), F.lit("#split"))),
+        F.lit(100),
+    )
+    return (
+        docs.select(
+            "source",
+            F.when(b < 90, "train")
+            .when(b < 95, "validation")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+@register(
+    "event_path_trigrams",
+    """
+    WITH s AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS t
+      FROM events GROUP BY user_id
+    ), tri AS (
+      SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS trigram
+      FROM s, unnest(range(1, len(t) - 1)) AS u(i)
+    )
+    SELECT trigram, count(*)::BIGINT AS n FROM tri
+    GROUP BY trigram ORDER BY n DESC, trigram LIMIT 10
+    """,
+    ("extension", "events", "ngram-stats"),
+)
+def q_event_path_trigrams(spark, sf_dir):
+    """Top-10 user-journey 3-step paths: per user, events in (ts, event_id)
+    order, sliding 3-grams over the event-type sequence, global count —
+    the path-analysis primitive behind funnel discovery.
+
+    Scale: one shuffle on user_id (per-user sequences are
+    interaction-bounded), 3-grams generated in-array, then the same
+    partial-agg + TakeOrdered(10) shape as corpus_trigram_topk."""
+    ev = _t(spark, sf_dir, "events")
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("s")
+        )
+        .select(F.transform("s", lambda x: x["event_type"]).alias("toks"))
+    )
+    return (
+        seqs.select(F.explode(F.expr(_trigrams("toks"))).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("trigram"))
+        .limit(10)
+    )
+
+
+@register(
+    "full_outer_nation_activity",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, count(*)::BIGINT AS n_cust
+               FROM customer WHERE c_acctbal > 9900 GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*)::BIGINT AS n_supp
+               FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nation_key,
+           coalesce(n_cust, 0)::BIGINT AS n_cust,
+           coalesce(n_supp, 0)::BIGINT AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    ("relational", "join"),
+)
+def q_full_outer_nation_activity(spark, sf_dir):
+    """FULL OUTER join (the one join type the registry didn't yet carry):
+    very-rich customers (13 of 25 nations at sf0.01) vs in-debt suppliers
+    (4 nations) per nation, keeping nations present
+    on either side only. Both sides pre-aggregate to nation cardinality
+    before the join, so the full-outer runs on two ≤25-row inputs —
+    aggregate-then-join, never join-then-aggregate."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    c = (
+        cust.where(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+    )
+    s = (
+        supp.where(F.col("s_acctbal") < 0)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_supp"))
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.col("nk").alias("nation_key"),
+        F.coalesce("n_cust", F.lit(0)).cast("bigint").alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).cast("bigint").alias("n_supp"),
+    )
+
+
+@register(
+    "scd2_user_state_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(CASE WHEN prev_type IS NULL OR prev_type != event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS seg
+      FROM ordered
+    ), segs AS (
+      SELECT user_id, seg, event_type,
+             min(ts) AS valid_from, count(*)::BIGINT AS n_events
+      FROM flagged GROUP BY user_id, seg, event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to,
+           n_events
+    FROM segs
+    """,
+    ("extension", "events", "scd2"),
+)
+def q_scd2_user_state_history(spark, sf_dir):
+    """SCD2 (slowly-changing-dimension type 2) history build from an event
+    log: per user, consecutive same-type runs collapse into validity
+    intervals [valid_from, valid_to) with the open interval (valid_to NULL)
+    as the current state — the gaps-and-islands + change-capture pattern a
+    warehouse uses to snapshot dimensions out of a CDC/event stream.
+
+    Scale: everything is windowed per user_id — ONE shuffle on the user key
+    serves the lag, the running segment sum, the segment aggregate, and the
+    lead (Catalyst reuses the partitioning across the window and the
+    groupBy); per-user history is interaction-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("seg"),
+    )
+    segs = flagged.groupBy("user_id", "seg", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return segs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from")
+        .over(Window.partitionBy("user_id").orderBy("seg"))
+        .alias("valid_to"),
+        "n_events",
+    )
