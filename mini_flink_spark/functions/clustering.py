@@ -655,19 +655,25 @@ def kcenter_select_sql(
     d: int = 64,
 ) -> str:
     """DuckDB twin of :func:`kcenter_select`: the greedy rounds unrolled as
-    chained CTEs (sel{r} accumulates picks; p{r} is round r's argmax)."""
+    chained CTEs (sel{r} accumulates picks; p{r} is round r's argmax).
+
+    Every CTE is AS MATERIALIZED: p{r} references sel{r-1} twice (the cross
+    join and the NOT IN), and sel{r-1} itself chains backwards — inlined,
+    DuckDB re-expands the whole prefix per reference, which goes exponential
+    in k (k=4 already exceeded 2 minutes on 500 rows; materialized, the full
+    k=8 chain runs in milliseconds)."""
     sq = (
         f"round(list_sum(list_transform(range(1, {d}+1),"
         " i -> (e.v[i]-s.v[i])*(e.v[i]-s.v[i]))), 6)"
     )
     ctes = [
-        f"emb AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table})",
-        "p1 AS (SELECT id, v, 0.0::DOUBLE AS md FROM emb ORDER BY id LIMIT 1)",
-        "sel1 AS (SELECT id, v FROM p1)",
+        f"emb AS MATERIALIZED (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table})",
+        "p1 AS MATERIALIZED (SELECT id, v, 0.0::DOUBLE AS md FROM emb ORDER BY id LIMIT 1)",
+        "sel1 AS MATERIALIZED (SELECT id, v FROM p1)",
     ]
     for r in range(2, k + 1):
         ctes.append(
-            f"""p{r} AS (
+            f"""p{r} AS MATERIALIZED (
   SELECT e.id, any_value(e.v) AS v, min({sq}) AS md
   FROM emb e CROSS JOIN sel{r - 1} s
   WHERE e.id NOT IN (SELECT id FROM sel{r - 1})
@@ -675,7 +681,7 @@ def kcenter_select_sql(
   ORDER BY md DESC, e.id ASC LIMIT 1)"""
         )
         ctes.append(
-            f"sel{r} AS (SELECT id, v FROM sel{r - 1}"
+            f"sel{r} AS MATERIALIZED (SELECT id, v FROM sel{r - 1}"
             f" UNION ALL SELECT id, v FROM p{r})"
         )
     picks = "\nUNION ALL ".join(
