@@ -99,11 +99,10 @@ def bpe_learn_merges(
     return spark.createDataFrame(out, "round int, pair string, cnt bigint")
 
 
-def bpe_learn_merges_sql(
-    text_col: str = "text", table: str = "documents", rounds: int = 3
-) -> str:
-    """DuckDB twin: the same rounds unrolled as chained CTEs; each round's
-    winner is a LIMIT-1 scalar CTE applied via scalar subqueries."""
+def _learn_ctes(text_col: str, table: str, rounds: int) -> list[str]:
+    """The merge-learning CTE chain (wc, w0, p{r}/b{r}/w{r}) shared by the
+    learn oracle and the encode oracle — one definition, so the two stay
+    bit-identical on what the merges ARE."""
     toks = tokens_sql(text_col)
     parts = [
         f"""wc AS (
@@ -117,7 +116,6 @@ w0 AS (
   FROM wc
 )"""
     ]
-    sel = []
     for r in range(1, rounds + 1):
         prev = f"w{r - 1}"
         parts.append(
@@ -136,5 +134,98 @@ w{r} AS (
   FROM {prev}
 )"""
         )
-        sel.append(f"SELECT {r}::INT AS round, pair, c::BIGINT AS cnt FROM b{r}")
+    return parts
+
+
+def bpe_learn_merges_sql(
+    text_col: str = "text", table: str = "documents", rounds: int = 3
+) -> str:
+    """DuckDB twin: the same rounds unrolled as chained CTEs; each round's
+    winner is a LIMIT-1 scalar CTE applied via scalar subqueries."""
+    parts = _learn_ctes(text_col, table, rounds)
+    sel = [
+        f"SELECT {r}::INT AS round, pair, c::BIGINT AS cnt FROM b{r}"
+        for r in range(1, rounds + 1)
+    ]
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rounds: int = 3,
+) -> DataFrame:
+    """Apply BPE merges learned on `corpus` to every document of `df`:
+    per doc, the whitespace word count and the total BPE unit count after
+    the merges — the learn→apply tokenizer round trip (compression ratio =
+    n_units / sum of word lengths).
+
+    The merge table is driver state (`rounds` rows — the same bounded shape
+    as the learning loop), and APPLYING it is a chain of `rounds` string
+    replaces over the sentinel-marked word state: pure codegen projection,
+    zero Python, zero extra shuffle beyond the per-doc count agg. At any
+    corpus size the encode pass is a linear scan; the vocab-sized learning
+    cost is paid once (or skipped entirely when the merge table is a
+    persisted artifact)."""
+    merges = sorted(
+        (int(r.round), r.pair) for r in bpe_learn_merges(corpus, text_col, rounds).collect()
+    )
+    words = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    ).filter(F.length("w") > 0)
+    s = _seed_state(F.col("w"))
+    for _, pair in merges:
+        merged = "_" + pair.replace("_", "").replace(" ", "")
+        s = F.replace(s, F.lit(pair), F.lit(merged))
+    return (
+        words.select(id_col, F.array_size(F.split(s, " ")).alias("u"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("u").cast("bigint").alias("n_units"),
+        )
+    )
+
+
+def bpe_encode_counts_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    rounds: int = 3,
+) -> str:
+    """DuckDB twin: the SAME learning CTE chain (shared `_learn_ctes`, so the
+    merges are identical by construction), then the encode chain e1..e{rounds}
+    applying each round's winner via a scalar-subquery replace."""
+    toks = tokens_sql(text_col)
+    parts = _learn_ctes(text_col, table, rounds)
+    parts.append(
+        f"""words AS (
+  SELECT {id_col} AS id, w FROM (
+    SELECT {id_col}, unnest({toks}) AS w FROM {table}) WHERE length(w) > 0
+)"""
+    )
+    parts.append(
+        """e0 AS (
+  SELECT id, array_to_string(
+           list_transform(range(1, length(w) + 1), i -> '_' || w[i]), ' ') AS s
+  FROM words
+)"""
+    )
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""e{r} AS (
+  SELECT id, replace(s, (SELECT pair FROM b{r}),
+                 '_' || replace(replace((SELECT pair FROM b{r}), '_', ''), ' ', '')) AS s
+  FROM e{r - 1}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id AS {id_col}, count(*)::BIGINT AS n_words,
+       sum(len(string_split(s, ' ')))::BIGINT AS n_units
+FROM e{rounds} GROUP BY id"""
+    )

@@ -698,3 +698,76 @@ def kcenter_select_sql(
         for r in range(1, k + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + picks
+
+
+def cluster_representatives(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """One canonical member per KMeans cluster: the vector closest to its
+    final centroid (6-dp-rounded distance, ties → lowest id) — the medoid-ish
+    summary used to label/sample semantic clusters. Returns
+    (cid, vec_id, dist).
+
+    Scale: assignment + own-centroid distance are one codegen'd projection;
+    the per-cluster argmin is a rank-1 window over k partitions (k rows out).
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    cents = kmeans_fit(base, "v", "id", k, iters)
+    asg = assign_clusters(base, cents, "v")
+    dd = F.round(
+        sq_dist(
+            F.col("v"),
+            F.element_at(_centroid_lit(cents), (F.col("cid") + 1).cast("int")),
+        ),
+        6,
+    )
+    w = Window.partitionBy("cid").orderBy("dist", "id")
+    return (
+        asg.select(F.col("cid").cast("bigint"), F.col("id"), dd.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cid", F.col("id").cast("bigint").alias(id_col), "dist")
+    )
+
+
+def cluster_representatives_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    d: int = 64,
+) -> str:
+    """DuckDB twin: shared Lloyd's chain, final assignment, own-centroid
+    distance, per-cluster rank-1."""
+    dist, ctes = _lloyds_ctes(table, vec_col, id_col, k, iters, d)
+    own = (
+        f"round(list_sum(list_transform(range(1, {d}+1),"
+        " i -> (v[i]-c[i])*(v[i]-c[i]))), 6)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+asg AS (
+  SELECT id, v, list_position(dd, list_min(dd)) - 1 AS cid
+  FROM (SELECT id, v, list_transform(cents, c -> {dist}) AS dd
+        FROM emb, c{iters})),
+scored AS (
+  SELECT a.cid, a.id,
+         (SELECT {own} FROM (SELECT cents[a.cid + 1] AS c, a.v AS v)) AS dist
+  FROM asg a CROSS JOIN c{iters})
+SELECT cid::BIGINT AS cid, id::BIGINT AS {id_col}, dist FROM (
+  SELECT cid, id, dist,
+         row_number() OVER (PARTITION BY cid ORDER BY dist, id) AS rn
+  FROM scored) WHERE rn = 1"""
+    )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mini_flink_spark.functions import bpe as B
+from mini_flink_spark.functions import clustering as C
 from mini_flink_spark.functions import dedup as D
 from mini_flink_spark.functions import hashing as H
 from mini_flink_spark.functions import similarity as S
@@ -1553,4 +1554,115 @@ def q_scd2_user_state_history(spark, sf_dir):
         .over(Window.partitionBy("user_id").orderBy("seg"))
         .alias("valid_to"),
         "n_events",
+    )
+
+
+@register(
+    "bpe_encode_docs",
+    B.bpe_encode_counts_sql(rounds=3),
+    ("extension", "tokenizer"),
+)
+def q_bpe_encode_docs(spark, sf_dir):
+    """The tokenizer round trip: apply the 3 BPE merges learned on the corpus
+    (`bpe_learn_merges`) back onto every document — per doc, whitespace word
+    count and post-merge BPE unit count. Applying merges is a chain of
+    `rounds` string replaces over the sentinel-marked word state: pure
+    codegen, zero Python; the merge table is `rounds` rows of driver state
+    (functions/bpe.py has the scale story)."""
+    docs = _t(spark, sf_dir, "documents")
+    return B.bpe_encode_counts(docs, docs, "doc_id", "text", rounds=3)
+
+
+@register(
+    "cluster_representatives",
+    C.cluster_representatives_sql(k=8, iters=3, d=64),
+    ("clustering", "embedding"),
+)
+def q_cluster_representatives(spark, sf_dir):
+    """Canonical member (medoid-ish: closest to final centroid, ties →
+    lowest id) per KMeans cluster — the row you show a human to label a
+    semantic cluster, and the seed for cluster-stratified sampling. One
+    codegen'd distance projection + a rank-1 window over k partitions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return C.cluster_representatives(emb, "embedding", "vec_id", k=8, iters=3)
+
+
+@register(
+    "rolling_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS daynum,
+             sum(o_totalprice::DECIMAL(28,10)) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT day, rev::DOUBLE AS rev,
+           (sum(rev) OVER w)::DOUBLE AS rev_7d,
+           (count(*) OVER w)::BIGINT AS n_days_7d
+    FROM daily
+    WINDOW w AS (ORDER BY daynum RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    ("extension", "timeseries", "window"),
+)
+def q_rolling_daily_revenue(spark, sf_dir):
+    """Trailing 7-day revenue via a RANGE (time-interval) window frame — the
+    moving-aggregate window type the ROWS-frame batteries don't cover; RANGE
+    over the day number means missing days genuinely shrink the window
+    rather than silently widening it to 7 observed rows.
+
+    Scale: the window runs over the PRE-AGGREGATED daily series (calendar-
+    bounded), so the single-partition window sort is ~365 rows/year no
+    matter the corpus; the data-sized work is the map-side-combined daily
+    sum. Revenue sums are DECIMAL (order-independent) cast to double at the
+    edge."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").alias("day"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "daynum"
+        ),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("rev"))
+    w = Window.orderBy("daynum").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("rev").cast("double").alias("rev"),
+        F.sum("rev").over(w).cast("double").alias("rev_7d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_days_7d"),
+    )
+
+
+@register(
+    "cross_source_duplicates",
+    f"""
+    SELECT fp, n_docs, n_sources, keep_id FROM (
+      SELECT {H.portable_hash64_sql(
+          "array_to_string(list_slice(" + T.tokens_sql('text') + ", 1, 5), ' ')"
+      )} AS fp,
+             count(*)::BIGINT AS n_docs,
+             count(DISTINCT source)::BIGINT AS n_sources,
+             min(doc_id) AS keep_id
+      FROM documents GROUP BY 1)
+    WHERE n_sources >= 2
+    """,
+    ("extension", "dedup", "leakage"),
+)
+def q_cross_source_duplicates(spark, sf_dir):
+    """Cross-source contamination report: content fingerprints (here of the
+    leading 5-token prefix — the shared-boilerplate signal; swap in the
+    full-text fingerprint for exact-dup leakage) appearing in ≥2 distinct
+    sources — the train/eval leakage a per-source dedup can't see (the same
+    header/document arriving via two crawls/dumps). Shuffles 8-byte
+    fingerprints + source strings, never text; the distinct-source count is
+    a partial-aggregated two-level agg."""
+    docs = _t(spark, sf_dir, "documents")
+    pfx = F.array_join(F.slice(T.tokens("text"), 1, 5), " ")
+    return (
+        docs.select(H.portable_hash64(pfx).alias("fp"), "source", "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .where(F.col("n_sources") >= 2)
     )
