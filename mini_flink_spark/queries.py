@@ -1183,7 +1183,7 @@ GRADED_WINDOW: tuple[str, ...] = (
     "text_token_count",
     "text_quality",
     "text_langid",
-    "text_fingerprint",
+    "dedup_semantic_semdedup",
     # LLM-pipeline flagship ops
     "dedup_exact",
     "dedup_minhash_lsh",
