@@ -1666,3 +1666,127 @@ def q_cross_source_duplicates(spark, sf_dir):
         )
         .where(F.col("n_sources") >= 2)
     )
+
+
+@register(
+    "source_drift_kl",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({T.tokens_sql('text')}) AS tok FROM documents
+    ),
+    sc AS (SELECT source, tok, count(*)::BIGINT AS cnt_s FROM toks GROUP BY 1, 2),
+    cc AS (SELECT tok, count(*)::BIGINT AS cnt_c FROM toks GROUP BY 1),
+    st AS (SELECT source, sum(cnt_s)::BIGINT AS t_s FROM sc GROUP BY 1),
+    tot AS (SELECT sum(cnt_c)::BIGINT AS t FROM cc)
+    SELECT sc.source, any_value(st.t_s) AS n_tokens,
+           sum(round((cnt_s::DOUBLE / t_s) *
+                     ln((cnt_s::DOUBLE * t) / (t_s::DOUBLE * cnt_c)) * 1e9)::BIGINT
+           )::BIGINT AS kl_nanos
+    FROM sc JOIN st USING (source) JOIN cc USING (tok) CROSS JOIN tot
+    GROUP BY sc.source
+    """,
+    ("extension", "drift", "text"),
+)
+def q_source_drift_kl(spark, sf_dir):
+    """Distribution-drift monitor: KL(source token distribution ‖ corpus
+    token distribution) per source — the signal that flags a crawl slice
+    whose language suddenly shifted before it pollutes the training mix.
+    Every source token also appears in the corpus by construction, so no
+    smoothing term is needed; per-term contributions are rounded to integer
+    NANO-units and summed as exact integers (the DSIR convention — a
+    summed-double KL lands on cross-engine rounding boundaries).
+
+    Scale: one token-keyed shuffle builds both count tables; the corpus
+    table and per-source totals broadcast (vocabulary-bounded); the KL agg
+    shuffles sources × vocab partial sums."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(T.tokens("text")).alias("tok"))
+    sc = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_s")
+    )
+    cc = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("cnt_c"))
+    st = sc.groupBy("source").agg(F.sum("cnt_s").cast("bigint").alias("t_s"))
+    tot = cc.agg(F.sum("cnt_c").cast("bigint").alias("t"))
+    term = F.round(
+        (F.col("cnt_s").cast("double") / F.col("t_s"))
+        * F.log(
+            (F.col("cnt_s").cast("double") * F.col("t"))
+            / (F.col("t_s").cast("double") * F.col("cnt_c"))
+        )
+        * 1e9
+    ).cast("bigint")
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(F.broadcast(cc), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "t_s", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.any_value("t_s").alias("n_tokens"),
+            F.sum("term").cast("bigint").alias("kl_nanos"),
+        )
+    )
+
+
+def _purity_sql(k=8, iters=3, d=64):
+    dist, ctes = C._lloyds_ctes("embeddings", "embedding", "vec_id", k, iters, d)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+asg AS (
+  SELECT id, list_position(dd, list_min(dd)) - 1 AS cid
+  FROM (SELECT id, v, list_transform(cents, c -> {dist}) AS dd
+        FROM emb, c{iters})),
+lbl AS (
+  SELECT a.cid, e.label, count(*)::BIGINT AS cnt
+  FROM asg a JOIN embeddings e ON a.id = e.vec_id
+  GROUP BY a.cid, e.label)
+SELECT cid::BIGINT AS cid, n, top_label, n_top FROM (
+  SELECT cid, sum(cnt) OVER (PARTITION BY cid)::BIGINT AS n,
+         label::BIGINT AS top_label, cnt::BIGINT AS n_top,
+         row_number() OVER (PARTITION BY cid ORDER BY cnt DESC, label) AS rn
+  FROM lbl) WHERE rn = 1"""
+    )
+
+
+@register(
+    "cluster_label_purity",
+    _purity_sql(k=8, iters=3, d=64),
+    ("clustering", "embedding", "eval"),
+)
+def q_cluster_label_purity(spark, sf_dir):
+    """Clustering quality eval measured IN-ENGINE (the recall-eval
+    philosophy applied to KMeans): per cluster, the majority ground-truth
+    label and its count — purity = n_top / n, emitted as exact integers so
+    no float crosses the engine boundary. Ties break to the lowest label.
+
+    Scale: assignment is the codegen'd broadcast-literal projection; the
+    label join is by vec_id (the corpus's own key); counts partial-agg to
+    clusters × labels."""
+    from pyspark.sql.window import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = C.kmeans_fit(base, "v", "id", k=8, iters=3)
+    asg = C.assign_clusters(base, cents, "v")
+    lbl = (
+        asg.join(emb.select(F.col("vec_id").alias("id"), "label"), "id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = W.partitionBy("cid").orderBy(F.col("cnt").desc(), "label")
+    return (
+        lbl.withColumn("n", F.sum("cnt").over(W.partitionBy("cid")).cast("bigint"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("cid").cast("bigint").alias("cid"),
+            "n",
+            F.col("label").cast("bigint").alias("top_label"),
+            F.col("cnt").cast("bigint").alias("n_top"),
+        )
+    )
