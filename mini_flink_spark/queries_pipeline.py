@@ -1790,3 +1790,73 @@ def q_cluster_label_purity(spark, sf_dir):
             F.col("cnt").cast("bigint").alias("n_top"),
         )
     )
+
+
+@register(
+    "item_cooccurrence_lift",
+    """
+    WITH pur AS (
+      SELECT DISTINCT user_id, json_extract(props, '$.k')::BIGINT AS item
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ic AS (SELECT item, count(*)::BIGINT AS n_u FROM pur GROUP BY 1),
+    u AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM pur),
+    co AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_co
+      FROM pur a JOIN pur b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, n_co,
+           round((n_co::DOUBLE * n_users * 1e6) / (ia.n_u::DOUBLE * ib.n_u))::BIGINT
+             AS lift_micros
+    FROM co
+    JOIN ic ia ON co.item_a = ia.item
+    JOIN ic ib ON co.item_b = ib.item
+    CROSS JOIN u
+    ORDER BY n_co DESC, item_a, item_b LIMIT 50
+    """,
+    ("extension", "events", "cooccurrence"),
+)
+def q_item_cooccurrence_lift(spark, sf_dir):
+    """'Users who bought X also bought Y': top-50 item pairs by co-purchase
+    count with lift = P(a,b) / (P(a)·P(b)) in exact integer micro-units —
+    the co-occurrence primitive behind association rules and item-item
+    recommenders.
+
+    Scale: the pair join is per-user (self-join on user_id), so its cost is
+    Σ (items-per-user)² — basket-bounded, never catalog²; item counts and
+    the user total broadcast; map-side partials absorb the hot pairs and
+    TakeOrdered bounds the output."""
+    ev = _t(spark, sf_dir, "events")
+    pur = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .distinct()
+    )
+    ic = pur.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("n_u"))
+    u = pur.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    a = pur.select("user_id", F.col("item").alias("item_a"))
+    b = pur.select("user_id", F.col("item").alias("item_b"))
+    co = (
+        a.join(b, "user_id")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
+    )
+    lift = F.round(
+        (F.col("n_co").cast("double") * F.col("n_users") * 1e6)
+        / (F.col("n_ua").cast("double") * F.col("n_ub"))
+    ).cast("bigint")
+    return (
+        co.join(F.broadcast(ic.select(F.col("item").alias("item_a"),
+                                      F.col("n_u").alias("n_ua"))), "item_a")
+        .join(F.broadcast(ic.select(F.col("item").alias("item_b"),
+                                    F.col("n_u").alias("n_ub"))), "item_b")
+        .crossJoin(F.broadcast(u))
+        .select("item_a", "item_b", "n_co", lift.alias("lift_micros"))
+        .orderBy(F.col("n_co").desc(), "item_a", "item_b")
+        .limit(50)
+    )
