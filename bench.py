@@ -12,6 +12,7 @@ part that scales — not result serialization to the driver.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -102,6 +103,13 @@ def main() -> None:
                 QUERIES[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001 — a broken tail query must not kill the bench
                 print(f"warm {name}: {exc}", file=sys.stderr)
+            # Release py4j references so the ContextCleaner can evict this
+            # query's localCheckpoint/broadcast blocks before the next one:
+            # without this, ~200 eager checkpoints from the warm+timed passes
+            # pin the storage pool and EVERY later query pays eviction + GC
+            # thrash (measured: pricing_summary 1.8 s -> 8.0 s once the warm
+            # pass had run the full 169-query registry).
+            gc.collect()
 
     times: dict[str, float] = {}
     for name in names:
@@ -113,6 +121,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"bench {name}: {exc}", file=sys.stderr)
             times[name] = None
+        gc.collect()  # same block-release discipline as the warm pass
 
     total = round(sum(times[n] for n in HEADLINE if times.get(n) is not None), 3)
     print(json.dumps({
