@@ -1668,9 +1668,7 @@ def q_cross_source_duplicates(spark, sf_dir):
     )
 
 
-@register(
-    "source_drift_kl",
-    f"""
+_DRIFT_KL_SQL = f"""
     WITH toks AS (
       SELECT source, unnest({T.tokens_sql('text')}) AS tok FROM documents
     ),
@@ -1684,7 +1682,12 @@ def q_cross_source_duplicates(spark, sf_dir):
            )::BIGINT AS kl_nanos
     FROM sc JOIN st USING (source) JOIN cc USING (tok) CROSS JOIN tot
     GROUP BY sc.source
-    """,
+    """
+
+
+@register(
+    "source_drift_kl",
+    _DRIFT_KL_SQL,
     ("extension", "drift", "text"),
 )
 def q_source_drift_kl(spark, sf_dir):
@@ -1859,4 +1862,63 @@ def q_item_cooccurrence_lift(spark, sf_dir):
         .select("item_a", "item_b", "n_co", lift.alias("lift_micros"))
         .orderBy(F.col("n_co").desc(), "item_a", "item_b")
         .limit(50)
+    )
+
+
+@register(
+    "streaming_source_drift",
+    _DRIFT_KL_SQL,
+    ("streaming", "drift", "text"),
+)
+def q_streaming_source_drift(spark, sf_dir):
+    """The drift monitor on the STREAMING path: documents arrive as a file
+    stream, per-(source, token) counts are maintained incrementally in
+    streaming state (update mode — the always-current distribution table a
+    live drift dashboard reads), and the KL alarm evaluates over the
+    converged counts against the corpus model exactly as the batch
+    `source_drift_kl` does. Converged output ≡ the batch oracle.
+
+    Scale: streaming state is vocabulary × sources (bounded); the KL pass
+    touches only the count table, never re-reads documents."""
+    import tempfile
+
+    from mini_flink_spark.sources import parquet_stream, write_stream_fixture
+    from mini_flink_spark.streaming import run_stream_to_memory
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    fixture = write_stream_fixture(
+        docs, tempfile.mkdtemp(prefix="q_stream_drift_"), n_files=4
+    )
+    stream = parquet_stream(spark, fixture, "source string, text string")
+    counts = (
+        stream.select("source", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    conv = run_stream_to_memory(counts, spark, "update")
+    # update-mode sink keeps every intermediate emission; counts are
+    # monotone, so the converged value per key is the max
+    sc = conv.groupBy("source", "tok").agg(F.max("cnt").alias("cnt_s"))
+    sc = sc.localCheckpoint(eager=True)  # three consumers below
+    cc = sc.groupBy("tok").agg(F.sum("cnt_s").cast("bigint").alias("cnt_c"))
+    st = sc.groupBy("source").agg(F.sum("cnt_s").cast("bigint").alias("t_s"))
+    tot = cc.agg(F.sum("cnt_c").cast("bigint").alias("t"))
+    term = F.round(
+        (F.col("cnt_s").cast("double") / F.col("t_s"))
+        * F.log(
+            (F.col("cnt_s").cast("double") * F.col("t"))
+            / (F.col("t_s").cast("double") * F.col("cnt_c"))
+        )
+        * 1e9
+    ).cast("bigint")
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(F.broadcast(cc), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "t_s", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.any_value("t_s").alias("n_tokens"),
+            F.sum("term").cast("bigint").alias("kl_nanos"),
+        )
     )
