@@ -510,3 +510,22 @@ def test_full_outer_aggregates_before_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "full_outer_nation_activity")
     assert "FullOuter" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final per side
+
+
+def test_cooccurrence_dims_broadcast(spark, sf_dir):
+    # item counts + user total ride in as broadcasts; only the per-user
+    # pair join and pair counts shuffle
+    plan = plan_of(spark, sf_dir, "item_cooccurrence_lift")
+    assert "TakeOrderedAndProject(limit=50" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_revenue_windows_preaggregated_series(spark, sf_dir):
+    # the RANGE window runs over the daily aggregate (calendar-bounded), so
+    # the single-partition sort sits above a HashAggregate, and the scan
+    # prunes to the two referenced columns
+    plan = plan_of(spark, sf_dir, "rolling_daily_revenue")
+    assert "Window" in plan and "HashAggregate" in plan
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_orderdate" in rs and "o_totalprice" in rs and "o_custkey" not in rs

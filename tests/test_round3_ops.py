@@ -90,3 +90,44 @@ class TestKCenter:
         )
         out = C.kcenter_select(tiny, "embedding", "vec_id", k=10).collect()
         assert len(out) == 3
+
+
+class TestBpeEncode:
+    def test_unit_count_bounds_and_monotonicity(self, spark, sf_dir):
+        from mini_flink_spark.functions import bpe as B
+        from mini_flink_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        r0 = B.bpe_encode_counts(docs, docs, rounds=0).toPandas().set_index("doc_id")
+        r3 = B.bpe_encode_counts(docs, docs, rounds=3).toPandas().set_index("doc_id")
+        # with zero merges every unit is a character; merges only shrink
+        assert (r3.n_units <= r0.n_units).all()
+        # a word is never fewer than one unit
+        assert (r3.n_units >= r3.n_words).all()
+        assert (r0.n_words == r3.n_words).all()
+
+
+class TestDriftKL:
+    def test_kl_nonnegative_and_identical_dist_zero(self, spark):
+        from mini_flink_spark.queries import QUERIES
+
+        # KL >= 0 up to per-term nano rounding (each term rounds before the
+        # sum, so the floor is -vocab_size nanos, not exactly 0)
+        df = QUERIES["source_drift_kl"].fn(spark, "/root/testdata/sf0.001").toPandas()
+        assert (df.kl_nanos > -1000).all()
+        assert (df.kl_nanos > 0).any()
+
+
+class TestCooccurrence:
+    def test_pairs_ordered_and_bounded(self, spark):
+        from mini_flink_spark.queries import QUERIES
+
+        df = (
+            QUERIES["item_cooccurrence_lift"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .toPandas()
+        )
+        assert len(df) <= 50
+        assert (df.item_a < df.item_b).all()
+        assert (df.n_co.values[:-1] >= df.n_co.values[1:]).all()
+        assert (df.lift_micros > 0).all()
