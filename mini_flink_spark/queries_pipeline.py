@@ -1922,3 +1922,52 @@ def q_streaming_source_drift(spark, sf_dir):
             F.sum("term").cast("bigint").alias("kl_nanos"),
         )
     )
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    f"""
+    WITH truth AS ({D.ngram_jaccard_pairs_sql("doc_id", "text", threshold=0.3,
+                                              max_df=None)}),
+    cand AS ({D.minhash_lsh_pairs_sql("doc_id", "text", threshold=0.3)}),
+    hit AS (SELECT 1 FROM truth t JOIN cand c ON t.a = c.a AND t.b = c.b)
+    SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+           (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+           (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+           round((SELECT count(*) FROM hit)::DOUBLE * 1e6 /
+                 greatest((SELECT count(*) FROM truth), 1))::BIGINT AS recall_micros
+    """,
+    ("dedup", "eval"),
+)
+def q_dedup_lsh_recall_eval(spark, sf_dir):
+    """MinHash-LSH recall measured IN-ENGINE against exact ground truth —
+    the text-dedup analogue of ann_recall_eval/ivf_recall_eval: ground truth
+    is the UNCAPPED inverted-index exact-Jaccard pair set (an eval-scale-only
+    computation, exactly like the recall evals' brute-force pass), candidates
+    are the production banded-LSH pairs, and recall lands as exact integer
+    micro-units. This is the number that justifies shipping the approximate
+    path at 100 TB — and the harness that re-justifies it after any retune
+    (the ANN twin caught the round-1 mistuned LSH at recall 0.16)."""
+    docs = _t(spark, sf_dir, "documents")
+    truth = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3, max_df=None)
+    cand = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3)
+    hit = truth.select("a", "b").join(cand.select("a", "b"), ["a", "b"])
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_hit = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double")
+                * 1e6
+                / F.greatest(F.col("n_truth"), F.lit(1))
+            )
+            .cast("bigint")
+            .alias("recall_micros"),
+        )
+    )
