@@ -131,3 +131,57 @@ class TestCooccurrence:
         assert (df.item_a < df.item_b).all()
         assert (df.n_co.values[:-1] >= df.n_co.values[1:]).all()
         assert (df.lift_micros > 0).all()
+
+
+class TestTimeseriesOps:
+    def test_gapfill_preserves_total_and_densifies(self, spark, sf_dir):
+        from mini_flink_spark.queries import QUERIES
+        from mini_flink_spark.session import read_table
+
+        out = QUERIES["timeseries_gapfill"].fn(spark, sf_dir).toPandas()
+        ev = read_table(spark, sf_dir, "events")
+        assert out.n.sum() == ev.count()  # zero-fill adds no phantom events
+        # dense grid: every type has the identical full hour spine
+        spine_sizes = out.groupby("event_type")["hour"].nunique()
+        assert spine_sizes.nunique() == 1
+
+    def test_ewma_constant_series_is_constant(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        df = spark.createDataFrame(
+            [(i, 5.0) for i in range(10)], "t int, n double"
+        )
+        w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        pre = df.withColumn("xs", F.collect_list("n").over(w))
+        ewma = F.aggregate(
+            F.slice(F.col("xs"), F.lit(2), F.greatest(F.size("xs") - 1, F.lit(0))),
+            F.element_at("xs", 1),
+            lambda acc, x: x * F.lit(0.5) + acc * F.lit(0.5),
+        )
+        vals = [r[0] for r in pre.select(F.round(ewma, 6)).collect()]
+        assert vals == [5.0] * 10  # smoother is exact on a constant series
+
+    def test_scd2_intervals_partition_the_event_log(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from mini_flink_spark.queries import QUERIES
+        from mini_flink_spark.session import read_table
+
+        out = QUERIES["scd2_user_state_history"].fn(spark, sf_dir).cache()
+        ev = read_table(spark, sf_dir, "events")
+        # every event is in exactly one segment
+        assert out.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+        # exactly one open (current) interval per user
+        open_per_user = out.where(F.col("valid_to").isNull()).groupBy("user_id").count()
+        assert open_per_user.where(F.col("count") != 1).count() == 0
+        # intervals chain: valid_to of a row equals the next valid_from
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy("user_id").orderBy("valid_from")
+        chained = out.withColumn("nxt", F.lead("valid_from").over(w))
+        bad = chained.where(
+            F.col("valid_to").isNotNull() & (F.col("valid_to") != F.col("nxt"))
+        )
+        assert bad.count() == 0
