@@ -320,6 +320,14 @@ def _bm25_scores(docs):
             for i, term in enumerate(_BM25_TERMS)
         ],
     ).localCheckpoint(eager=False)
+    return _bm25_from_base(base)
+
+
+def _bm25_from_base(base):
+    """Scoring stage over a (doc_id, dli, tf_0..tf_{n-1}) frame — shared by
+    the in-memory tokenizing path and the persisted-postings path, so both
+    produce bit-identical doubles (same expressions, same literal term-order
+    summation)."""
     stats = base.agg(
         # exact integer sum, then one double division — double summation
         # order differs between engines/partitionings, integer sums do not
@@ -354,6 +362,58 @@ def _bm25_scores(docs):
     return based.join(F.broadcast(stats)).select(
         "doc_id", F.round(score, 6).alias("score")
     )
+
+
+BM25_BUCKETS = 64  # postings partition count for the persisted index
+
+
+def bm25_persist(docs, path: str) -> None:
+    """Materialize the GENERIC BM25 index as warehouse tables: postings
+    (tok, doc_id, tf) PARTITIONED BY a 64-way token-hash bucket, plus the
+    per-doc length table. Query-time term lookups then become partition
+    pruning on the bucket column (the ivf_persisted pattern applied to text
+    search) — a query touches ~|terms|/64 of the postings bytes. Both writes
+    are distributed; nothing passes through the driver."""
+    from mini_flink_spark.functions.hashing import portable_hash64
+
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    (
+        toks.groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .withColumn("bucket", F.pmod(portable_hash64(F.col("tok")), F.lit(BM25_BUCKETS)))
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path + "/postings")
+    )
+    (
+        docs.select("doc_id", F.array_size(T.tokens("text")).cast("bigint").alias("dli"))
+        .write.mode("overwrite")
+        .parquet(path + "/doclen")
+    )
+
+
+def bm25_query_persisted(spark, path: str, terms):
+    """Score every doc for `terms` against the persisted index: read only the
+    terms' postings partitions (bucket pruning + tok pushdown), left-join the
+    per-term tf columns onto the doclen table (docs without a term keep
+    tf=0.0 exactly like the tokenizing path), then the SHARED scoring stage —
+    results are bit-identical to `text_search_bm25`, same oracle."""
+    import hashlib
+
+    posts = spark.read.parquet(path + "/postings")
+    buckets = sorted(
+        {int(hashlib.md5(t.encode()).hexdigest()[:14], 16) % BM25_BUCKETS for t in terms}
+    )
+    posts = posts.where(F.col("bucket").isin(buckets) & F.col("tok").isin(list(terms)))
+    base = spark.read.parquet(path + "/doclen")
+    for i, term in enumerate(terms):
+        t_i = posts.where(F.col("tok") == term).select(
+            "doc_id", F.col("tf").cast("double").alias(f"tf_{i}")
+        )
+        base = base.join(t_i, "doc_id", "left").withColumn(
+            f"tf_{i}", F.coalesce(F.col(f"tf_{i}"), F.lit(0.0))
+        )
+    return _bm25_from_base(base)
 
 
 _RRF_C = 60  # standard reciprocal-rank-fusion constant

@@ -32,7 +32,7 @@ from mini_flink_spark.functions import dedup as D
 from mini_flink_spark.functions import hashing as H
 from mini_flink_spark.functions import similarity as S
 from mini_flink_spark.functions import text as T
-from mini_flink_spark.queries import _t, register
+from mini_flink_spark.queries import QUERIES, _t, register
 
 
 @register(
@@ -1970,4 +1970,31 @@ def q_dedup_lsh_recall_eval(spark, sf_dir):
             .cast("bigint")
             .alias("recall_micros"),
         )
+    )
+
+
+@register(
+    "text_search_bm25_persisted",
+    QUERIES["text_search_bm25"].oracle,  # bit-identical scores, same oracle
+    ("text", "search", "storage"),
+)
+def q_text_search_bm25_persisted(spark, sf_dir):
+    """BM25 top-k against the PERSISTED index (the ivf_persisted pattern for
+    text search): postings live as PARTITIONED BY (token-hash bucket) parquet
+    plus a doclen table, so a query's term lookups are partition pruning +
+    tok pushdown — ~|terms|/64 of the index bytes read. The per-term tf
+    columns rebuild the exact scoring frame of the tokenizing path (shared
+    `_bm25_from_base`), so scores are bit-identical and the oracle is the
+    same SQL as `text_search_bm25`."""
+    import tempfile
+
+    from mini_flink_spark import queries_ext as E
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_idx_")
+    E.bm25_persist(docs, path)
+    return (
+        E.bm25_query_persisted(spark, path, E._BM25_TERMS)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
     )

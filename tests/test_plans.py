@@ -529,3 +529,21 @@ def test_rolling_revenue_windows_preaggregated_series(spark, sf_dir):
     assert "Window" in plan and "HashAggregate" in plan
     rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "o_orderdate" in rs and "o_totalprice" in rs and "o_custkey" not in rs
+
+
+def test_bm25_persisted_postings_prune_partitions(spark, sf_dir):
+    # the persisted-postings read must carry PartitionFilters on the bucket
+    # column — term lookups touch ~|terms|/64 of the index
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mini_flink_spark import queries_ext as E
+    from mini_flink_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_planpin_")
+    E.bm25_persist(docs, path)
+    out = E.bm25_query_persisted(spark, path, E._BM25_TERMS)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
