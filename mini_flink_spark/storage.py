@@ -179,3 +179,35 @@ def write_date_partitioned(
         .parquet(path)
     )
     return path
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    out_path: str | None = None,
+) -> str:
+    """Small-file compaction: rewrite a parquet directory into files sized
+    near `target_file_bytes`. The fourth storage lever — streaming sinks and
+    fine-grained partitioned writes accrete KB-scale files, and at 100 TB
+    the resulting open/footer/seek overhead (plus NameNode/listing pressure)
+    dominates scan cost long before data volume does; periodic compaction
+    restores ~128-256 MB scan units.
+
+    File count = ceil(input_bytes / target): measured from the source files
+    themselves (no data pass), then one round-robin repartition — the
+    rewrite is a single shuffle-light job, safe to run concurrently with
+    readers of the OLD path (write lands in `out_path`, or `path + "_compact"`;
+    atomically swap directories outside this function)."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    dest = out_path or path.rstrip("/") + "_compact"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(dest)
+    return dest

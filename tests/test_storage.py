@@ -141,3 +141,36 @@ def test_date_partition_pruning(spark, sf_dir, tmp_path):
     # and the layout is lossless for the day
     expect = ev.filter(F.to_date("ts") == F.lit(one_day)).count()
     assert q.count() == expect > 0
+
+
+def test_compact_files_restores_scan_units(spark, tmp_path):
+    from mini_flink_spark.storage import compact_files
+
+    src = str(tmp_path / "frag")
+    # a fragmented layout: 64 tiny files
+    spark.range(100_000).selectExpr("id", "md5(cast(id as string)) as v")\
+        .repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 64
+    dest = compact_files(spark, src, target_file_bytes=10 * 1024 * 1024)
+    out_files = glob.glob(dest + "/*.parquet")
+    assert len(out_files) < 8  # ~4.5 MB input collapses to a single-digit count
+    # content preserved exactly
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dest)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    # old snapshot lacks the column a later writer added; mergeSchema reads
+    # both generations with the union schema, nulls for the missing column
+    p = str(tmp_path / "evolve")
+    spark.range(5).selectExpr("id", "id * 2 as a").write.parquet(p + "/gen=1")
+    spark.range(5, 10).selectExpr("id", "id * 2 as a", "'x' as b").write.parquet(
+        p + "/gen=2"
+    )
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) >= {"id", "a", "b"}
+    assert df.count() == 10
+    assert df.filter("b is null").count() == 5
