@@ -123,6 +123,35 @@ def frame_sample_stub(
     return flat.mapInPandas(sample, out_schema)
 
 
+def audio_chunk_stub(
+    df: DataFrame,
+    media_col: str = "media",
+    window: int = 400,
+    hop: int = 160,
+) -> DataFrame:
+    """Audio framing plumbing (the ASR front-end shape): each audio payload
+    fans out to overlapping byte windows (`window` bytes every `hop` — the
+    25ms/10ms framing ratio) as (doc_id, chunk_no, start_byte, n_bytes).
+    Real PCM decode would replace the byte arithmetic; the 1→N mapInPandas
+    fan-out, schema, and batch alignment are the production shape."""
+
+    out_schema = "doc_id bigint, chunk_no int, start_byte bigint, n_bytes bigint"
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "chunk_no": [], "start_byte": [], "n_bytes": []}
+            for doc_id, blen in zip(pdf["doc_id"], pdf["byte_len"]):
+                for i, start in enumerate(range(0, int(blen), hop)):
+                    rows["doc_id"].append(doc_id)
+                    rows["chunk_no"].append(i)
+                    rows["start_byte"].append(start)
+                    rows["n_bytes"].append(min(window, int(blen) - start))
+            yield pd.DataFrame(rows)
+
+    flat = df.select("doc_id", F.col(f"{media_col}.meta.byte_len").alias("byte_len"))
+    return flat.mapInPandas(chunk, out_schema)
+
+
 def resize_stub(
     df: DataFrame,
     media_col: str = "media",

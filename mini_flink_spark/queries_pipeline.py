@@ -1998,3 +1998,26 @@ def q_text_search_bm25_persisted(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "multimodal_audio_chunks",
+    """
+    SELECT doc_id, i::INT AS chunk_no, (i * 160)::BIGINT AS start_byte,
+           least(400, blen - i * 160)::BIGINT AS n_bytes
+    FROM (SELECT doc_id, octet_length(encode(text)) AS blen FROM documents),
+         unnest(range(0, (blen + 159) // 160)) u(i)
+    """,
+    ("multimodal", "pandas-udf", "audio"),
+)
+def q_multimodal_audio_chunks(spark, sf_dir):
+    """Audio framing (the third modality next to image features and video
+    frame-sampling): overlapping 400-byte windows every 160 bytes — the
+    25ms/10ms ASR framing ratio — per audio payload, through the 1→N
+    mapInPandas fan-out a real PCM front end uses. The oracle recomputes the
+    byte arithmetic, so the Arrow fan-out alignment is hash-checked."""
+    from mini_flink_spark.functions.multimodal import audio_chunk_stub, text_as_media
+
+    docs = _t(spark, sf_dir, "documents")
+    media = text_as_media(docs, "text", kind="audio")
+    return audio_chunk_stub(media, window=400, hop=160)
