@@ -2021,3 +2021,96 @@ def q_multimodal_audio_chunks(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     media = text_as_media(docs, "text", kind="audio")
     return audio_chunk_stub(media, window=400, hop=160)
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Unrolled integer-micro PageRank oracle over the undirected item
+    co-purchase graph. All arithmetic is BIGINT (floor-div contributions),
+    so no float ever crosses an exchange — the summation-order trap that
+    breaks naive distributed PageRank determinism."""
+    ctes = [
+        """pur AS MATERIALIZED (
+  SELECT DISTINCT user_id, json_extract(props, '$.k')::BIGINT AS item
+  FROM events WHERE event_type = 'purchase')""",
+        """edges AS MATERIALIZED (
+  SELECT a.item AS src, b.item AS dst
+  FROM pur a JOIN pur b ON a.user_id = b.user_id AND a.item != b.item
+  GROUP BY 1, 2)""",
+        "deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY 1)",
+        "n AS MATERIALIZED (SELECT count(*)::BIGINT AS n_nodes FROM deg)",
+        """r0 AS MATERIALIZED (
+  SELECT src AS item, (1000000 // n_nodes)::BIGINT AS r FROM deg CROSS JOIN n)""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT e.dst AS item,
+         ((1000000 - 850000) // any_value(n.n_nodes)
+          + (85 * sum(r.r // d.d)) // 100)::BIGINT AS r
+  FROM edges e
+  JOIN r{t - 1} r ON r.item = e.src
+  JOIN deg d ON d.src = e.src
+  CROSS JOIN n
+  GROUP BY e.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT item, r AS rank_micros FROM r{iters}"
+    )
+
+
+@register(
+    "pagerank_item_graph",
+    _pagerank_sql(iters=3),
+    ("extension", "graph", "iterative"),
+)
+def q_pagerank_item_graph(spark, sf_dir):
+    """PageRank (3 rounds, d=0.85) over the item co-purchase graph — the
+    second iterative-graph operator class next to connected components.
+    Ranks live as integer MICRO-units end-to-end: per-edge contributions are
+    floor-divided (rank // out_degree), so partial-agg summation order can't
+    perturb the result — the determinism trick that makes distributed
+    PageRank oracle-checkable (floats across an exchange are not).
+
+    Scale: edges/degrees build once (basket-bounded self-join, same shape as
+    item_cooccurrence_lift); each round is ONE join + partial-agg shuffle on
+    the edge key; no driver state at all — the rank table never leaves the
+    cluster."""
+    ev = _t(spark, sf_dir, "events")
+    pur = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .distinct()
+    )
+    b = pur.select("user_id", F.col("item").alias("dst"))
+    edges = (
+        pur.select("user_id", F.col("item").alias("src"))
+        .join(b, "user_id")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed every iteration
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    n_nodes = deg.count()  # scalar driver state: ONE int (graph size)
+    ranks = deg.select(
+        F.col("src").alias("item"), F.lit(1000000 // n_nodes).cast("bigint").alias("r")
+    )
+    base = (1000000 - 850000) // n_nodes
+    for _ in range(3):
+        ranks = (
+            edges.join(ranks.withColumnRenamed("item", "src"), "src")
+            .join(F.broadcast(deg), "src")
+            .select("dst", F.expr("r div d").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").cast("bigint").alias("s"))
+            .select(
+                F.col("dst").alias("item"),
+                (F.lit(base) + F.expr("(85 * s) div 100")).cast("bigint").alias("r"),
+            )
+        )
+    return ranks.select("item", F.col("r").alias("rank_micros"))
