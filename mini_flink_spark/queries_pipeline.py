@@ -2114,3 +2114,64 @@ def q_pagerank_item_graph(spark, sf_dir):
             )
         )
     return ranks.select("item", F.col("r").alias("rank_micros"))
+
+
+@register(
+    "pit_purchase_features",
+    """
+    SELECT event_id, user_id, n_prior_views, gap_us, last_value FROM (
+      SELECT event_id, user_id, event_type,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER w_hist::BIGINT AS n_prior_views,
+             epoch_us(ts) - epoch_us(max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER w_hist) AS gap_us,
+             lag(value) OVER w_ord AS last_value
+      FROM events
+      WINDOW
+        w_hist AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        w_ord AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE event_type = 'purchase'
+    """,
+    ("extension", "features", "pit"),
+)
+def q_pit_purchase_features(spark, sf_dir):
+    """Point-in-time-correct training features: for every purchase, the
+    user's STRICT history before it (prior view count, microseconds since
+    last click, last observed value) — the leakage-free feature-assembly
+    shape a training-set builder needs (frames end at 1 PRECEDING, so the
+    label row never sees itself or its future).
+
+    Scale: all three features ride ONE hashpartitioning(user_id) exchange
+    (shared window sort); per-user history is interaction-bounded. Gaps are
+    integer microseconds, so no float crosses the engine boundary."""
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w_hist = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .over(w_hist)
+        .cast("bigint")
+        .alias("n_prior_views"),
+        (
+            F.unix_micros("ts")
+            - F.unix_micros(
+                F.max(
+                    F.when(F.col("event_type") == "click", F.col("ts"))
+                ).over(w_hist)
+            )
+        ).alias("gap_us"),
+        F.lag("value").over(w_ord).alias("last_value"),
+    )
+    return feat.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "n_prior_views", "gap_us", "last_value"
+    )
