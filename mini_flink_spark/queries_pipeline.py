@@ -2175,3 +2175,134 @@ def q_pit_purchase_features(spark, sf_dir):
     return feat.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "n_prior_views", "gap_us", "last_value"
     )
+
+
+@register(
+    "negative_samples",
+    f"""
+    WITH n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+    SELECT doc_id, i::INT AS neg_rank,
+           (doc_id + 1 + ({H.portable_hash64_sql(
+               "doc_id::VARCHAR || '#neg' || i::VARCHAR")}) % (n_docs - 1)
+           ) % n_docs AS neg_doc_id
+    FROM documents CROSS JOIN n, unnest(range(0, 3)) u(i)
+    """,
+    ("extension", "sampling", "contrastive"),
+)
+def q_negative_samples(spark, sf_dir):
+    """Deterministic contrastive negatives: 3 pseudo-random partner docs per
+    anchor, drawn by salted hash over the contiguous id space with the
+    `(anchor + 1 + h % (N-1)) % N` construction that guarantees
+    negative ≠ anchor without rejection loops — reproducible across runs,
+    engines, and partitionings (the property `rand()`-based sampling loses).
+
+    Scale: one 1-row count broadcast + a pure projection fan-out of 3 —
+    no shuffle at all beyond the count."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    h = H.portable_hash64(
+        F.concat(F.col("doc_id").cast("string"), F.lit("#neg"), F.col("i").cast("string"))
+    )
+    return (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"),
+            "n_docs",
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("neg_rank"),
+            (
+                (F.col("doc_id") + 1 + F.pmod(h, F.col("n_docs") - 1))
+                % F.col("n_docs")
+            ).alias("neg_doc_id"),
+        )
+    )
+
+
+@register(
+    "length_matched_sample",
+    """
+    WITH tgt AS (
+      SELECT n_chars, ntile(4) OVER (ORDER BY n_chars, doc_id) AS tile
+      FROM documents WHERE source = 'src0'
+    ),
+    cuts AS (
+      SELECT max(CASE WHEN tile = 1 THEN n_chars END) AS c1,
+             max(CASE WHEN tile = 2 THEN n_chars END) AS c2,
+             max(CASE WHEN tile = 3 THEN n_chars END) AS c3
+      FROM tgt
+    ),
+    quota AS (SELECT tile AS bucket, count(*)::BIGINT AS q FROM tgt GROUP BY 1),
+    pool AS (
+      SELECT doc_id,
+             1 + (n_chars > c1)::INT + (n_chars > c2)::INT + (n_chars > c3)::INT
+               AS bucket
+      FROM documents CROSS JOIN cuts WHERE source != 'src0'
+    ),
+    ranked AS (
+      SELECT doc_id, bucket,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM pool
+    )
+    SELECT doc_id, bucket::BIGINT AS bucket
+    FROM ranked JOIN quota USING (bucket) WHERE rn <= q
+    """,
+    ("extension", "sampling", "distribution-matching"),
+)
+def q_length_matched_sample(spark, sf_dir):
+    """Distribution-matched sampling: draw from the general pool so the
+    sample's LENGTH distribution matches the target domain's (src0) —
+    the DSIR idea applied to a style covariate instead of n-gram content.
+    Target quartile cut points (ntile over a total order — deterministic)
+    bucket the pool; each bucket fills exactly the target's quartile count
+    by md5 rank.
+
+    Scale: cut points + quotas are a 1-row/4-row broadcast from the target
+    slice; the pool pass is bucket + per-bucket rank — one shuffle on the
+    4-value bucket key (salt the rank if a bucket outgrows a task at
+    extreme scale, as stratified_sample documents)."""
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.where(F.col("source") == "src0").select(
+        "n_chars",
+        F.ntile(4).over(W.orderBy("n_chars", "doc_id")).alias("tile"),
+    )
+    cuts = tgt.agg(
+        F.max(F.when(F.col("tile") == 1, F.col("n_chars"))).alias("c1"),
+        F.max(F.when(F.col("tile") == 2, F.col("n_chars"))).alias("c2"),
+        F.max(F.when(F.col("tile") == 3, F.col("n_chars"))).alias("c3"),
+    )
+    quota = tgt.groupBy(F.col("tile").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("q")
+    )
+    pool = (
+        docs.where(F.col("source") != "src0")
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            (
+                F.lit(1)
+                + (F.col("n_chars") > F.col("c1")).cast("int")
+                + (F.col("n_chars") > F.col("c2")).cast("int")
+                + (F.col("n_chars") > F.col("c3")).cast("int")
+            ).alias("bucket"),
+        )
+    )
+    ranked = pool.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("bucket").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(quota), "bucket")
+        .where(F.col("rn") <= F.col("q"))
+        .select("doc_id", F.col("bucket").cast("bigint").alias("bucket"))
+    )
