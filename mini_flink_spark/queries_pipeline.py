@@ -2306,3 +2306,20 @@ def q_length_matched_sample(spark, sf_dir):
         .where(F.col("rn") <= F.col("q"))
         .select("doc_id", F.col("bucket").cast("bigint").alias("bucket"))
     )
+
+
+@register(
+    "curation_pipeline_spec",
+    QUERIES["curation_pipeline_v2"].oracle,  # the spec rendering must be byte-identical
+    ("pipeline", "spec"),
+)
+def q_curation_pipeline_spec(spark, sf_dir):
+    """curation_pipeline_v2 driven from a declarative JSON-able SPEC
+    (pipeline_spec.CANONICAL_SPEC): gate → span removal → drop-empty → exact
+    dedup → per-lang shards, compiled by `run_pipeline` into one fused plan.
+    Same oracle as the hand-written composition — the spec layer adds a
+    config surface, not a semantic fork."""
+    from mini_flink_spark.pipeline_spec import CANONICAL_SPEC, run_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_pipeline(docs, CANONICAL_SPEC)

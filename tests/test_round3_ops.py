@@ -185,3 +185,22 @@ class TestTimeseriesOps:
             F.col("valid_to").isNotNull() & (F.col("valid_to") != F.col("nxt"))
         )
         assert bad.count() == 0
+
+
+class TestPipelineSpec:
+    def test_unknown_stage_raises(self, spark, sf_dir):
+        from mini_flink_spark.pipeline_spec import run_pipeline
+        from mini_flink_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unknown pipeline stage"):
+            run_pipeline(docs, [{"op": "nonexistent"}])
+
+    def test_spec_equals_handwritten(self, spark, sf_dir):
+        from mini_flink_spark.queries import QUERIES
+
+        a = QUERIES["curation_pipeline_v2"].fn(spark, sf_dir)
+        b = QUERIES["curation_pipeline_spec"].fn(spark, sf_dir)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
