@@ -84,3 +84,41 @@ def test_text_source_lines(env, tmp_path):
     ds = env.read_text(p)
     got = sorted(r.value for r in ds.df.collect())
     assert got == ["hello spark", "hello world"]
+
+
+def test_json_corrupt_records_are_quarantined(env, tmp_path):
+    # PERMISSIVE ingestion: malformed lines land in _corrupt_record instead of
+    # failing the job — the posture a 100 TB crawl ingest needs (one bad file
+    # must not kill a 10-hour run)
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"a": 1}\n{"a": 2}\nNOT JSON AT ALL\n{"a": 4}\n')
+    df = env.spark.read.schema("a long, _corrupt_record string").json(str(p)).cache()
+    assert df.count() == 4
+    assert df.filter("_corrupt_record is not null").count() == 1
+    assert df.filter("a is not null").count() == 3
+
+
+def test_csv_quoted_fields_round_trip(env, tmp_path):
+    # delimiter/quote/escape fidelity: embedded commas, quotes, and newlines
+    from pyspark.sql import Row
+
+    src = env.spark.createDataFrame(
+        [
+            Row(id=1, s='plain'),
+            Row(id=2, s='with,comma'),
+            Row(id=3, s='with "quotes"'),
+            Row(id=4, s='multi\nline'),
+        ]
+    )
+    p = str(tmp_path / "quoted_csv")
+    src.write.option("header", True).option("escape", '"').csv(p)
+    back = (
+        env.spark.read.option("header", True)
+        .option("escape", '"')
+        .option("multiLine", True)
+        .schema("id long, s string")
+        .csv(p)
+    )
+    assert sorted((r.id, r.s) for r in back.collect()) == sorted(
+        (r.id, r.s) for r in src.collect()
+    )
