@@ -1826,26 +1826,42 @@ def q_item_cooccurrence_lift(spark, sf_dir):
     the co-occurrence primitive behind association rules and item-item
     recommenders.
 
-    Scale: the pair join is per-user (self-join on user_id), so its cost is
-    Σ (items-per-user)² — basket-bounded, never catalog²; item counts and
-    the user total broadcast; map-side partials absorb the hot pairs and
-    TakeOrdered bounds the output."""
+    Scale: ONE user-key shuffle builds per-user baskets; pair generation is
+    an in-array fold (Σ |basket|²/2 pairs emitted, never a row-level
+    self-join), item counts and the user total come from the same
+    checkpointed basket table, map-side partials absorb the hot pairs and
+    TakeOrdered bounds the output — 8 exchanges collapsed to ~4."""
     ev = _t(spark, sf_dir, "events")
-    pur = (
+    # ONE user-key shuffle builds the per-user basket; distinct items, pair
+    # generation, and the user count all come from the basket array in-array
+    # (no row-level self-join, no second distinct shuffle — the funnel
+    # query's fold trick applied to market baskets)
+    baskets = (
         ev.where(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.get_json_object("props", "$.k").cast("bigint"))
+            ).alias("items")
         )
-        .distinct()
+        .localCheckpoint(eager=True)  # three consumers: pairs, counts, total
     )
-    ic = pur.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("n_u"))
-    u = pur.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
-    a = pur.select("user_id", F.col("item").alias("item_a"))
-    b = pur.select("user_id", F.col("item").alias("item_b"))
+    ic = baskets.select(F.explode("items").alias("item")).groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_u")
+    )
+    u = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size("items")),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
     co = (
-        a.join(b, "user_id")
-        .where(F.col("item_a") < F.col("item_b"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
     )
