@@ -2089,26 +2089,39 @@ def q_pagerank_item_graph(spark, sf_dir):
     perturb the result — the determinism trick that makes distributed
     PageRank oracle-checkable (floats across an exchange are not).
 
-    Scale: edges/degrees build once (basket-bounded self-join, same shape as
-    item_cooccurrence_lift); each round is ONE join + partial-agg shuffle on
-    the edge key; no driver state at all — the rank table never leaves the
-    cluster."""
+    Scale: edges/degrees build once from per-user baskets (in-array cross
+    fold, one user-key shuffle — same shape as item_cooccurrence_lift) and
+    are pre-partitioned by src + checkpointed so every round's join reuses
+    the layout; each round is ONE join + partial-agg shuffle on the edge
+    key; no driver state beyond the node count — the rank table never
+    leaves the cluster."""
     ev = _t(spark, sf_dir, "events")
-    pur = (
+    # baskets on ONE user-key shuffle; directed edges via an in-array cross
+    # fold (no row-level self-join), then distinct + pre-partition by src so
+    # every iteration's join reuses the same layout
+    baskets = (
         ev.where(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.get_json_object("props", "$.k").cast("bigint"))
+            ).alias("items")
         )
-        .distinct()
     )
-    b = pur.select("user_id", F.col("item").alias("dst"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x: F.transform(
+                F.col("items"), lambda y: F.struct(x.alias("src"), y.alias("dst"))
+            ),
+        )
+    )
     edges = (
-        pur.select("user_id", F.col("item").alias("src"))
-        .join(b, "user_id")
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.src", "p.dst")
         .where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
         .distinct()
+        .repartition("src")
         .localCheckpoint(eager=True)  # consumed every iteration
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
