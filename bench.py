@@ -111,8 +111,26 @@ def main() -> None:
             # pass had run the full 169-query registry).
             gc.collect()
 
+    def deep_clean() -> None:
+        # Long single-session sweeps accumulate JVM-side residue the per-query
+        # gc.collect() can't reach: terminated streaming queries' memory-sink
+        # tables and state-store instances, cached relations, and tenured
+        # garbage. Positional profiling showed queries in the back half of the
+        # registry running 1.6-1.7x slower than the same queries benched
+        # early; a periodic stop-drop-GC keeps late measurements honest.
+        for q in spark.streams.active:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001
+                pass
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    deep_clean()  # enter the timed pass with a clean session
+
     times: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
         fn = QUERIES[name].fn
         t0 = time.perf_counter()
         try:
@@ -122,6 +140,8 @@ def main() -> None:
             print(f"bench {name}: {exc}", file=sys.stderr)
             times[name] = None
         gc.collect()  # same block-release discipline as the warm pass
+        if (i + 1) % 25 == 0:
+            deep_clean()
 
     total = round(sum(times[n] for n in HEADLINE if times.get(n) is not None), 3)
     print(json.dumps({
