@@ -2352,3 +2352,71 @@ def q_curation_pipeline_spec(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return run_pipeline(docs, CANONICAL_SPEC)
+
+
+@register(
+    "langid_confusion_matrix",
+    f"""
+    SELECT lang AS label_lang, {T.langid_sql('text')} AS pred_lang,
+           count(*)::BIGINT AS n
+    FROM documents GROUP BY 1, 2
+    """,
+    ("extension", "text", "eval"),
+)
+def q_langid_confusion_matrix(spark, sf_dir):
+    """Classifier evaluation measured IN-ENGINE (third of the eval trio next
+    to the recall evals and cluster purity): the stopword language-ID's
+    confusion matrix against the corpus's labeled lang column — per-language
+    precision/recall read straight off the (label, predicted, n) cells.
+
+    Scale: langid is a pure per-row expression (zero shuffle); the matrix is
+    one partial-aggregated count on a languages² key space."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("label_lang"),
+            T.langid("text").alias("pred_lang"),
+        )
+        .groupBy("label_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "streaming_topk_items",
+    """
+    SELECT item, n FROM (
+      SELECT json_extract(props, '$.k')::BIGINT AS item, count(*)::BIGINT AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    ORDER BY n DESC, item LIMIT 10
+    """,
+    ("streaming", "events", "topk"),
+)
+def q_streaming_topk_items(spark, sf_dir):
+    """Live leaderboard: per-item purchase counts maintained incrementally in
+    streaming state (update mode); the top-10 rank reads the converged count
+    table — the dashboard query pattern where the stream keeps the counts
+    always-current and ranking stays a cheap batch read over item-cardinality
+    rows. Converged output ≡ the batch oracle."""
+    import tempfile
+
+    from mini_flink_spark.sources import parquet_stream, write_stream_fixture
+    from mini_flink_spark.streaming import run_stream_to_memory
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(F.get_json_object("props", "$.k").cast("bigint").alias("item"))
+    fixture = write_stream_fixture(
+        ev, tempfile.mkdtemp(prefix="q_stream_topk_"), n_files=4
+    )
+    stream = parquet_stream(spark, fixture, "item bigint")
+    counts = stream.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    conv = run_stream_to_memory(counts, spark, "update")
+    return (
+        conv.groupBy("item")
+        .agg(F.max("n").alias("n"))  # update sink keeps every emission; counts are monotone
+        .orderBy(F.col("n").desc(), "item")
+        .limit(10)
+    )
