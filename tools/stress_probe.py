@@ -181,11 +181,60 @@ def probe_semdedup(spark):
         )
 
 
+def dense_events(spark, sf_dir="/root/testdata/sf0.1", replicas=20):
+    """2M events: 100k base × `replicas`; replica r shifts users into a
+    disjoint id block and jitters ts by r seconds so per-user histories stay
+    realistic (20× users, same per-user interaction density). Built
+    distributively."""
+    base = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        base.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
+        )
+        .select(
+            (F.col("event_id") * replicas + F.col("rep")).alias("event_id"),
+            (F.col("ts") + F.make_interval(secs=F.col("rep"))).alias("ts"),
+            (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+
+
+def probe_round3_events(spark):
+    """Round-3 event operators at 20× (2M events, 20× user cardinality):
+    every op must scale with its shuffle key's cardinality, not blow up."""
+    import os
+    import tempfile
+
+    from mini_flink_spark.queries import QUERIES
+
+    path = tempfile.mkdtemp(prefix="ev20x_") + "/events.parquet"
+    dense_events(spark).write.mode("overwrite").parquet(path)
+    sf_dir = os.path.dirname(path)
+    # reuse the real graded query fns against the 20× table by pointing the
+    # read at the probe dir (the other tables aren't touched by these ops)
+    for name in (
+        "scd2_user_state_history",
+        "timeseries_gapfill",
+        "ewma_hourly_rate",
+        "pit_purchase_features",
+        "event_path_trigrams",
+        "item_cooccurrence_lift",
+        "pagerank_item_graph",
+    ):
+        t0 = time.time()
+        n = QUERIES[name].fn(spark, sf_dir).count()
+        print(f"{name}: {time.time() - t0:.1f}s, {n} rows", flush=True)
+
+
 PROBES = {
     "embedding_cosine": probe_embedding_cosine,
     "kmeans_largek": probe_kmeans_largek,
     "streaming_state": probe_streaming_state,
     "semdedup": probe_semdedup,
+    "round3_events": probe_round3_events,
 }
 
 if __name__ == "__main__":
