@@ -229,12 +229,50 @@ def probe_round3_events(spark):
         print(f"{name}: {time.time() - t0:.1f}s, {n} rows", flush=True)
 
 
+def probe_round3_docs(spark):
+    """Round-3 document operators at 20× (100k docs, 20 replicas per base doc
+    with a per-replica token prefix so replicas are near- not exact dups)."""
+    import os
+    import tempfile
+
+    from mini_flink_spark.queries import QUERIES
+
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    dense = (
+        base.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep")
+        )
+        .select(
+            (F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"),
+            F.concat(F.lit("rep"), F.col("rep").cast("string"), F.lit(" "), F.col("text")).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + 6).alias("n_chars"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="docs20x_")
+    dense.write.mode("overwrite").parquet(d + "/documents.parquet")
+    for name in (
+        "bpe_encode_docs",
+        "vocab_oov_rate",
+        "source_drift_kl",
+        "cross_source_duplicates",
+        "length_matched_sample",
+        "text_search_bm25_persisted",
+        "curation_pipeline_spec",
+    ):
+        t0 = time.time()
+        n = QUERIES[name].fn(spark, d).count()
+        print(f"{name}: {time.time() - t0:.1f}s, {n} rows", flush=True)
+
+
 PROBES = {
     "embedding_cosine": probe_embedding_cosine,
     "kmeans_largek": probe_kmeans_largek,
     "streaming_state": probe_streaming_state,
     "semdedup": probe_semdedup,
     "round3_events": probe_round3_events,
+    "round3_docs": probe_round3_docs,
 }
 
 if __name__ == "__main__":
