@@ -1277,3 +1277,96 @@ def minhash_probe_persisted(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+# ------------------------------------------------- winnowing fingerprints
+
+
+def winnow_fingerprints(t: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003):
+    over the rolling k-gram hash sequence, slide a window of w consecutive
+    hashes and select the minimum of each window; the distinct selected
+    hashes are the fingerprint set. Guarantees every duplicate run of
+    length >= w + k - 1 tokens shares at least one fingerprint while keeping
+    the set ~2/(w+1) of the full hash sequence — the density/recall knob
+    suffix-array span dedup doesn't have.
+
+    Pure in-array expression per row (whole-stage codegen, zero shuffle, no
+    Python); returns array<bigint> sorted ascending, [] for docs shorter
+    than k + w - 1 tokens. The same span-hash definition as the span-dedup
+    family (`span_hash_array`), so fingerprints are joinable against span
+    inventories.
+
+    PERF TRAP: this single-expression composition re-evaluates the rolling
+    hash array once per window index when `hs` sits inside the lambda
+    (higher-order functions don't CSE their captured children) — O(n^2)
+    md5s per doc, measured 40x slower at sf0.01. Use it only on small
+    inputs/tests; production queries must materialize the hash array behind
+    a Generate barrier and apply `winnow_select` to the bound column (see
+    `queries_pipeline.q_winnowing_fingerprints`)."""
+    return winnow_select(span_hash_array(t, k), w)
+
+
+def winnow_select(hs: Column, w: int = 4) -> Column:
+    """Window-min fingerprint selection over an (ideally already-bound)
+    rolling-hash array column: min of each w-wide window, deduped, sorted.
+    When `hs` is a materialized attribute the slices are O(w) array reads —
+    the cheap path."""
+    n = F.array_size(hs) - (w - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_min(F.slice(hs, i, w)))
+        )
+    )
+
+
+def winnow_fingerprints_sql(k: int = 5, w: int = 4) -> str:
+    """DuckDB twin over a token-list column `t`: identical k-gram hash,
+    identical window-min selection. range() yields [] when stop <= start,
+    matching the short-doc guard."""
+    hs = (
+        f"list_transform(range(1, greatest(len(t) - {k - 1}, 0) + 1), "
+        f"i -> {span_hash_sql(k)})"
+    )
+    return (
+        f"list_sort(list_distinct(list_transform("
+        f"range(1, greatest(len(hs) - {w - 1}, 0) + 1), "
+        f"j -> list_min(hs[j:j+{w - 1}])))) "
+    ).replace("hs", f"({hs})")
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+
+def paragraph_hashes(t: Column, p: int = 12) -> Column:
+    """Non-overlapping p-token chunk hashes (array<bigint>) — the unit of
+    RefinedWeb/CCNet-style *line-level* dedup, coarser and strictly cheaper
+    than the overlapping rolling spans of `span_hash_array`: a doc with n
+    tokens contributes ceil(n/p) hashes instead of n-w+1. [] for blank docs.
+    The final short chunk (< p tokens) is kept — trailing boilerplate is
+    still boilerplate."""
+    from mini_flink_spark.functions.hashing import portable_hash64
+
+    n_chunks = F.ceil(F.array_size(t) / F.lit(p)).cast("int")
+    idx = F.when(n_chunks >= 1, F.sequence(F.lit(1), n_chunks)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: portable_hash64(
+            F.array_join(F.slice(t, (i - F.lit(1)) * p + 1, p), " ")
+        ),
+    )
+
+
+def paragraph_hashes_sql(p: int = 12) -> str:
+    """DuckDB twin over a token-list column `t`."""
+    h = portable_hash64_sql(f"array_to_string(t[(i-1)*{p}+1:(i-1)*{p}+{p}], ' ')")
+    return (
+        f"list_transform(range(1, greatest(ceil(len(t) / {p}.0)::INT, 0) + 1), "
+        f"i -> {h})"
+    )

@@ -197,3 +197,78 @@ def fingerprint(col: Column | str) -> Column:
 
 def fingerprint_sql(expr: str) -> str:
     return portable_hash64_sql(normalize_text_sql(expr))
+
+
+# ------------------------------------------------- URL canonicalization
+
+_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "mc_eid=", "ref_src=")
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of a URL for URL-level dedup (the first, cheapest dedup
+    pass of a web-crawl pipeline — CCNet/RefinedWeb dedup by normalized URL
+    before touching content):
+
+      1. drop the fragment (#...)
+      2. lowercase scheme and host; strip default ports :80/:443
+      3. strip a trailing slash from the path ('' and '/' both -> '')
+      4. drop tracking query params (utm_*, fbclid, gclid, ...), sort the
+         survivors for order-insensitivity
+
+    Pure string/array expressions — whole-stage codegen, zero shuffle; the
+    dedup itself then groups on the canonical string (or its 8-byte
+    `portable_hash64` at scale, so only fixed-width keys enter the
+    exchange)."""
+    c = F.col(col) if isinstance(col, str) else col
+    base = F.split_part(c, F.lit("#"), F.lit(1))
+    pre = F.split_part(base, F.lit("?"), F.lit(1))
+    query = F.when(
+        base.contains("?"), F.split_part(base, F.lit("?"), F.lit(2))
+    ).otherwise(F.lit(""))
+    scheme = F.lower(F.split_part(pre, F.lit("://"), F.lit(1)))
+    rest = F.split_part(pre, F.lit("://"), F.lit(2))
+    hostport = F.split_part(rest, F.lit("/"), F.lit(1))
+    path = F.substring(rest, F.length(hostport) + 1, F.lit(2147483647))
+    host = F.regexp_replace(F.lower(hostport), ":(443|80)$", "")
+    path_c = F.regexp_replace(path, "/$", "")
+
+    def _keep(x: Column) -> Column:
+        cond = x != ""
+        for p in _TRACKING_PREFIXES:
+            cond = cond & ~x.startswith(p)
+        return cond
+
+    kept = F.array_join(F.array_sort(F.filter(F.split(query, "&"), _keep)), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path_c,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB twin of `canonical_url` — identical four normalization steps.
+    str_split_regex/list_filter/list_sort mirror the Spark array pipeline."""
+    base = f"split_part({expr}, '#', 1)"
+    pre = f"split_part({base}, '?', 1)"
+    query = (
+        f"CASE WHEN contains({base}, '?') THEN split_part({base}, '?', 2) "
+        f"ELSE '' END"
+    )
+    scheme = f"lower(split_part({pre}, '://', 1))"
+    rest = f"split_part({pre}, '://', 2)"
+    hostport = f"split_part({rest}, '/', 1)"
+    path = f"substr({rest}, length({hostport}) + 1)"
+    host = f"regexp_replace(lower({hostport}), ':(443|80)$', '')"
+    path_c = f"regexp_replace({path}, '/$', '')"
+    drop = " OR ".join(f"starts_with(x, '{p}')" for p in _TRACKING_PREFIXES)
+    kept = (
+        f"array_to_string(list_sort(list_filter(string_split({query}, '&'), "
+        f"x -> x != '' AND NOT ({drop}))), '&')"
+    )
+    return (
+        f"({scheme} || '://' || {host} || {path_c} || "
+        f"CASE WHEN {kept} != '' THEN '?' || {kept} ELSE '' END)"
+    )

@@ -2420,3 +2420,198 @@ def q_streaming_topk_items(spark, sf_dir):
         .orderBy(F.col("n").desc(), "item")
         .limit(10)
     )
+
+
+# ------------------------------------------------- round-3 continuation II:
+# URL-level dedup, winnowing fingerprints, paragraph boilerplate
+
+
+# URL fixture: the driver corpus carries no URL column, so a deterministic
+# doc-derived URL is salted in (same expression both engines) with exactly
+# the messiness canonicalization must erase — mixed-case scheme/host, a
+# default :443 port, trailing-slash variants, utm_* tracking params, and a
+# fragment. The canonical part depends only on floor(doc_id / 8), so each
+# run of 8 consecutive doc_ids yields 8 DISTINCT raw URLs (case/port/slash/
+# tracking all vary with doc_id mod 2/3/5) that collapse onto ONE canonical
+# form — the dedup has real work at every scale factor.
+_URL_SALT_SPARK = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Example.COM'"
+    " ELSE 'https://www.example.com' END,"
+    " CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,"
+    " '/docs/page-', cast(doc_id div 8 as string),"
+    " CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,"
+    " '?utm_source=feed&id=', cast((doc_id div 8) % 11 as string),"
+    " '&utm_campaign=c', cast(doc_id as string),"
+    " '&ref=', cast((doc_id div 8) % 3 as string),"
+    " '#frag', cast(doc_id as string))"
+)
+_URL_SALT_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Example.COM'"
+    " ELSE 'https://www.example.com' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END"
+    " || '/docs/page-' || (doc_id // 8)"
+    " || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END"
+    " || '?utm_source=feed&id=' || ((doc_id // 8) % 11)"
+    " || '&utm_campaign=c' || doc_id"
+    " || '&ref=' || ((doc_id // 8) % 3)"
+    " || '#frag' || doc_id)"
+)
+
+
+@register(
+    "url_canonical_dedup",
+    f"""
+    WITH canon AS (
+      SELECT doc_id, {T.canonical_url_sql(_URL_SALT_SQL)} AS canonical_url
+      FROM documents
+    )
+    SELECT canonical_url,
+           min(doc_id)::BIGINT AS keep_doc_id,
+           count(*)::BIGINT AS n_variants
+    FROM canon
+    GROUP BY canonical_url
+    HAVING count(*) >= 2
+    ORDER BY canonical_url
+    """,
+    ("pipeline", "dedup", "url"),
+)
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL-level dedup — the first pass of a crawl pipeline (before any
+    content hashing): canonicalize each document's URL (fragment/port/case/
+    tracking-param normalization, see `functions.text.canonical_url`) and
+    collapse documents sharing a canonical form, keeping the smallest doc_id
+    (first-crawled). Canonicalization is pure per-row codegen; the one
+    shuffle groups canonical strings (at 100 TB, swap the group key for
+    `portable_hash64(canonical)` so only 8-byte keys shuffle — same plan
+    shape as dedup_exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id",
+        T.canonical_url(F.expr(_URL_SALT_SPARK)).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        )
+        .filter(F.col("n_variants") >= 2)
+        .orderBy("canonical_url")
+    )
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {T.tokens_sql('text')} AS t FROM documents
+    )
+    SELECT doc_id,
+           len({D.winnow_fingerprints_sql()})::BIGINT AS n_fp,
+           array_to_string({D.winnow_fingerprints_sql()}, '-') AS fp
+    FROM toks
+    """,
+    ("pipeline", "dedup", "fingerprint"),
+)
+def q_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (SIGMOD 2003) per document: window-min
+    selection over the rolling k-gram hash stream guarantees any shared run
+    of >= k+w-1 tokens shares a fingerprint at ~2/(w+1) the density of the
+    full hash set — the tunable cost/recall point between exact-hash dedup
+    and full span inventories. Per-row, zero shuffle, no Python.
+
+    The rolling-hash array is materialized behind a one-element explode
+    (Generate is a projection-collapse barrier) so the window-min lambda
+    reads a bound attribute instead of re-evaluating the md5 chain per
+    window index — the single-expression form is O(n^2) hashes per doc
+    (measured 69s -> ~2s at sf0.01; see `winnow_fingerprints` docstring)."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hs_row = docs.select(
+        "doc_id",
+        F.explode(F.array(D.span_hash_array(T.tokens("text"), 5))).alias("hs"),
+    )
+    fp = D.winnow_select(F.col("hs"), 4)
+    return hs_row.select(
+        "doc_id",
+        F.array_size(fp).cast("bigint").alias("n_fp"),
+        F.array_join(fp, "-").alias("fp"),
+    )
+
+
+@register(
+    "paragraph_boilerplate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {T.tokens_sql('text')} AS t FROM documents
+    ),
+    ph AS (
+      SELECT doc_id, unnest({D.paragraph_hashes_sql()}) AS h FROM toks
+    ),
+    boiler AS (
+      SELECT h FROM ph GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    agg AS (
+      SELECT ph.doc_id,
+             count(*) AS n_paras,
+             count(boiler.h) AS n_boiler
+      FROM ph LEFT JOIN boiler USING (h)
+      GROUP BY ph.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(agg.n_paras, 0)::BIGINT AS n_paras,
+           coalesce(agg.n_boiler, 0)::BIGINT AS n_boiler,
+           round(coalesce(agg.n_boiler, 0)::DOUBLE
+                 / greatest(coalesce(agg.n_paras, 0), 1)::DOUBLE, 6)
+             AS boiler_ratio
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+    ("pipeline", "dedup", "quality"),
+)
+def q_paragraph_boilerplate(spark, sf_dir):
+    """RefinedWeb/CCNet-style paragraph (line-level) dedup signal: chunk each
+    doc into non-overlapping 12-token paragraphs, hash them, and flag hashes
+    appearing in >= 2 distinct documents as boilerplate; emit per-doc counts
+    and the boilerplate ratio the quality gate thresholds on.
+
+    100 TB design: paragraphs hash in-array per row (codegen); only the
+    8-byte hashes explode into the df aggregation and the hash->boiler join —
+    text never enters an exchange (same discipline as span dedup, pinned by
+    the span-removal plan test family). Every document gets a row — blank
+    docs included via the final left join (ADVICE r2: explode-based
+    consumers silently drop short docs)."""
+    parts = spark.sparkContext.defaultParallelism
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "text").repartition(parts).select(
+        "doc_id", T.tokens("text").alias("t")
+    )
+    ph = toks.select(
+        "doc_id", F.explode(D.paragraph_hashes(F.col("t"))).alias("h")
+    )
+    boiler = (
+        ph.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h", F.lit(1).alias("is_boiler"))
+    )
+    agg = (
+        ph.join(boiler, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.count("is_boiler").alias("n_boiler"),
+        )
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_paras", F.lit(0)).cast("bigint").alias("n_paras"),
+        F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
+        F.round(
+            F.coalesce("n_boiler", F.lit(0)).cast("double")
+            / F.greatest(F.coalesce("n_paras", F.lit(0)), F.lit(1)).cast(
+                "double"
+            ),
+            6,
+        ).alias("boiler_ratio"),
+    )

@@ -547,3 +547,33 @@ def test_bm25_persisted_postings_prune_partitions(spark, sf_dir):
     out = E.bm25_query_persisted(spark, path, E._BM25_TERMS)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_winnowing_zero_shuffle(spark, sf_dir):
+    # fingerprint selection is per-row: one spread exchange of raw rows at
+    # most, no hashpartitioning, no join, no Python
+    plan = plan_of(spark, sf_dir, "winnowing_fingerprints")
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+    assert "Python" not in plan
+
+
+def test_url_canonical_dedup_single_group_exchange(spark, sf_dir):
+    # canonicalization is scan-side projection; the only exchange groups the
+    # canonical key with a map-side partial agg
+    plan = plan_of(spark, sf_dir, "url_canonical_dedup")
+    assert "Join" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex and all("canonical_url" in l for l in ex)
+
+
+def test_paragraph_boilerplate_text_stays_out_of_exchanges(spark, sf_dir):
+    # same discipline as span dedup: only 8-byte paragraph hashes (+ ids)
+    # may shuffle; raw text dies scan-side
+    plan = plan_of(spark, sf_dir, "paragraph_boilerplate")
+    import re
+
+    ex = [l for l in plan.splitlines() if "Exchange" in l]
+    assert ex
+    assert not any(re.search(r"\btext#\d", l) for l in ex)

@@ -204,3 +204,166 @@ class TestPipelineSpec:
         a = QUERIES["curation_pipeline_v2"].fn(spark, sf_dir)
         b = QUERIES["curation_pipeline_spec"].fn(spark, sf_dir)
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# ---------------------------------------------------------------- URL dedup
+
+
+class TestCanonicalUrl:
+    CASES = [
+        # (raw, canonical) — one per normalization rule + combinations
+        ("https://example.com/a", "https://example.com/a"),
+        ("HTTPS://Example.COM/a", "https://example.com/a"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("https://example.com:8080/a", "https://example.com:8080/a"),
+        ("https://example.com/a/", "https://example.com/a"),
+        ("https://example.com/a#sec2", "https://example.com/a"),
+        ("https://example.com/a?utm_source=x", "https://example.com/a"),
+        ("https://example.com/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+        (
+            "HTTPS://WWW.Ex.COM:443/p/?z=9&utm_campaign=c&gclid=g1&a=1#f",
+            "https://www.ex.com/p?a=1&z=9",
+        ),
+        # path case is preserved (only scheme/host lowercase)
+        ("https://example.com/CaseSensitive", "https://example.com/CaseSensitive"),
+    ]
+
+    def test_spark_rules(self, spark):
+        from mini_flink_spark.functions.text import canonical_url
+
+        df = spark.createDataFrame(
+            [(r,) for r, _ in self.CASES], "url string"
+        ).select(canonical_url("url").alias("c"))
+        got = [r.c for r in df.collect()]
+        assert got == [c for _, c in self.CASES]
+
+    def test_duckdb_twin_matches(self):
+        import duckdb
+
+        from mini_flink_spark.functions.text import canonical_url_sql
+
+        con = duckdb.connect()
+        for raw, want in self.CASES:
+            # the twin interpolates `expr` several times -> bind it once
+            got = con.execute(
+                f"SELECT {canonical_url_sql('url')} FROM (VALUES (?)) t(url)",
+                [raw],
+            ).fetchone()[0]
+            assert got == want, raw
+
+
+# ------------------------------------------------------------- winnowing
+
+
+class TestWinnowing:
+    def test_guarantee_shared_run_shares_fingerprint(self, spark):
+        """Any duplicate run of >= w+k-1 tokens must share a fingerprint —
+        the winnowing correctness guarantee (SIGMOD 2003, Thm. on coverage)."""
+        from mini_flink_spark.functions.dedup import winnow_fingerprints
+        from mini_flink_spark.functions.text import tokens
+
+        k, w = 5, 4
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1
+        a = "one two three " + shared + " four five"
+        b = "nine eight " + shared + " seven six ten"
+        df = spark.createDataFrame([(1, a), (2, b)], "id long, text string")
+        fps = df.select(
+            "id", winnow_fingerprints(tokens("text"), k, w).alias("fp")
+        ).collect()
+        sets = {r.id: set(r.fp) for r in fps}
+        assert sets[1] & sets[2], "shared run produced no shared fingerprint"
+
+    def test_short_doc_empty(self, spark):
+        from mini_flink_spark.functions.dedup import winnow_fingerprints
+        from mini_flink_spark.functions.text import tokens
+
+        df = spark.createDataFrame(
+            [(1, "only three tokens"), (2, "")], "id long, text string"
+        )
+        rows = df.select(
+            winnow_fingerprints(tokens("text"), 5, 4).alias("fp")
+        ).collect()
+        assert all(r.fp == [] for r in rows)
+
+    def test_barrier_path_equals_expression_path(self, spark, sf_dir):
+        """The production Generate-barrier rendering must select the exact
+        same fingerprints as the single-expression reference form."""
+        from mini_flink_spark.functions.dedup import (
+            span_hash_array,
+            winnow_fingerprints,
+            winnow_select,
+        )
+        from mini_flink_spark.functions.text import tokens
+        from mini_flink_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents").limit(40)
+        ref = docs.select(
+            "doc_id", winnow_fingerprints(tokens("text"), 5, 4).alias("fp")
+        )
+        fast = docs.select(
+            "doc_id",
+            F.explode(F.array(span_hash_array(tokens("text"), 5))).alias("hs"),
+        ).select("doc_id", winnow_select(F.col("hs"), 4).alias("fp"))
+        assert ref.exceptAll(fast).count() == 0
+        assert fast.exceptAll(ref).count() == 0
+
+    def test_density_below_full_hash_set(self, spark, sf_dir):
+        """Fingerprint count per doc stays well under the rolling-hash count
+        (the ~2/(w+1) density claim, loosely bounded)."""
+        from mini_flink_spark.functions.dedup import span_hash_array, winnow_select
+        from mini_flink_spark.functions.text import tokens
+        from mini_flink_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents").limit(100)
+        r = (
+            docs.select(
+                F.explode(F.array(span_hash_array(tokens("text"), 5))).alias(
+                    "hs"
+                )
+            )
+            .select(
+                F.array_size("hs").alias("n_h"),
+                F.array_size(winnow_select(F.col("hs"), 4)).alias("n_fp"),
+            )
+            .where(F.col("n_h") >= 20)
+            .agg(F.avg(F.col("n_fp") / F.col("n_h")).alias("density"))
+            .collect()[0]
+        )
+        assert r.density < 0.8  # distinctly sparser than the full set
+
+
+# ------------------------------------------------- paragraph boilerplate
+
+
+class TestParagraphBoilerplate:
+    def test_blank_doc_gets_zero_row(self, spark, sf_dir):
+        """ADVICE r2 regression shape: explode-based consumers must not drop
+        docs with no paragraphs."""
+        from mini_flink_spark.queries import all_queries
+
+        q = all_queries()["paragraph_boilerplate"]
+        out = q(spark, sf_dir)
+        from mini_flink_spark.session import read_table
+
+        n_docs = read_table(spark, sf_dir, "documents").count()
+        assert out.count() == n_docs
+
+    def test_planted_boilerplate_detected(self, spark):
+        from mini_flink_spark.functions.dedup import paragraph_hashes
+        from mini_flink_spark.functions.text import tokens
+
+        footer = " ".join(f"legal{i}" for i in range(12))  # one exact chunk
+        body = lambda i: " ".join(f"w{i}x{j}" for j in range(12))
+        rows = [(i, body(i) + " " + footer) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ph = df.select(
+            "doc_id", F.explode(paragraph_hashes(tokens("text"), 12)).alias("h")
+        )
+        df_counts = (
+            ph.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+        )
+        boiler = df_counts.where(F.col("df") >= 2)
+        # exactly the footer chunk recurs across all five docs
+        assert boiler.count() == 1
+        assert boiler.collect()[0].df == 5
