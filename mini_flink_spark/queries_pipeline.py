@@ -2525,9 +2525,9 @@ def q_winnowing_fingerprints(spark, sf_dir):
     reads a bound attribute instead of re-evaluating the md5 chain per
     window index — the single-expression form is O(n^2) hashes per doc
     (measured 69s -> ~2s at sf0.01; see `winnow_fingerprints` docstring)."""
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    from mini_flink_spark.queries_ext import _spread
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
     hs_row = docs.select(
         "doc_id",
         F.explode(F.array(D.span_hash_array(T.tokens("text"), 5))).alias("hs"),
@@ -2581,9 +2581,10 @@ def q_paragraph_boilerplate(spark, sf_dir):
     the span-removal plan test family). Every document gets a row — blank
     docs included via the final left join (ADVICE r2: explode-based
     consumers silently drop short docs)."""
-    parts = spark.sparkContext.defaultParallelism
+    from mini_flink_spark.queries_ext import _spread
+
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "text").repartition(parts).select(
+    toks = _spread(docs.select("doc_id", "text")).select(
         "doc_id", T.tokens("text").alias("t")
     )
     ph = toks.select(
