@@ -2846,3 +2846,97 @@ def q_coreset_kcenter(spark, sf_dir):
     doubles (clustering.py `kcenter_select`)."""
     emb = _t(spark, sf_dir, "embeddings")
     return C.kcenter_select(emb, "embedding", "vec_id", k=8)
+
+
+@register(
+    "stats_moments_battery",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*)::BIGINT AS n,
+             sum(CAST(round(l_quantity * 100) AS HUGEINT)) AS sx,
+             sum(CAST(round(l_quantity * 100) AS HUGEINT)
+                 * CAST(round(l_quantity * 100) AS HUGEINT)) AS sxx,
+             sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+             sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                 * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy,
+             sum(CAST(round(l_quantity * 100) AS HUGEINT)
+                 * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(sx::DOUBLE / n::DOUBLE / 100.0, 6) AS mean_qty,
+           round(sy::DOUBLE / n::DOUBLE / 100.0, 6) AS mean_price,
+           round((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+                 / n::DOUBLE / 10000.0, 6) AS var_pop_qty,
+           round((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+                 / (n::DOUBLE - 1.0) / 10000.0, 6) AS var_samp_qty,
+           round(sqrt((syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)
+                      / n::DOUBLE) / 100.0, 6) AS stddev_pop_price,
+           round((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+                 / n::DOUBLE / 10000.0, 6) AS covar_pop,
+           round(CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+                       AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+                      THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                           / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                              * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+                      END, 6) AS corr_qty_price
+    FROM m ORDER BY l_returnflag
+    """,
+    ("relational", "stats"),
+)
+def q_stats_moments_battery(spark, sf_dir):
+    """Statistical-moment battery (mean/variance/stddev/covariance/
+    correlation per group) derived from EXACT integer micro-unit sums
+    rather than the engines' native float aggregates: avg/var_pop/corr over
+    doubles are summation-order-dependent, so their last bits differ run to
+    run and engine to engine, while sums of 100x-scaled bigints are exact in
+    any order (Spark decimal(38,0), DuckDB HUGEINT). The five exact sums
+    (sx, sxx, sy, syy, sxy) feed textbook moment formulas evaluated in
+    double with IDENTICAL expression shape on both engines, so rounding to
+    6 dp is deterministic.
+
+    Scale shape: ONE map-side-combinable aggregation pass (partial + final
+    HashAggregate, a single 3-key exchange) — the same one-pass sufficient-
+    statistics trick that makes sample variance/corr computable over 100 TB
+    without a sort or a second scan. A test pins the derived values against
+    Spark's native corr/var_pop/covar_pop to 1e-6."""
+    li = _t(spark, sf_dir, "lineitem")
+    xi = F.round(F.col("l_quantity") * 100).cast("decimal(38,0)")
+    yi = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi).alias("sx"),
+        F.sum(xi * xi).alias("sxx"),
+        F.sum(yi).alias("sy"),
+        F.sum(yi * yi).alias("syy"),
+        F.sum(xi * yi).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cx = nd * sxx - sx * sx
+    cy = nd * syy - sy * sy
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / nd / 100.0, 6).alias("mean_qty"),
+        F.round(sy / nd / 100.0, 6).alias("mean_price"),
+        F.round((sxx - sx * sx / nd) / nd / 10000.0, 6).alias("var_pop_qty"),
+        F.round((sxx - sx * sx / nd) / (nd - 1.0) / 10000.0, 6).alias(
+            "var_samp_qty"
+        ),
+        F.round(F.sqrt((syy - sy * sy / nd) / nd) / 100.0, 6).alias(
+            "stddev_pop_price"
+        ),
+        F.round((sxy - sx * sy / nd) / nd / 10000.0, 6).alias("covar_pop"),
+        F.round(
+            F.when(
+                (cx > 0) & (cy > 0),
+                (nd * sxy - sx * sy) / (F.sqrt(cx) * F.sqrt(cy)),
+            ),
+            6,
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")

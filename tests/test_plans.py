@@ -577,3 +577,13 @@ def test_paragraph_boilerplate_text_stays_out_of_exchanges(spark, sf_dir):
     ex = [l for l in plan.splitlines() if "Exchange" in l]
     assert ex
     assert not any(re.search(r"\btext#\d", l) for l in ex)
+
+
+def test_stats_moments_single_pass(spark, sf_dir):
+    # sufficient statistics in one map-combinable aggregation: exactly one
+    # partial+final HashAggregate pair over one 1-key exchange, no join
+    plan = plan_of(spark, sf_dir, "stats_moments_battery")
+    assert "Join" not in plan
+    assert "partial_sum" in plan and "partial_count" in plan
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 1 and "l_returnflag" in ex[0]

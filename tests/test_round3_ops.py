@@ -367,3 +367,45 @@ class TestParagraphBoilerplate:
         # exactly the footer chunk recurs across all five docs
         assert boiler.count() == 1
         assert boiler.collect()[0].df == 5
+
+
+# ------------------------------------------------- stats moments battery
+
+
+class TestStatsMoments:
+    def test_matches_native_aggregates(self, spark, sf_dir):
+        """The exact-sum derivations must agree with Spark's native
+        corr/var_pop/covar_pop/stddev_pop to float tolerance."""
+        from mini_flink_spark.queries import all_queries
+        from mini_flink_spark.session import read_table
+
+        got = {
+            r.l_returnflag: r
+            for r in all_queries()["stats_moments_battery"](spark, sf_dir).collect()
+        }
+        native = {
+            r.l_returnflag: r
+            for r in read_table(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.avg("l_quantity").alias("mean_qty"),
+                F.var_pop("l_quantity").alias("var_pop_qty"),
+                F.var_samp("l_quantity").alias("var_samp_qty"),
+                F.stddev_pop("l_extendedprice").alias("stddev_pop_price"),
+                F.covar_pop("l_quantity", "l_extendedprice").alias("covar_pop"),
+                F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+            )
+            .collect()
+        }
+        assert set(got) == set(native)
+        for k in got:
+            for fld in (
+                "mean_qty",
+                "var_pop_qty",
+                "var_samp_qty",
+                "stddev_pop_price",
+                "covar_pop",
+                "corr_qty_price",
+            ):
+                g, n = got[k][fld], native[k][fld]
+                assert abs(g - n) <= max(1e-6, 1e-9 * abs(n)), (k, fld, g, n)
