@@ -1301,9 +1301,12 @@ def winnow_fingerprints(t: Column, k: int = 5, w: int = 4) -> Column:
     PERF TRAP: this single-expression composition re-evaluates the rolling
     hash array once per window index when `hs` sits inside the lambda
     (higher-order functions don't CSE their captured children) — O(n^2)
-    md5s per doc, measured 40x slower at sf0.01. Use it only on small
-    inputs/tests; production queries must materialize the hash array behind
-    a Generate barrier and apply `winnow_select` to the bound column (see
+    md5s per doc, measured 40x slower at sf0.01. The same trap applies one
+    level down: an unbound `t` (e.g. tokens(text)) inside span_hash_array's
+    lambda re-tokenizes per span position. Use this composition only on
+    small inputs/tests; production queries must materialize BOTH the token
+    array and the hash array behind Generate barriers and apply
+    `winnow_select` to the bound column (see
     `queries_pipeline.q_winnowing_fingerprints`)."""
     return winnow_select(span_hash_array(t, k), w)
 

@@ -2520,17 +2520,27 @@ def q_winnowing_fingerprints(spark, sf_dir):
     full hash set — the tunable cost/recall point between exact-hash dedup
     and full span inventories. Per-row, zero shuffle, no Python.
 
-    The rolling-hash array is materialized behind a one-element explode
-    (Generate is a projection-collapse barrier) so the window-min lambda
-    reads a bound attribute instead of re-evaluating the md5 chain per
-    window index — the single-expression form is O(n^2) hashes per doc
-    (measured 69s -> ~2s at sf0.01; see `winnow_fingerprints` docstring)."""
+    The token array AND the rolling-hash array are each materialized behind
+    a one-element explode (Generate is a projection-collapse barrier): a
+    higher-order lambda re-evaluates its captured children per element, so
+    an unbound tokens(text) inside the hash chain re-tokenizes per span
+    position and an unbound hash chain inside the window-min re-hashes per
+    window — both O(n^2) (measured 69s -> ~2s for the hash barrier at
+    sf0.01, then 10.5s -> 0.4s for the token barrier at sf0.1; see
+    `winnow_fingerprints` docstring)."""
     from mini_flink_spark.queries_ext import _spread
 
     docs = _spread(_t(spark, sf_dir, "documents"))
-    hs_row = docs.select(
+    # TWO barriers, not one: tokens must bind before the hash chain, because
+    # span_hash_array's lambda captures its token child — an unbound
+    # tokens(text) there re-tokenizes per span position (O(n^2) splits;
+    # measured 10.5s -> 0.4s at sf0.1 for this query)
+    t_row = docs.select(
+        "doc_id", F.explode(F.array(T.tokens("text"))).alias("t")
+    )
+    hs_row = t_row.select(
         "doc_id",
-        F.explode(F.array(D.span_hash_array(T.tokens("text"), 5))).alias("hs"),
+        F.explode(F.array(D.span_hash_array(F.col("t"), 5))).alias("hs"),
     )
     fp = D.winnow_select(F.col("hs"), 4)
     return hs_row.select(
@@ -2584,8 +2594,10 @@ def q_paragraph_boilerplate(spark, sf_dir):
     from mini_flink_spark.queries_ext import _spread
 
     docs = _t(spark, sf_dir, "documents")
+    # Generate barrier (not a collapsible projection) so paragraph_hashes'
+    # lambda reads bound tokens instead of re-tokenizing per chunk
     toks = _spread(docs.select("doc_id", "text")).select(
-        "doc_id", T.tokens("text").alias("t")
+        "doc_id", F.explode(F.array(T.tokens("text"))).alias("t")
     )
     ph = toks.select(
         "doc_id", F.explode(D.paragraph_hashes(F.col("t"))).alias("h")
