@@ -2811,9 +2811,16 @@ def q_dedup_embedding_components(spark, sf_dir):
     graph — semantic-duplicate clusters whose min-id member survives
     downstream dedup. Threshold 0.4 so the random driver embeddings yield a
     non-trivial graph; blocking and verify are oracle-mirrored, so the
-    (approximate) candidate set is identical on both engines."""
+    (approximate) candidate set is identical on both engines.
+
+    verify="arrow": the CC loop evaluates the pair graph an extra time while
+    checkpointing it, so the candidate verify is on the measured hot path
+    twice — the Arrow fold (bit-identical to the expression fold, pinned by
+    test_neardup_pairs_expr_arrow_parity) cut the query 15.4s -> ~6s at
+    sf0.1."""
     pairs = S.embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, blocked=True
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, blocked=True,
+        verify="arrow",
     )
     return D.connected_components(pairs)
 

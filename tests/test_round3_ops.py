@@ -409,3 +409,15 @@ class TestStatsMoments:
             ):
                 g, n = got[k][fld], native[k][fld]
                 assert abs(g - n) <= max(1e-6, 1e-9 * abs(n)), (k, fld, g, n)
+
+
+def test_neardup_pairs_expr_arrow_parity(spark, sf_dir):
+    """The blocked pair graph must be identical under both verify paths —
+    the license for graded queries to use the faster Arrow fold."""
+    from mini_flink_spark.functions import similarity as S
+    from mini_flink_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = S.embedding_neardup_pairs(emb, threshold=0.4, blocked=True, verify="expr")
+    a = S.embedding_neardup_pairs(emb, threshold=0.4, blocked=True, verify="arrow")
+    assert e.exceptAll(a).count() == 0 and a.exceptAll(e).count() == 0
