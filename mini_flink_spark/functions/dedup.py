@@ -449,9 +449,13 @@ def connected_components(
     large-star/small-star edge rewriting of Kiveris et al. "Connected
     Components in MapReduce" (SoCC'14) — same driver loop, fewer rounds.
     """
-    sym = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).union(
-        pairs.select(F.col(b).alias("u"), F.col(a).alias("v"))
+    # checkpoint the pair list BEFORE symmetrizing: union's two branches
+    # would otherwise evaluate the (expensive) pair-generator plan twice —
+    # at scale the generator is the dominant stage, so this halves it
+    base = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint(
+        eager=True
     )
+    sym = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.distinct().localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("id"))
