@@ -421,3 +421,46 @@ def test_neardup_pairs_expr_arrow_parity(spark, sf_dir):
     e = S.embedding_neardup_pairs(emb, threshold=0.4, blocked=True, verify="expr")
     a = S.embedding_neardup_pairs(emb, threshold=0.4, blocked=True, verify="arrow")
     assert e.exceptAll(a).count() == 0 and a.exceptAll(e).count() == 0
+
+
+def test_canonical_url_idempotent_and_twin_on_random_urls(spark):
+    """Canonicalization must be idempotent (canonical(canonical(u)) ==
+    canonical(u)) and engine-identical on a seeded random URL corpus —
+    the property the URL-dedup group key silently depends on."""
+    import random
+
+    import duckdb
+
+    from mini_flink_spark.functions.text import canonical_url, canonical_url_sql
+
+    rng = random.Random(20260814)
+    schemes = ["http", "HTTPS", "https", "HTTP"]
+    hosts = ["Example.COM", "www.ex.com", "A.B.example.org", "ex.com"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a", "/a/b/", "/CaseSensitive/path", "/p%20q"]
+    params = ["", "a=1", "b=2", "utm_source=x", "gclid=g", "z=9&a=1", "a=1&utm_campaign=c&b=2"]
+    frags = ["", "#top", "#sec2"]
+    urls = [
+        f"{rng.choice(schemes)}://{rng.choice(hosts)}{rng.choice(ports)}"
+        f"{rng.choice(paths)}"
+        + (f"?{p}" if (p := rng.choice(params)) else "")
+        + rng.choice(frags)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url",
+        canonical_url("url").alias("c1"),
+        canonical_url(canonical_url("url")).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2, f"not idempotent: {r.url} -> {r.c1} -> {r.c2}"
+    con = duckdb.connect()
+    got = dict(
+        con.execute(
+            f"SELECT url, {canonical_url_sql('url')} FROM (SELECT unnest(?) AS url)",
+            [urls],
+        ).fetchall()
+    )
+    for r in rows:
+        assert got[r.url] == r.c1, f"engine mismatch: {r.url}"
