@@ -19,6 +19,14 @@ Scale stance (applies to the whole file):
   at scale beyond the per-stratum window (one shuffle on the stratum key).
 - Corpus n-gram stats are the one genuinely global computation here: partial
   aggregation map-side, one shuffle on the n-gram key, then a 20-row top-k.
+
+
+IMPORT CONTRACT: import `mini_flink_spark.queries` (or call the
+package-level helpers), never this module directly — the registry
+populates in a fixed order through queries.py's tail imports, and a
+direct import re-enters that sequence before earlier modules have
+registered (e.g. the persisted-BM25 oracle references the
+text_search_bm25 registration).
 """
 
 from __future__ import annotations

@@ -20,6 +20,14 @@ Scale notes (100 TB stance, applies to the whole file):
   functions compiles to partial+final HashAggregate).
 - money sums go through DECIMAL(28,10) then to DOUBLE so results are
   order-independent (bit-identical across engines and partitionings).
+
+
+IMPORT CONTRACT: import `mini_flink_spark.queries` (or call the
+package-level helpers), never this module directly — the registry
+populates in a fixed order through queries.py's tail imports, and a
+direct import re-enters that sequence before earlier modules have
+registered (e.g. the persisted-BM25 oracle references the
+text_search_bm25 registration).
 """
 
 from __future__ import annotations
