@@ -1973,8 +1973,14 @@ def q_dedup_lsh_recall_eval(spark, sf_dir):
     path at 100 TB — and the harness that re-justifies it after any retune
     (the ANN twin caught the round-1 mistuned LSH at recall 0.16)."""
     docs = _t(spark, sf_dir, "documents")
-    truth = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3, max_df=None)
-    cand = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3)
+    # each pair set feeds TWO consumers (its count + the hit join) —
+    # checkpoint so the expensive generators run once, not twice
+    truth = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, max_df=None
+    ).localCheckpoint(eager=True)
+    cand = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3).localCheckpoint(
+        eager=True
+    )
     hit = truth.select("a", "b").join(cand.select("a", "b"), ["a", "b"])
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
