@@ -266,6 +266,67 @@ def probe_round3_docs(spark):
         print(f"{name}: {time.time() - t0:.1f}s, {n} rows", flush=True)
 
 
+def probe_round3_late(spark):
+    """Late round-3 operators at 20×: URL dedup / winnowing / paragraph
+    boilerplate on 100k near-dup docs (same fixture as round3_docs — every
+    base doc gains 19 prefixed replicas, so paragraph boilerplate sees ~95%
+    recurring chunks, the adversarial case), and the stats battery on a
+    1.2M-row lineitem (20 jittered replicas per row — exact integer sums
+    must hold at 20× the magnitude)."""
+    import tempfile
+
+    from mini_flink_spark.queries import QUERIES
+
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    dense = (
+        base.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep")
+        )
+        .select(
+            (F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"),
+            F.concat(
+                F.lit("rep"), F.col("rep").cast("string"), F.lit(" "), F.col("text")
+            ).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + 6).alias("n_chars"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="late20x_")
+    dense.write.mode("overwrite").parquet(d + "/documents.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    dense_li = (
+        li.select("*", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep"))
+        .select(
+            (F.col("l_orderkey") * 20 + F.col("rep")).alias("l_orderkey"),
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            # vary magnitude with the replica so the exact-sum battery sees
+            # 20x the row count AND wider value spread
+            (F.col("l_quantity") + F.col("rep") % 7).alias("l_quantity"),
+            (F.col("l_extendedprice") * (1 + F.col("rep") / 100.0)).alias(
+                "l_extendedprice"
+            ),
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+    )
+    dense_li.write.mode("overwrite").parquet(d + "/lineitem.parquet")
+    for name in (
+        "url_canonical_dedup",
+        "winnowing_fingerprints",
+        "paragraph_boilerplate",
+        "stats_moments_battery",
+    ):
+        t0 = time.time()
+        n = QUERIES[name].fn(spark, d).count()
+        print(f"{name}: {time.time() - t0:.1f}s, {n} rows", flush=True)
+
+
 PROBES = {
     "embedding_cosine": probe_embedding_cosine,
     "kmeans_largek": probe_kmeans_largek,
@@ -273,6 +334,7 @@ PROBES = {
     "semdedup": probe_semdedup,
     "round3_events": probe_round3_events,
     "round3_docs": probe_round3_docs,
+    "round3_late": probe_round3_late,
 }
 
 if __name__ == "__main__":
