@@ -144,11 +144,28 @@ def main() -> None:
             deep_clean()
 
     total = round(sum(times[n] for n in HEADLINE if times.get(n) is not None), 3)
+
+    # Output contract (round-4 fix): the driver tail-captures stdout and parses
+    # the LAST line as JSON. Round 3 printed the full-registry time map (184
+    # entries) on that line, which overflowed the capture buffer and left
+    # BENCH_r03.json unparseable. So: the full per-query map goes to a FILE
+    # (BENCH_FULL.json, for round-over-round tail-regression diffing), and
+    # stdout gets ONE compact line — headline total + headline per-query times
+    # only — printed last.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump({
+            "metric": "full_registry_wall",
+            "unit": "sec",
+            "sf": float(sf),
+            "headline_total": total,
+            "queries": times,
+        }, f, indent=1, sort_keys=True)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "queries": {n: times.get(n) for n in HEADLINE},
         "sf": float(sf),
     }))
 

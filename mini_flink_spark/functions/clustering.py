@@ -629,7 +629,12 @@ def kcenter_select(
         F.col(id_col).alias("id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
     )
-    first = base.orderBy("id").limit(1).collect()[0]
+    seed = base.orderBy("id").limit(1).collect()
+    if not seed:  # empty input: empty coreset, not an IndexError (ADVICE r3)
+        return df.sparkSession.createDataFrame(
+            [], "sel_rank bigint, vec_id bigint, min_dist double"
+        )
+    first = seed[0]
     sel: list[tuple[int, list[float], float]] = [
         (int(first.id), [float(x) for x in first.v], 0.0)
     ]

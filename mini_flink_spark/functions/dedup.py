@@ -1336,14 +1336,17 @@ def winnow_fingerprints_sql(k: int = 5, w: int = 4) -> str:
     identical window-min selection. range() yields [] when stop <= start,
     matching the short-doc guard."""
     hs = (
-        f"list_transform(range(1, greatest(len(t) - {k - 1}, 0) + 1), "
-        f"i -> {span_hash_sql(k)})"
+        f"(list_transform(range(1, greatest(len(t) - {k - 1}, 0) + 1), "
+        f"i -> {span_hash_sql(k)}))"
     )
+    # Unambiguous {HS} placeholder + str.format (ADVICE r3: the previous
+    # textual .replace("hs", ...) was correct only while no other substring
+    # "hs" appeared anywhere in the template).
     return (
-        f"list_sort(list_distinct(list_transform("
-        f"range(1, greatest(len(hs) - {w - 1}, 0) + 1), "
-        f"j -> list_min(hs[j:j+{w - 1}])))) "
-    ).replace("hs", f"({hs})")
+        "list_sort(list_distinct(list_transform("
+        "range(1, greatest(len({HS}) - {WM1}, 0) + 1), "
+        "j -> list_min({HS}[j:j+{WM1}])))) "
+    ).format(HS=hs, WM1=w - 1)
 
 
 # ------------------------------------------------- paragraph-level dedup

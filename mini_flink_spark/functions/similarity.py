@@ -426,25 +426,37 @@ def embedding_neardup_pairs(
 def embedding_neardup_pairs_sql(
     table: str = "embeddings", threshold: float = 0.95, blocked: bool = True,
     n_tables: int = NEARDUP_TABLES, n_planes_per_table: int = NEARDUP_PLANES,
+    source_sql: str | None = None,
 ) -> str:
+    """DuckDB twin of embedding_neardup_pairs. source_sql, when given, is a
+    SELECT producing (vec_id, embedding) that replaces the raw table as the
+    corpus (structured CTE, not textual splicing) — used by the graded
+    dedup_embedding_cosine row to plant deterministic duplicates so the
+    sf0.01 check constrains actual values instead of certifying an empty set."""
+    ctes = []
+    if source_sql is not None:
+        ctes.append(f"src AS (\n{source_sql}\n)")
+        table = "src"
     cos = cosine_sql("x.embedding", "y.embedding")
     if blocked:
         buckets = multi_table_buckets_sql("embedding", n_tables, n_planes_per_table)
-        return f"""
-WITH keyed AS (
+        ctes.append(f"""keyed AS (
   SELECT vec_id AS id, unnest({buckets}) AS bkey FROM {table}
-),
-cand AS (
+)""")
+        ctes.append("""cand AS (
   SELECT DISTINCT l.id AS a, r.id AS b
   FROM keyed l JOIN keyed r USING (bkey) WHERE l.id < r.id
-)
+)""")
+        return f"""
+WITH {", ".join(ctes)}
 SELECT a, b, round({cos}, 6) AS cos
 FROM cand JOIN {table} x ON x.vec_id = a JOIN {table} y ON y.vec_id = b
 WHERE round({cos}, 6) >= {threshold}
 """
     cos_lr = cosine_sql("l.embedding", "r.embedding")
+    prefix = f"WITH {', '.join(ctes)}\n" if ctes else ""
     return f"""
-SELECT l.vec_id AS a, r.vec_id AS b, round({cos_lr}, 6) AS cos
+{prefix}SELECT l.vec_id AS a, r.vec_id AS b, round({cos_lr}, 6) AS cos
 FROM {table} l JOIN {table} r ON l.vec_id < r.vec_id
 WHERE round({cos_lr}, 6) >= {threshold}
 """

@@ -1149,12 +1149,14 @@ def q_ntile_quartiles(spark, sf_dir):
 
 
 # The driver grades exactly the first 50 queries in registration order, so the
-# exported dicts put a curated window first: every §2 reference-surface row
-# (non-negotiable), the flagship joins, and the headline LLM-pipeline operators
-# (dedup, ANN, curation, sketches). Everything else keeps registration order
-# after the window — nothing is removed, only reordered.
+# exported dicts put a curated window first. Round-4 rotation (VERDICT r3 #3):
+# the 15 §2 reference-surface rows and 10 flagship LLM-pipeline anchors stay
+# pinned every round; the other 25 slots rotate each round to queries that
+# have NEVER had a driver verdict (r1∪r2∪r3 graded 74 distinct names; this
+# window adds 25 more — cumulative 99 of 184). Everything else keeps
+# registration order after the window — nothing is removed, only reordered.
 GRADED_WINDOW: tuple[str, ...] = (
-    # §2 reference surface — one row per operator
+    # §2 reference surface — one row per operator (pinned forever)
     "map_project",
     "filter_predicate",
     "flatmap_tokens",
@@ -1170,44 +1172,48 @@ GRADED_WINDOW: tuple[str, ...] = (
     "window_tumbling_hourly",
     "window_sliding",
     "window_session",
-    # flagship batch / join surface
-    "pricing_summary",
-    "top_orders",
-    "join_revenue_by_segment",
-    "asof_click_attribution",
-    "interval_join_click_purchase",
-    "salted_keyed_agg",
-    "topn_orders_per_priority",
-    "shipping_priority",
-    # text analysis
-    "text_token_count",
-    "text_quality",
-    "text_langid",
-    "dedup_semantic_semdedup",
-    # LLM-pipeline flagship ops
+    # flagship LLM-pipeline anchors (pinned; dedup_embedding_cosine stays to
+    # certify the round-4 de-vacuation — planted dups, spark_rows > 0)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_incremental",
-    "dedup_components",
     "dedup_duplicate_spans",
     "dedup_span_removal",
     "dedup_embedding_cosine",
-    "ann_topk_bruteforce",
     "ann_topk_lsh",
-    "ann_topk_ivf",
-    "ann_recall_eval",
-    "kmeans_clusters",
-    "pq_adc_topk",
     "heavy_hitter_tokens",
     "gopher_quality_flags",
     "curation_pipeline_v2",
     "bpe_learn_merges",
-    "decontamination_check",
-    "mixture_weights",
-    "text_search_bm25",
-    "pii_redaction",
+    # ---- round-4 rotation: never-driver-graded before this round ----
+    # TPC-H battery representatives
+    "order_priority_checking",
+    "forecast_revenue",
+    "volume_shipping",
+    "market_share",
+    "profit_by_nation_year",
+    "promo_revenue_share",
+    # relational / windowing / graph
+    "pagerank_item_graph",
+    "scd2_user_state_history",
+    "window_fn_battery",
+    "curriculum_global_rank",
+    "retention_cohorts",
+    "stats_moments_battery",
+    "source_overlap_matrix",
+    # crawl/dedup layer
+    "url_canonical_dedup",
+    "winnowing_fingerprints",
+    "paragraph_boilerplate",
+    "dedup_containment",
+    "dedup_intradoc_blocks",
+    "dedup_embedding_components",
+    # persisted indexes + retrieval + selection
+    "ann_topk_ivf_persisted",
+    "text_search_bm25_persisted",
+    "hybrid_search_rrf",
+    "dsir_importance_weights",
+    "coreset_kcenter",
+    "curation_pipeline_spec",
 )
 
 

@@ -411,11 +411,24 @@ def bm25_query_persisted(spark, path: str, terms):
     per-term tf columns onto the doclen table (docs without a term keep
     tf=0.0 exactly like the tokenizing path), then the SHARED scoring stage —
     results are bit-identical to `text_search_bm25`, same oracle."""
-    import hashlib
+    from mini_flink_spark.functions.hashing import portable_hash64
 
     posts = spark.read.parquet(path + "/postings")
+    # Derive query-time buckets with the SAME Spark expression the write side
+    # used (ADVICE r3: an independent Python re-implementation of the hash
+    # would silently desynchronize if portable_hash64 is ever swapped — e.g.
+    # for xxhash64 at scale — pruning away every term's postings). Evaluating
+    # the expression over the literal terms is a |terms|-row local relation:
+    # metadata-bounded, no data-sized collect.
     buckets = sorted(
-        {int(hashlib.md5(t.encode()).hexdigest()[:14], 16) % BM25_BUCKETS for t in terms}
+        {
+            int(r.bucket)
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "tok string"
+            ).select(
+                F.pmod(portable_hash64(F.col("tok")), F.lit(BM25_BUCKETS)).alias("bucket")
+            ).collect()
+        }
     )
     posts = posts.where(F.col("bucket").isin(buckets) & F.col("tok").isin(list(terms)))
     base = spark.read.parquet(path + "/doclen")
@@ -1319,14 +1332,29 @@ def q_curation_pipeline_v2(spark, sf_dir):
     )
 
 
+# The raw sf0.01 embeddings are 500 random vectors with NO pairs above
+# cosine 0.5 — grading the operator directly certifies an empty set
+# (round-3 verdict: vacuous pass). The graded corpus therefore plants
+# deterministic duplicates: every 10th vector is re-inserted under
+# vec_id + 1_000_000, so the LSH blocking must bucket each copy with its
+# original and the verify stage must score the pair at cosine 1.0 — a
+# non-empty, value-constrained check of the same end-to-end plan.
+_PLANTED_SRC_SQL = """SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0"""
+
+
 @register(
     "dedup_embedding_cosine",
-    S.embedding_neardup_pairs_sql(threshold=0.9, blocked=True),
+    S.embedding_neardup_pairs_sql(threshold=0.9, blocked=True, source_sql=_PLANTED_SRC_SQL),
     ("dedup", "embedding"),
 )
 def q_dedup_embedding(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    return S.embedding_neardup_pairs(emb, threshold=0.9, blocked=True)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
+    return S.embedding_neardup_pairs(emb.unionByName(planted), threshold=0.9, blocked=True)
 
 
 # =========================================================================
@@ -1911,7 +1939,10 @@ def q_streaming_dedup(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique_users"))
     )
-    return run_stream_to_memory(deduped, spark, "update")
+    # RocksDB state store BY DEFAULT (round-4): the dedup state set is the
+    # query's scale risk, so the continuously-tested path is the production
+    # off-heap/on-disk provider, not the heap-backed local default.
+    return run_stream_to_memory(deduped, spark, "update", state_store="rocksdb")
 
 
 @register(
@@ -2792,7 +2823,9 @@ def q_streaming_curation_gate_dedup(spark, sf_dir):
             F.count(F.lit(1)).alias("n_members"),
         )
     )
-    return run_stream_to_memory(grouped, spark, "update")
+    # RocksDB state store BY DEFAULT (round-4): per-fingerprint state is
+    # unbounded by stream length at scale — run the production provider here.
+    return run_stream_to_memory(grouped, spark, "update", state_store="rocksdb")
 
 
 @register(

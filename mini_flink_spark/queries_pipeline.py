@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from mini_flink_spark.functions import bpe as B
 from mini_flink_spark.functions import clustering as C
@@ -1128,9 +1129,15 @@ def q_curriculum_global_rank(spark, sf_dir):
         .sortWithinPartitions(F.desc("n_tokens"), F.asc("doc_id"))
         # materialize the sorted layout ONCE: the count pass and the stamp
         # pass must see the identical partitioning (and the sort shouldn't
-        # run twice) — at corpus scale this is persist(DISK_ONLY)
-        .localCheckpoint(eager=True)
+        # run twice). persist(DISK_ONLY) — not localCheckpoint — so the
+        # materialization is spill-backed rather than heap-pinned: at corpus
+        # scale the sorted corpus does not fit executor memory, and DISK_ONLY
+        # is exactly the storage level the docstring's 100 TB note calls for.
+        # (Ranks stay deterministic either way: the ordering key is total, so
+        # offsets absorb whatever boundaries the range sampler picked.)
+        .persist(StorageLevel.DISK_ONLY)
     )
+    ranked.count()  # materialize before the two dependent passes
 
     # pass 1: per-partition row counts (one long per partition)
     sizes = (
@@ -1341,7 +1348,8 @@ def q_vocab_oov_rate(spark, sf_dir):
 
     Scale: the token stream is materialized once (localCheckpoint) for its
     two consumers (vocab build, coverage scan) — the BM25/minhash
-    multi-consumer pattern; the vocab is a TakeOrdered(100) broadcast, so
+    multi-consumer pattern; the vocab is a TakeOrdered(15) broadcast (the
+    same `limit(15)` the oracle uses — keep the two in sync), so
     the coverage pass is a broadcast-hash left join, no token-keyed
     shuffle."""
     docs = _t(spark, sf_dir, "documents")

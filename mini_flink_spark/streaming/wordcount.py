@@ -51,12 +51,20 @@ def wordcount_stream_update(stream_lines: DataFrame, line_col: str = "line") -> 
     )
 
 
+# lastProgress of the most recent run_stream_to_memory query, keyed by query
+# name prefix — lets tests assert *observed* runtime behavior (e.g. that the
+# RocksDB state-store provider was actually active, via its rocksdb* custom
+# state metrics) rather than just that a conf was set.
+LAST_PROGRESS: dict[str, dict] = {}
+
+
 def run_stream_to_memory(
     result: DataFrame,
     spark: SparkSession,
     output_mode: str = "update",
     query_name: str | None = None,
     state_partitions: int | None = 8,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Run a (bounded) streaming DataFrame to completion with AvailableNow and
     return the memory-sink table as a batch DataFrame.
@@ -73,9 +81,29 @@ def run_stream_to_memory(
     large keyed state raises it — the value is frozen into the checkpoint at
     first start, which is why it's per-query here and not session-global.
     Pass None to keep the session's current setting.
+
+    ``state_store="rocksdb"`` runs THIS query on the RocksDB state-store
+    provider (off-heap working set + SST files on local disk + changelog
+    checkpointing — the production configuration for large keyed state; the
+    reference's heap-only HeapKeyedStateBackend has no disk path at all).
+    The provider class is read from the session conf at query start and
+    frozen into the query, so setting+restoring around ``start()`` scopes it
+    to this query without flipping the rest of the session.
     """
     name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    restore: dict[str, str | None] = {}
+    if state_store == "rocksdb":
+        from mini_flink_spark.session import rocksdb_state_conf
+
+        for k, v in rocksdb_state_conf().items():
+            try:
+                restore[k] = spark.conf.get(k)
+            except Exception:  # noqa: BLE001 — unset conf key
+                restore[k] = None
+            spark.conf.set(k, v)
+    elif state_store is not None:
+        raise ValueError(f"unknown state_store: {state_store!r}")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -87,6 +115,14 @@ def run_stream_to_memory(
             .start()
         )
         q.awaitTermination(300)
+        prog = q.lastProgress
+        if prog is not None:
+            LAST_PROGRESS[name] = prog
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, v in restore.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return spark.table(name)

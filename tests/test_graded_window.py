@@ -1,15 +1,22 @@
 """Pins the driver-graded window: the driver grades exactly the first 50
 queries in registration order (CORRECTNESS_r{N}.json), so `all_queries()`
-must lead with the curated GRADED_WINDOW — every SURVEY §2 reference-surface
-row plus the flagship LLM-pipeline operators — and every windowed query must
-carry a DuckDB oracle (a no-oracle row inside the window wastes a graded
-slot on a weaker rows-only check)."""
+must lead with the curated GRADED_WINDOW.
+
+Round-4 policy (VERDICT r3 "Next round" #3): 25 slots are PINNED — the 15
+SURVEY §2 reference-surface rows plus 10 flagship LLM-pipeline anchors —
+and the other 25 slots ROTATE each round to queries that have never had a
+driver verdict, accumulating driver evidence across the 184-query registry.
+Every windowed query must carry a DuckDB oracle (a no-oracle row inside the
+window wastes a graded slot on a weaker rows-only check)."""
 
 from __future__ import annotations
 
+import json
+import os
+
 from mini_flink_spark.queries import GRADED_WINDOW, QUERIES, all_oracles, all_queries
 
-# One driver row per §2 operator (VERDICT r2 operator table) — these must
+# One driver row per §2 operator (VERDICT r2/r3 operator table) — these must
 # never fall out of the graded window.
 S2_ROWS = {
     "map_project",
@@ -29,19 +36,32 @@ S2_ROWS = {
     "window_session",
 }
 
-# Flagship LLM-pipeline ops the judge asked to see driver-graded (VERDICT r2
-# "Next round" #1).
+# Flagship LLM-pipeline anchors (VERDICT r3: keep ~10 fixed across rotations;
+# dedup_embedding_cosine pinned to certify the round-4 de-vacuation).
 LLM_FLAGSHIP = {
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_duplicate_spans",
     "dedup_span_removal",
+    "dedup_embedding_cosine",
     "ann_topk_lsh",
     "heavy_hitter_tokens",
     "gopher_quality_flags",
     "curation_pipeline_v2",
     "bpe_learn_merges",
 }
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _previously_graded() -> set[str]:
+    names: set[str] = set()
+    for n in range(1, 4):
+        path = os.path.join(_REPO, f"CORRECTNESS_r{n:02d}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                names |= set(json.load(f))
+    return names
 
 
 def test_window_is_first_50():
@@ -53,6 +73,18 @@ def test_window_covers_s2_and_flagship():
     window = set(GRADED_WINDOW)
     assert S2_ROWS <= window
     assert LLM_FLAGSHIP <= window
+
+
+def test_rotation_slots_are_never_graded():
+    """The 25 non-pinned slots must all be queries without a prior driver
+    verdict — that's the whole point of rotating."""
+    prior = _previously_graded()
+    if not prior:  # artifacts absent (fresh clone) — nothing to check
+        return
+    rotation = [n for n in GRADED_WINDOW if n not in S2_ROWS | LLM_FLAGSHIP]
+    assert len(rotation) == 25
+    regraded = [n for n in rotation if n in prior]
+    assert not regraded, f"rotation slots wasted on already-graded: {regraded}"
 
 
 def test_window_queries_all_registered_with_oracles():

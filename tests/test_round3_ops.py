@@ -91,6 +91,15 @@ class TestKCenter:
         out = C.kcenter_select(tiny, "embedding", "vec_id", k=10).collect()
         assert len(out) == 3
 
+    def test_empty_input_yields_empty_coreset(self, spark):
+        # ADVICE r3: the seed collect must not IndexError on an empty frame
+        empty = spark.createDataFrame(
+            [], "vec_id bigint, embedding array<double>"
+        )
+        out = C.kcenter_select(empty, "embedding", "vec_id", k=4)
+        assert out.count() == 0
+        assert out.columns == ["sel_rank", "vec_id", "min_dist"]
+
 
 class TestBpeEncode:
     def test_unit_count_bounds_and_monotonicity(self, spark, sf_dir):
