@@ -327,6 +327,125 @@ def probe_round3_late(spark):
         print(f"{name}: {time.time() - t0:.1f}s, {n} rows", flush=True)
 
 
+def _stage_metrics_total(spark):
+    """Sum shuffle read/write and spill bytes over all completed stages, via
+    the UI REST API (the probe session runs with spark.ui.enabled=true).
+    Snapshot before/after an operator and diff to attribute bytes to it."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    apps = _json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = _json.load(
+        urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages?status=COMPLETE")
+    )
+    tot = {"shuffle_read": 0, "shuffle_write": 0, "mem_spill": 0, "disk_spill": 0}
+    for s in stages:
+        tot["shuffle_read"] += s.get("shuffleReadBytes", 0)
+        tot["shuffle_write"] += s.get("shuffleWriteBytes", 0)
+        tot["mem_spill"] += s.get("memoryBytesSpilled", 0)
+        tot["disk_spill"] += s.get("diskBytesSpilled", 0)
+    return tot
+
+
+def _family_docs(spark, families: int, sf_dir="/root/testdata/sf0.1"):
+    """`families`×5 replicas per base doc, REALISTIC dup density: each family
+    is 5 mutual near-dups (1-token member prefix), and families are pushed
+    apart by replacing every 3rd token with a family-id marker — the marker
+    positions are the SAME for every family, so every 3-token shingle
+    contains a marker and cross-family Jaccard collapses to ~0 for every
+    family pair (no positional aliasing at any family count).
+    Near-dup groups stay size-5 at EVERY scale, so pair output grows linearly
+    with the corpus instead of quadratically with the replica count — the 100×
+    probe then measures the engine's scaling, not an output explosion no real
+    corpus exhibits. Built distributively (explode + expressions)."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = families * 5
+    return (
+        base.select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("rep"),
+        )
+        .select(
+            (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"),
+            F.concat(
+                F.lit("m"),
+                (F.col("rep") % 5).cast("string"),
+                F.lit(" "),
+                F.array_join(
+                    F.expr(
+                        "transform(split(text, ' '), (t, i) -> "
+                        "IF(pmod(i, 3) = 0, "
+                        "concat('fam', cast(int(rep / 5) as string)), t))"
+                    ),
+                    " ",
+                ),
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+
+
+def probe_dedup_100x(spark):
+    """VERDICT r3 #4: push the flagship dedup path one scale decade past the
+    20× comfort zone — MinHash-LSH pair generation and span-level dedup +
+    removal at 20× (100k docs) and 100× (500k docs) of sf0.1, with per-op
+    shuffle/spill bytes recorded from the stage metrics. The claim under
+    test: wall time and shuffle bytes grow ~linearly (5×) from 20× to 100×
+    because near-dup group size (and so pair output per doc) is constant —
+    the density real corpora have. Spills are expected to stay at zero on
+    this substrate; a nonzero disk spill at 100× is the first sign partition
+    sizing needs attention before a real 1000-executor run."""
+    import tempfile
+
+    from mini_flink_spark.queries import QUERIES
+
+    results = {}
+    for families, label in ((4, "20x"), (20, "100x")):
+        d = tempfile.mkdtemp(prefix=f"dedup{label}_")
+        _family_docs(spark, families).write.mode("overwrite").parquet(
+            d + "/documents.parquet"
+        )
+        n_docs = spark.read.parquet(d + "/documents.parquet").count()
+        for name in (
+            "dedup_minhash_lsh",
+            "dedup_duplicate_spans",
+            "dedup_span_removal",
+        ):
+            before = _stage_metrics_total(spark)
+            t0 = time.time()
+            # noop sink, not count(): count() lets Catalyst prune every
+            # expensive output column (span_removal's reconstruction ran in
+            # 0.5s with 0 shuffle — it wasn't running at all); the noop sink
+            # forces full materialization, same as bench.py.
+            out = QUERIES[name].fn(spark, d)
+            out.write.format("noop").mode("overwrite").save()
+            rows = out.count()
+            dt = time.time() - t0
+            after = _stage_metrics_total(spark)
+            delta = {k: after[k] - before[k] for k in after}
+            results[(label, name)] = (dt, rows, delta)
+            print(
+                f"{label} ({n_docs} docs) {name}: {dt:.1f}s, {rows} rows, "
+                f"shuffle_w={delta['shuffle_write'] / 1e6:.0f}MB "
+                f"shuffle_r={delta['shuffle_read'] / 1e6:.0f}MB "
+                f"spill_mem={delta['mem_spill'] / 1e6:.0f}MB "
+                f"spill_disk={delta['disk_spill'] / 1e6:.0f}MB",
+                flush=True,
+            )
+    for name in ("dedup_minhash_lsh", "dedup_duplicate_spans", "dedup_span_removal"):
+        t20, r20, _ = results[("20x", name)]
+        t100, r100, _ = results[("100x", name)]
+        print(
+            f"trend {name}: rows x{r100 / max(r20, 1):.1f}, "
+            f"wall x{t100 / max(t20, 0.001):.1f} (linear target ~5x)",
+            flush=True,
+        )
+
+
 PROBES = {
     "embedding_cosine": probe_embedding_cosine,
     "kmeans_largek": probe_kmeans_largek,
@@ -335,11 +454,16 @@ PROBES = {
     "round3_events": probe_round3_events,
     "round3_docs": probe_round3_docs,
     "round3_late": probe_round3_late,
+    "dedup_100x": probe_dedup_100x,
 }
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    spark = get_spark()
+    # UI enabled: the dedup_100x probe reads per-stage shuffle/spill metrics
+    # from the REST status API; harmless for the other probes.
+    from mini_flink_spark.session import get_spark as _g
+
+    spark = _g(extra_conf={"spark.ui.enabled": "true"})
     for name, fn in PROBES.items():
         if which in (name, "all"):
             fn(spark)
