@@ -1,5 +1,7 @@
-"""Adapted TPC-H query-shape battery (Q4,Q5,Q6,Q7,Q8,Q9,Q11,Q12,Q13,Q14,Q15,
-Q16,Q18,Q19,Q21,Q22) over the driver's pruned TPC-H-ish tables.
+"""Adapted TPC-H query-shape battery (Q2,Q4,Q5,Q6,Q7,Q8,Q9,Q11,Q12,Q13,Q14,
+Q15,Q16,Q17,Q18,Q19,Q20,Q21,Q22 here; Q1/Q3/Q10 live in queries.py as
+pricing_summary / shipping_priority / returned_item_revenue — all 22 shapes
+covered) over the driver's pruned TPC-H-ish tables.
 
 The reference engine (confucianzuoyuan/mini-flink) has no joins, subqueries,
 or grouped analytics at all (SURVEY.md §2.6 — StreamGraphGenerator.java:139-148
@@ -665,4 +667,148 @@ def q_local_supplier_volume(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.sum(_vol()).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"))
+    )
+
+
+@register(
+    "min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             (sum(l_extendedprice::DECIMAL(28,10)))::DOUBLE
+               / (sum(l_quantity::DECIMAL(28,10)))::DOUBLE AS supply_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supply_cost
+    FROM part
+    JOIN ps ON p_partkey = l_partkey
+    JOIN eu ON l_suppkey = s_suppkey
+    WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+      AND supply_cost = (SELECT min(p2.supply_cost)
+                         FROM ps p2 JOIN eu e2 ON p2.l_suppkey = e2.s_suppkey
+                         WHERE p2.l_partkey = p_partkey)
+    """,
+    ("relational", "tpch", "correlated-subquery", "multi-join"),
+)
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (completes the 22-query battery with Q20 below): the
+    cheapest EUROPE supplier for each mid-size STANDARD part. The schema has
+    no partsupp, so supply cost is derived from shipping history — average
+    unit price per (part, supplier) over lineitem, computed as a ratio of two
+    exact DECIMAL sums cast to DOUBLE (order-independent, so the correlated
+    float equality agrees bit-for-bit across engines and partitionings).
+
+    The correlated MIN subquery renders as a window min over the part — one
+    pass, no self-join re-aggregation. Plan: lineitem's (part,supp) agg is
+    the only big shuffle; supplier⋈nation⋈region collapses to a broadcast
+    dim; the part size/type filter is pushed to the part scan, and AQE
+    decides the part join's build side from runtime sizes."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(28,10)")).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(28,10)")).cast("double")
+        ).alias("supply_cost")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_type")
+    w = Window.partitionBy("p_partkey")
+    return (
+        p.join(ps, p.p_partkey == ps.l_partkey)
+        .join(eu, ps.l_suppkey == eu.s_suppkey)
+        .withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supply_cost")
+    )
+
+
+@register(
+    "excess_stock_suppliers",
+    """
+    WITH q97 AS (
+      SELECT l_suppkey,
+             (sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                        AND l_shipdate <  TIMESTAMP '1998-01-01'
+                       THEN l_quantity ELSE 0 END)::DECIMAL(28,10))::DOUBLE AS qty97,
+             (sum(l_quantity::DECIMAL(28,10)))::DOUBLE AS qty_all
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%widget'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (SELECT l_suppkey FROM q97
+                        WHERE qty97 > 0 AND qty_all > 2.0 * qty97)
+    ORDER BY s_name
+    """,
+    ("relational", "tpch", "semi-join", "conditional-agg"),
+)
+def q_excess_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: EUROPE suppliers holding "excess stock" of widget
+    parts. No partsupp availqty exists in this schema, so the stock proxy is
+    shipping history: a supplier has excess stock of a part when its all-time
+    shipped quantity is more than double its 1997 shipped quantity (i.e. the
+    1997 demand year consumed less than half of what the supplier moves).
+    Preserves Q20's plan shape — a nested per-(part,supplier) aggregation
+    with a date-scoped conditional sum, collapsed through IN into a left-semi
+    join against the supplier⋈nation⋈region dim.
+
+    Plan: the part name filter broadcasts into the lineitem scan, the
+    (part,supp) agg is the one big shuffle, and the distinct supplier set is
+    tiny — it broadcasts into the semi join."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget")).select(
+        "p_partkey"
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in97 = (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    q97 = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.when(in97, F.col("l_quantity")).otherwise(F.lit(0)).cast(
+                    "decimal(28,10)"
+                )
+            )
+            .cast("double")
+            .alias("qty97"),
+            F.sum(F.col("l_quantity").cast("decimal(28,10)")).cast("double").alias(
+                "qty_all"
+            ),
+        )
+        .filter((F.col("qty97") > 0) & (F.col("qty_all") > 2.0 * F.col("qty97")))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(q97, s.s_suppkey == q97.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
     )
