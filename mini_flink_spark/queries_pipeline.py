@@ -2650,3 +2650,149 @@ def q_paragraph_boilerplate(spark, sf_dir):
             6,
         ).alias("boiler_ratio"),
     )
+
+
+CLS_DIMS = 64  # hashed feature space of the linear quality classifier
+
+# weight lookup, DuckDB rendering: bucket = H(tok) % dims; w = H('w#'||bucket)
+# % 2001 - 1000 (integer milli-units in [-1000, 1000]; hashes are non-negative
+# so % agrees with Spark's pmod)
+_CLS_W_SQL = (
+    "("
+    + H.portable_hash64_sql(
+        "('w#' || (" + H.portable_hash64_sql("t") + f" % {CLS_DIMS}))"
+    )
+    + " % 2001) - 1000"
+)
+
+
+@register(
+    "quality_classifier_linear",
+    f"""
+    SELECT doc_id,
+           len({T.tokens_sql('text')})::BIGINT AS n_tok,
+           coalesce(list_sum(list_transform({T.tokens_sql('text')},
+             t -> {_CLS_W_SQL})), 0)::BIGINT AS score_milli,
+           coalesce(list_sum(list_transform({T.tokens_sql('text')},
+             t -> {_CLS_W_SQL})), 0) > 0 AS keep
+    FROM documents
+    """,
+    ("pipeline", "quality", "inference"),
+)
+def q_quality_classifier_linear(spark, sf_dir):
+    """fastText-style linear quality-classifier INFERENCE at corpus scale:
+    each token hashes into a 64-dim feature space and the model's weight for
+    that feature is looked up; the document score is the weight sum and
+    `keep` is its sign. Here the weight table is itself a deterministic hash
+    of the feature index — the degenerate, dependency-free rendering of a
+    broadcast weight vector (a trained model would broadcast `w` and swap
+    the inner expression for `w[bucket]`; the plan shape is identical).
+
+    Scale: the entire scoring is ONE `aggregate()` fold over the token
+    array — no groupBy, zero shuffle, linear in input splits. The token
+    array and the fold result are each bound behind a Generate barrier
+    (1→1 explode) so tokenization runs once per document and the fold once
+    per document — NOT once per consuming expression (the lambda
+    re-evaluation trap SCALE_NOTES documents; a collapsed projection here
+    re-tokenizes for n_tok and re-folds for keep). Weights are integer
+    milli-units so the fold is exact (no float summation order), and the
+    keep decision is a pure sign test — bit-identical across engines and
+    partitionings."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def w_of(t):
+        bucket = F.pmod(H.portable_hash64(t), F.lit(CLS_DIMS))
+        return (
+            F.pmod(
+                H.portable_hash64(F.concat(F.lit("w#"), bucket.cast("string"))),
+                F.lit(2001),
+            )
+            - F.lit(1000)
+        ).cast("bigint")
+
+    bound_toks = docs.select(
+        "doc_id", F.explode(F.array(T.tokens("text"))).alias("t")
+    )
+    bound_score = bound_toks.select(
+        "doc_id",
+        F.array_size("t").cast("bigint").alias("n_tok"),
+        F.explode(
+            F.array(
+                F.aggregate(
+                    F.col("t"), F.lit(0).cast("bigint"), lambda acc, t: acc + w_of(t)
+                )
+            )
+        ).alias("score_milli"),
+    )
+    return bound_score.select(
+        "doc_id", "n_tok", "score_milli", (F.col("score_milli") > 0).alias("keep")
+    )
+
+
+# Blocklist filtering needs URLs the driver tables don't carry; the synthetic
+# domain below is deterministic in doc_id (97 sites x 3 TLDs, a cdn.
+# subdomain on every 7th doc) so both engines derive identical inputs — the
+# same convention as url_canonical_dedup's _URL_SALT.
+_DOMAIN_SPARK = (
+    "concat(CASE WHEN doc_id % 7 = 0 THEN 'cdn.' ELSE '' END,"
+    " 'site', cast(doc_id % 97 as string),"
+    " CASE WHEN doc_id % 3 = 0 THEN '.com' WHEN doc_id % 3 = 1 THEN '.org'"
+    " ELSE '.net' END)"
+)
+_DOMAIN_SQL = (
+    "(CASE WHEN doc_id % 7 = 0 THEN 'cdn.' ELSE '' END"
+    " || 'site' || (doc_id % 97)"
+    " || CASE WHEN doc_id % 3 = 0 THEN '.com' WHEN doc_id % 3 = 1 THEN '.org'"
+    " ELSE '.net' END)"
+)
+_BLOCKED_DOMAINS = ("site13.com", "site42.org", "site7.net", "site31.com")
+
+
+@register(
+    "domain_blocklist_filter",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_DOMAIN_SQL} AS domain,
+             regexp_extract({_DOMAIN_SQL}, '([^.]+\\.[^.]+)$', 1) AS registered_domain
+      FROM documents
+    )
+    SELECT doc_id, domain, registered_domain,
+           b.blocked_domain IS NOT NULL AS blocked
+    FROM d LEFT JOIN (VALUES {", ".join(f"('{b}')" for b in _BLOCKED_DOMAINS)})
+                      b(blocked_domain)
+      ON d.registered_domain = b.blocked_domain
+    """,
+    ("pipeline", "quality", "url"),
+)
+def q_domain_blocklist_filter(spark, sf_dir):
+    """C4/RefinedWeb-style domain blocklist filtering: normalize each
+    document's URL host to its REGISTERED domain (strip subdomains — the
+    blocklist names sites, not hosts) and flag documents whose registered
+    domain is listed. Matching on the normalized key turns what is naively a
+    suffix test (host endswith '.' || blocked) into an EQUI-join.
+
+    Scale: real blocklists are 1e5-1e7 rows — small; they broadcast, so the
+    corpus never shuffles and the filter is a broadcast-hash probe per row.
+    The suffix-normalization is per-row codegen. (A public-suffix-list-aware
+    normalizer slots into the same regexp_extract seam.)"""
+    docs = _t(spark, sf_dir, "documents")
+    block = F.broadcast(
+        spark.createDataFrame(
+            [(b,) for b in _BLOCKED_DOMAINS], "blocked_domain string"
+        )
+    )
+    d = docs.select(
+        "doc_id",
+        F.expr(_DOMAIN_SPARK).alias("domain"),
+        F.regexp_extract(F.expr(_DOMAIN_SPARK), r"([^.]+\.[^.]+)$", 1).alias(
+            "registered_domain"
+        ),
+    )
+    return d.join(
+        block, d.registered_domain == block.blocked_domain, "left"
+    ).select(
+        "doc_id",
+        "domain",
+        "registered_domain",
+        F.col("blocked_domain").isNotNull().alias("blocked"),
+    )

@@ -587,3 +587,45 @@ def test_stats_moments_single_pass(spark, sf_dir):
     assert "partial_sum" in plan and "partial_count" in plan
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(ex) == 1 and "l_returnflag" in ex[0]
+
+
+def test_q2_shape_window_min_over_broadcast_dim(spark, sf_dir):
+    # min_cost_supplier: the EUROPE supplier dim broadcasts, the correlated
+    # MIN renders as a window (no self-join re-aggregation), and the one big
+    # shuffle is lineitem's (part,supp) aggregation
+    plan = plan_of(spark, sf_dir, "min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_shape_semi_join_and_name_filter_pushed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "excess_stock_suppliers")
+    assert "LeftSemi" in plan
+    # the widget name filter reaches the part scan
+    assert "StringEndsWith(p_name,widget)" in plan or "EndsWith" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_classifier_inference_zero_shuffle(spark, sf_dir):
+    # quality_classifier_linear is a pure per-row fold: the plan must
+    # contain NO exchange of any kind and no Python boundary, and both the
+    # token array and the weight fold are bound behind Generate barriers so
+    # each runs once per row (not once per consuming expression)
+    plan = plan_of(spark, sf_dir, "quality_classifier_linear")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Generate explode") == 2
+    # exactly one tokenizer run (regexp pipeline) and one fold in the plan
+    assert plan.count("aggregate(") == 1
+    assert plan.count("regexp_replace(lower(") == 1
+
+
+def test_blocklist_filter_is_broadcast_equi_join(spark, sf_dir):
+    # the blocklist broadcasts and matches on the normalized registered
+    # domain as an EQUI join — never a suffix-predicate nested loop
+    plan = plan_of(spark, sf_dir, "domain_blocklist_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
