@@ -31,6 +31,16 @@ def portable_hash64_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 14))::BIGINT)"
 
 
+def portable_hash64_py(s: str) -> int:
+    """Driver-side (plain Python) rendering of the SAME hash — for
+    precomputing small deterministic model tables (e.g. the classifier
+    weight array, LSH hyperplanes) that both engines then consume as
+    literals. Must stay in lockstep with the two SQL renderings above."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
 def seeded_hash(col: Column | str, seed: int) -> Column:
     """Family of independent hashes h_i(x) = H(x || '#' || i) — the minhash
     'permutation' family."""

@@ -2654,15 +2654,21 @@ def q_paragraph_boilerplate(spark, sf_dir):
 
 CLS_DIMS = 64  # hashed feature space of the linear quality classifier
 
-# weight lookup, DuckDB rendering: bucket = H(tok) % dims; w = H('w#'||bucket)
-# % 2001 - 1000 (integer milli-units in [-1000, 1000]; hashes are non-negative
-# so % agrees with Spark's pmod)
+# The weight table: precomputed ONCE driver-side with the same portable hash
+# both engines use, then inlined as a 64-element literal array — the constant
+# model every executor holds (a trained model would broadcast the same shape).
+# Deriving the weight per token as a second in-plan hash instead doubles the
+# per-token md5 work for nothing (measured 2x on the 100x probe corpus).
+# Integer milli-units in [-1000, 1000]; hashes are non-negative so DuckDB's %
+# agrees with Spark's pmod.
+CLS_WEIGHTS = tuple(
+    H.portable_hash64_py(f"w#{j}") % 2001 - 1000 for j in range(CLS_DIMS)
+)
+
+# weight lookup, DuckDB rendering (1-indexed list literal)
 _CLS_W_SQL = (
-    "("
-    + H.portable_hash64_sql(
-        "('w#' || (" + H.portable_hash64_sql("t") + f" % {CLS_DIMS}))"
-    )
-    + " % 2001) - 1000"
+    "[" + ", ".join(str(w) for w in CLS_WEIGHTS) + "]"
+    f"[({H.portable_hash64_sql('t')} % {CLS_DIMS}) + 1]"
 )
 
 
@@ -2683,10 +2689,10 @@ def q_quality_classifier_linear(spark, sf_dir):
     """fastText-style linear quality-classifier INFERENCE at corpus scale:
     each token hashes into a 64-dim feature space and the model's weight for
     that feature is looked up; the document score is the weight sum and
-    `keep` is its sign. Here the weight table is itself a deterministic hash
-    of the feature index — the degenerate, dependency-free rendering of a
-    broadcast weight vector (a trained model would broadcast `w` and swap
-    the inner expression for `w[bucket]`; the plan shape is identical).
+    `keep` is its sign. The weight table is precomputed driver-side (a
+    deterministic hash of the feature index standing in for trained weights)
+    and inlined as a constant-folded literal array — exactly how a trained
+    `w` reaches the executors, minus the broadcast variable.
 
     Scale: the entire scoring is ONE `aggregate()` fold over the token
     array — no groupBy, zero shuffle, linear in input splits. The token
@@ -2700,15 +2706,11 @@ def q_quality_classifier_linear(spark, sf_dir):
     partitionings."""
     docs = _t(spark, sf_dir, "documents")
 
+    w_arr = F.array(*[F.lit(int(w)) for w in CLS_WEIGHTS])  # constant-folds
+
     def w_of(t):
         bucket = F.pmod(H.portable_hash64(t), F.lit(CLS_DIMS))
-        return (
-            F.pmod(
-                H.portable_hash64(F.concat(F.lit("w#"), bucket.cast("string"))),
-                F.lit(2001),
-            )
-            - F.lit(1000)
-        ).cast("bigint")
+        return F.element_at(w_arr, (bucket + 1).cast("int")).cast("bigint")
 
     bound_toks = docs.select(
         "doc_id", F.explode(F.array(T.tokens("text"))).alias("t")

@@ -446,8 +446,57 @@ def probe_dedup_100x(spark):
         )
 
 
+def probe_curation_100x(spark):
+    """Round-4 additions at 20×/100× sf0.1 (100k / 500k docs, the dedup_100x
+    corpus generator): the hashed-linear classifier fold and the blocklist
+    broadcast join are pure scan ops, so the claim under test is the
+    strongest one — wall grows ~linearly and NOTHING crosses an exchange
+    (shuffle read/write stay ~0; the blocklist broadcast is not shuffle).
+    gopher_quality_flags rides along as the established scan-op baseline."""
+    import tempfile
+
+    from mini_flink_spark.queries import QUERIES
+
+    ops = (
+        "quality_classifier_linear",
+        "domain_blocklist_filter",
+        "gopher_quality_flags",
+    )
+    results = {}
+    for families, label in ((4, "20x"), (20, "100x")):
+        d = tempfile.mkdtemp(prefix=f"cur{label}_")
+        _family_docs(spark, families).write.mode("overwrite").parquet(
+            d + "/documents.parquet"
+        )
+        n_docs = spark.read.parquet(d + "/documents.parquet").count()
+        for name in ops:
+            before = _stage_metrics_total(spark)
+            t0 = time.time()
+            out = QUERIES[name].fn(spark, d)
+            out.write.format("noop").mode("overwrite").save()
+            rows = out.count()
+            dt = time.time() - t0
+            after = _stage_metrics_total(spark)
+            delta = {k: after[k] - before[k] for k in after}
+            results[(label, name)] = (dt, rows)
+            print(
+                f"{label} ({n_docs} docs) {name}: {dt:.1f}s, {rows} rows, "
+                f"shuffle_w={delta['shuffle_write'] / 1e6:.1f}MB "
+                f"spill_disk={delta['disk_spill'] / 1e6:.0f}MB",
+                flush=True,
+            )
+    for name in ops:
+        t20, _ = results[("20x", name)]
+        t100, _ = results[("100x", name)]
+        print(
+            f"trend {name}: wall x{t100 / max(t20, 0.001):.1f} (linear target ~5x)",
+            flush=True,
+        )
+
+
 PROBES = {
     "embedding_cosine": probe_embedding_cosine,
+    "curation_100x": probe_curation_100x,
     "kmeans_largek": probe_kmeans_largek,
     "streaming_state": probe_streaming_state,
     "semdedup": probe_semdedup,
