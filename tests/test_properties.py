@@ -257,3 +257,53 @@ def test_containment_dominates_jaccard(spark, ta, tb):
     assert cont[(2, 1)] == round(inter / len(sb), 6)
     assert jac[(1, 2)] == round(inter / (len(sa | sb)), 6)
     assert max(cont[(1, 2)], cont[(2, 1)]) >= jac[(1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Connected components vs a union-find reference (the BSP min-label loop's
+# docstring worries specifically about long chains — band-join cliques
+# converge in 2-3 rounds, but the loop must be correct on ANY graph,
+# including paths/chains whose diameter forces many rounds and graphs with
+# several components; the round-4 scan-based convergence probe must not
+# terminate a round early)
+# ---------------------------------------------------------------------------
+
+EDGES = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = defaultdict(list)
+    for n in parent:
+        roots[find(n)].append(n)
+    return {n: min(members) for members in roots.values() for n in members}
+
+
+@given(edges=EDGES)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_equal_union_find(spark, edges):
+    from mini_flink_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == _uf_components(edges)
