@@ -272,3 +272,56 @@ def canonical_url_sql(expr: str) -> str:
         f"({scheme} || '://' || {host} || {path_c} || "
         f"CASE WHEN {kept} != '' THEN '?' || {kept} ELSE '' END)"
     )
+
+
+# ------------------------------------- hashed-linear classifier inference
+
+CLS_DIMS = 64  # feature-hash space of the linear quality classifier
+
+
+def classifier_weights(dims: int = CLS_DIMS) -> tuple[int, ...]:
+    """The model: integer milli-unit weights in [-1000, 1000], precomputed
+    driver-side from the portable hash of the feature index (a deterministic
+    stand-in for trained weights — a real model drops its `w` in here and
+    everything downstream is unchanged)."""
+    from mini_flink_spark.functions.hashing import portable_hash64_py
+
+    return tuple(portable_hash64_py(f"w#{j}") % 2001 - 1000 for j in range(dims))
+
+
+def hashed_linear_score(bound_tokens: Column, weights: tuple[int, ...]) -> Column:
+    """Σ w[H(tok) % dims] as ONE exact integer fold over an already-BOUND
+    token array column (bind it behind a Generate barrier — see
+    queries_pipeline.quality_classifier_linear for why). The weight array is
+    all-literal, so Catalyst constant-folds it to a single Literal."""
+    w_arr = F.array(*[F.lit(int(w)) for w in weights])
+
+    def w_of(t):
+        bucket = F.pmod(portable_hash64(t), F.lit(len(weights)))
+        return F.element_at(w_arr, (bucket + 1).cast("int")).cast("bigint")
+
+    return F.aggregate(
+        bound_tokens, F.lit(0).cast("bigint"), lambda acc, t: acc + w_of(t)
+    )
+
+
+def hashed_linear_score_sql(tokens_expr: str, weights: tuple[int, ...]) -> str:
+    """DuckDB twin: list_sum over the same literal weight list (1-indexed)."""
+    wl = "[" + ", ".join(str(w) for w in weights) + "]"
+    w_of = f"{wl}[({portable_hash64_sql('t')} % {len(weights)}) + 1]"
+    return (
+        f"coalesce(list_sum(list_transform({tokens_expr}, t -> {w_of})), 0)::BIGINT"
+    )
+
+
+# ----------------------------------------------- registered-domain filter
+
+
+def registered_domain(host: Column) -> Column:
+    """Last two labels of a hostname — the blocklist-matching key (a
+    public-suffix-list-aware normalizer slots into this same seam)."""
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def registered_domain_sql(host_expr: str) -> str:
+    return f"regexp_extract({host_expr}, '([^.]+\\.[^.]+)$', 1)"

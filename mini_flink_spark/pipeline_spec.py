@@ -92,12 +92,36 @@ def _stage_lang_token_shards(df: DataFrame, budget: int = 20000) -> DataFrame:
     )
 
 
+def _stage_domain_blocklist(df: DataFrame, blocked: list[str], host_sql: str) -> DataFrame:
+    """Drop documents whose registered domain is blocklisted — a broadcast
+    LEFT ANTI equi-join on the normalized key (the corpus never shuffles;
+    real blocklists are ≤1e7 rows and broadcast). `host_sql` is a SQL
+    expression yielding the document's host, so the spec stays JSON-able."""
+    block = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(b,) for b in blocked], "blocked_domain string"
+        )
+    )
+    reg = T.registered_domain(F.expr(host_sql))
+    return df.join(block, reg == block.blocked_domain, "left_anti")
+
+
+def _stage_classifier_gate(df: DataFrame) -> DataFrame:
+    """Keep documents the hashed-linear quality classifier scores positive —
+    one exact integer fold per row, zero shuffle. The score has exactly one
+    consumer (the filter), so no Generate barrier is needed here."""
+    w = T.classifier_weights()
+    return df.filter(T.hashed_linear_score(T.tokens("text"), w) > 0)
+
+
 STAGES: dict[str, Callable[..., DataFrame]] = {
     "gopher_gate": _stage_gopher_gate,
     "span_removal": _stage_span_removal,
     "drop_empty": _stage_drop_empty,
     "exact_dedup": _stage_exact_dedup,
     "lang_token_shards": _stage_lang_token_shards,
+    "domain_blocklist": _stage_domain_blocklist,
+    "classifier_gate": _stage_classifier_gate,
 }
 
 # The canonical curation recipe — the spec rendering of curation_pipeline_v2.

@@ -2652,24 +2652,14 @@ def q_paragraph_boilerplate(spark, sf_dir):
     )
 
 
-CLS_DIMS = 64  # hashed feature space of the linear quality classifier
-
 # The weight table: precomputed ONCE driver-side with the same portable hash
 # both engines use, then inlined as a 64-element literal array — the constant
 # model every executor holds (a trained model would broadcast the same shape).
 # Deriving the weight per token as a second in-plan hash instead doubles the
 # per-token md5 work for nothing (measured 2x on the 100x probe corpus).
-# Integer milli-units in [-1000, 1000]; hashes are non-negative so DuckDB's %
-# agrees with Spark's pmod.
-CLS_WEIGHTS = tuple(
-    H.portable_hash64_py(f"w#{j}") % 2001 - 1000 for j in range(CLS_DIMS)
-)
-
-# weight lookup, DuckDB rendering (1-indexed list literal)
-_CLS_W_SQL = (
-    "[" + ", ".join(str(w) for w in CLS_WEIGHTS) + "]"
-    f"[({H.portable_hash64_sql('t')} % {CLS_DIMS}) + 1]"
-)
+CLS_DIMS = T.CLS_DIMS
+CLS_WEIGHTS = T.classifier_weights(CLS_DIMS)
+_CLS_SCORE_SQL = T.hashed_linear_score_sql(T.tokens_sql("text"), CLS_WEIGHTS)
 
 
 @register(
@@ -2677,10 +2667,8 @@ _CLS_W_SQL = (
     f"""
     SELECT doc_id,
            len({T.tokens_sql('text')})::BIGINT AS n_tok,
-           coalesce(list_sum(list_transform({T.tokens_sql('text')},
-             t -> {_CLS_W_SQL})), 0)::BIGINT AS score_milli,
-           coalesce(list_sum(list_transform({T.tokens_sql('text')},
-             t -> {_CLS_W_SQL})), 0) > 0 AS keep
+           {_CLS_SCORE_SQL} AS score_milli,
+           {_CLS_SCORE_SQL} > 0 AS keep
     FROM documents
     """,
     ("pipeline", "quality", "inference"),
@@ -2706,12 +2694,6 @@ def q_quality_classifier_linear(spark, sf_dir):
     partitionings."""
     docs = _t(spark, sf_dir, "documents")
 
-    w_arr = F.array(*[F.lit(int(w)) for w in CLS_WEIGHTS])  # constant-folds
-
-    def w_of(t):
-        bucket = F.pmod(H.portable_hash64(t), F.lit(CLS_DIMS))
-        return F.element_at(w_arr, (bucket + 1).cast("int")).cast("bigint")
-
     bound_toks = docs.select(
         "doc_id", F.explode(F.array(T.tokens("text"))).alias("t")
     )
@@ -2719,11 +2701,7 @@ def q_quality_classifier_linear(spark, sf_dir):
         "doc_id",
         F.array_size("t").cast("bigint").alias("n_tok"),
         F.explode(
-            F.array(
-                F.aggregate(
-                    F.col("t"), F.lit(0).cast("bigint"), lambda acc, t: acc + w_of(t)
-                )
-            )
+            F.array(T.hashed_linear_score(F.col("t"), CLS_WEIGHTS))
         ).alias("score_milli"),
     )
     return bound_score.select(
@@ -2755,7 +2733,7 @@ _BLOCKED_DOMAINS = ("site13.com", "site42.org", "site7.net", "site31.com")
     f"""
     WITH d AS (
       SELECT doc_id, {_DOMAIN_SQL} AS domain,
-             regexp_extract({_DOMAIN_SQL}, '([^.]+\\.[^.]+)$', 1) AS registered_domain
+             {T.registered_domain_sql(_DOMAIN_SQL)} AS registered_domain
       FROM documents
     )
     SELECT doc_id, domain, registered_domain,
@@ -2786,9 +2764,7 @@ def q_domain_blocklist_filter(spark, sf_dir):
     d = docs.select(
         "doc_id",
         F.expr(_DOMAIN_SPARK).alias("domain"),
-        F.regexp_extract(F.expr(_DOMAIN_SPARK), r"([^.]+\.[^.]+)$", 1).alias(
-            "registered_domain"
-        ),
+        T.registered_domain(F.expr(_DOMAIN_SPARK)).alias("registered_domain"),
     )
     return d.join(
         block, d.registered_domain == block.blocked_domain, "left"
@@ -2798,3 +2774,50 @@ def q_domain_blocklist_filter(spark, sf_dir):
         "registered_domain",
         F.col("blocked_domain").isNotNull().alias("blocked"),
     )
+
+
+# The safety recipe: blocklist -> classifier gate -> exact dedup, as a spec.
+SAFETY_SPEC = [
+    {
+        "op": "domain_blocklist",
+        "blocked": list(_BLOCKED_DOMAINS),
+        "host_sql": _DOMAIN_SPARK,
+    },
+    {"op": "classifier_gate"},
+    {"op": "exact_dedup"},
+]
+
+_SAFETY_BLOCKED_IN = ", ".join(f"'{b}'" for b in _BLOCKED_DOMAINS)
+
+
+@register(
+    "curation_pipeline_safety",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, lang FROM documents
+      WHERE {T.registered_domain_sql(_DOMAIN_SQL)} NOT IN ({_SAFETY_BLOCKED_IN})
+        AND {_CLS_SCORE_SQL} > 0
+    ),
+    reps AS (
+      SELECT {T.fingerprint_sql('text')} AS fp,
+             min(doc_id) AS keep_id,
+             count(*)::BIGINT AS n_dups
+      FROM d GROUP BY 1
+    )
+    SELECT r.keep_id, d.text, d.lang, r.n_dups
+    FROM reps r JOIN d ON d.doc_id = r.keep_id
+    """,
+    ("pipeline", "spec", "quality"),
+)
+def q_curation_pipeline_safety(spark, sf_dir):
+    """The round-4 safety ops COMPOSED as a declarative `pipeline_spec`
+    recipe: domain blocklist (broadcast anti-join) → hashed-linear
+    classifier gate (zero-shuffle integer fold) → exact dedup — one fused
+    Catalyst plan from a JSON-able spec, graded end-to-end against the
+    chained-CTE oracle. The spec surface is the point: a production curation
+    service reviews pipeline definitions as data, and every stage added to
+    STAGES is immediately composable with the rest."""
+    from mini_flink_spark.pipeline_spec import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_pipeline(docs, SAFETY_SPEC)
