@@ -662,3 +662,81 @@ def ivf_probe_persisted(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# ------------------------------------------------- semantic decontamination
+#
+# The embedding-level sibling of the n-gram decontamination check
+# (queries_pipeline.q_decontamination_check): paraphrased benchmark leakage
+# that shares no 13-gram still lands next to the eval point in embedding
+# space, so production curation runs BOTH. Recall here must be 1.0 — a missed
+# contaminated document poisons the benchmark — which is why the production
+# shape is an EXACT scan against the (small) eval set, not an ANN index.
+
+
+def semantic_decontam_pairs(
+    corpus: DataFrame,
+    eval_pred: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.3,
+) -> DataFrame:
+    """(train_id, eval_id, cos) for every train vector whose cosine to some
+    eval vector is >= tau. `eval_pred` is a SQL predicate selecting the eval
+    split; train = NOT eval.
+
+    Scale shape: the eval set is collected to the driver (eval benchmarks are
+    KBs against a multi-TB train corpus — the same bounded-broadcast class as
+    the trigram eval set and the kmeans centroid literal) and re-attached as
+    a codegen literal, so the check is ONE linear train scan computing |eval|
+    cosine folds per row — zero joins, zero shuffles, exact recall. When
+    |eval|*dim outgrows the literal-expression plan (clustering.LITERAL_KD_MAX
+    has the law), the same broadcast rides the Arrow pandas-UDF seam that
+    `assign_clusters` uses for large k — plan shape unchanged."""
+    ev = corpus.filter(F.expr(eval_pred)).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    rows = sorted((int(r[0]), [float(x) for x in r[1]]) for r in ev.collect())
+    if not rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "train_id bigint, eval_id bigint, cos double"
+        )
+    ids_lit = F.array(*[F.lit(i).cast("bigint") for i, _ in rows])
+    vecs_lit = F.array(*[F.array(*[F.lit(float(x)) for x in v]) for _, v in rows])
+    hits = F.filter(
+        F.zip_with(
+            ids_lit,
+            vecs_lit,
+            lambda i, v: F.struct(
+                i.alias("eval_id"),
+                F.round(cosine(F.col(vec_col), v), 6).alias("cos"),
+            ),
+        ),
+        lambda s: s["cos"] >= F.lit(tau),
+    )
+    return (
+        corpus.filter(~F.expr(eval_pred))
+        .select(F.col(id_col).alias("train_id"), F.explode(hits).alias("h"))
+        .select("train_id", F.col("h.eval_id").alias("eval_id"), F.col("h.cos").alias("cos"))
+    )
+
+
+def semantic_decontam_pairs_sql(
+    eval_pred: str,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.3,
+) -> str:
+    """DuckDB twin: the exact eval x train comparison as a join — semantics
+    identical to the literal-broadcast plan because the Spark side is exact
+    (no blocking to replicate). `eval_pred` here uses the `{T}` placeholder
+    for the table alias (e.g. "{T}.vec_id % 37 = 0") so both join sides
+    render unambiguously."""
+    cos = cosine_sql(f"t.{vec_col}", f"e.{vec_col}")
+    return f"""
+SELECT t.{id_col} AS train_id, e.{id_col} AS eval_id, round({cos}, 6) AS cos
+FROM {table} t JOIN {table} e
+  ON NOT ({eval_pred.format(T="t")}) AND {eval_pred.format(T="e")}
+WHERE round({cos}, 6) >= {tau}
+"""

@@ -758,6 +758,49 @@ def q_dedup_components(spark, sf_dir):
 
 
 @register(
+    "dedup_cluster_stats",
+    f"""
+    WITH comp AS (
+      {D.connected_components_sql(D.minhash_lsh_pairs_sql("doc_id", "text", threshold=0.4))}
+    ), sizes AS (
+      SELECT component, count(*)::BIGINT AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+           (cluster_size * count(*))::BIGINT AS n_docs,
+           (cluster_size * count(*) - count(*))::BIGINT AS n_removable
+    FROM sizes GROUP BY cluster_size
+    """,
+    ("dedup", "iterative", "report"),
+)
+def q_dedup_cluster_stats(spark, sf_dir):
+    """The dedup-impact report: duplicate-cluster size histogram over the
+    MinHash-LSH component graph — (cluster_size, n_clusters, n_docs,
+    n_removable). THE number a curation run is judged by (how much of the
+    corpus is duplicate mass, and whether it sits in a few giant clusters —
+    boilerplate — or many pairs), and the go/no-go gate before committing a
+    keep-min(id) rewrite of a 100 TB corpus.
+
+    Scale: two tiny aggregations (component keys, then size keys) on top of
+    the CC labeling; every node in the pair graph is in a size>=2 cluster by
+    construction, so the histogram rows are bounded by the largest cluster
+    size, not the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4)
+    sizes = (
+        D.connected_components(pairs)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        (F.col("cluster_size") * F.count(F.lit(1)) - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_removable"),
+    )
+
+
+@register(
     "dedup_duplicate_spans",
     D.duplicate_spans_sql("doc_id", "text", w=15),
     ("dedup", "spans"),

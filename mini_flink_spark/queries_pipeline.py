@@ -324,6 +324,28 @@ def q_decontamination_check(spark, sf_dir):
 
 
 @register(
+    "semantic_decontamination",
+    S.semantic_decontam_pairs_sql("{T}.vec_id % 37 = 0", tau=0.3),
+    ("extension", "decontamination", "embedding"),
+)
+def q_semantic_decontamination(spark, sf_dir):
+    """Embedding-level decontamination: every train vector within cosine 0.3
+    of some eval vector (vec_id % 37 == 0 stands in for the held-out
+    benchmark's embeddings), as (train_id, eval_id, cos) — the semantic
+    sibling of `decontamination_check` that catches paraphrased leakage
+    sharing no exact n-gram. Production curation runs both checks.
+
+    Scale: recall must be 1.0 (a missed contaminated doc poisons the
+    benchmark), so this is the EXACT plan — eval embeddings are
+    benchmark-bounded driver state re-attached as a codegen literal, and the
+    check is one linear train scan with |eval| cosine folds per row: zero
+    joins, zero shuffles, embarrassingly parallel at any corpus size
+    (similarity.semantic_decontam_pairs has the large-|eval| Arrow seam)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.semantic_decontam_pairs(emb, "vec_id % 37 = 0", tau=0.3)
+
+
+@register(
     "embedding_quantize_int8",
     """
     SELECT vec_id,
@@ -1587,6 +1609,53 @@ def q_bpe_encode_docs(spark, sf_dir):
     (functions/bpe.py has the scale story)."""
     docs = _t(spark, sf_dir, "documents")
     return B.bpe_encode_counts(docs, docs, "doc_id", "text", rounds=3)
+
+
+@register(
+    "tokenizer_fertility",
+    f"""
+    WITH enc AS ({B.bpe_encode_counts_sql(rounds=3)})
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           sum(e.n_words)::BIGINT AS n_words,
+           sum(e.n_units)::BIGINT AS n_units,
+           round(sum(e.n_units)::DOUBLE / sum(e.n_words)::DOUBLE, 6) AS fertility,
+           round(sum(d.n_chars)::DOUBLE / sum(e.n_units)::DOUBLE, 6)
+             AS chars_per_unit
+    FROM enc e JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+    ("extension", "tokenizer"),
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per source: BPE units per whitespace word and raw
+    chars per unit, from the corpus-learned 3-merge tokenizer — the standard
+    tokenizer-evaluation metric (a source whose fertility is 2x the rest
+    costs 2x the training compute per effective word, and drives
+    vocabulary/mixture decisions).
+
+    Scale: the encode pass is `bpe_encode_docs`' linear codegen scan (merge
+    table = `rounds` rows of driver state); the per-source rollup is one
+    map-side-combined aggregation over a handful of source keys. Ratios are
+    derived from exact BIGINT sums, divided once per group — deterministic
+    at any parallelism."""
+    docs = _t(spark, sf_dir, "documents")
+    enc = B.bpe_encode_counts(docs, docs, "doc_id", "text", rounds=3)
+    return (
+        enc.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_units").cast("bigint").alias("n_units"),
+            F.round(
+                F.sum("n_units").cast("double") / F.sum("n_words").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_units").cast("double"), 6
+            ).alias("chars_per_unit"),
+        )
+    )
 
 
 @register(

@@ -1,0 +1,107 @@
+"""Round-4 operators: semantic decontamination, tokenizer fertility, and the
+dedup-impact cluster-size report.
+
+Oracle parity is covered by test_oracle_parity (all three are registered
+queries); these tests pin the semantic invariants the oracle hash alone
+doesn't state explicitly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_flink_spark.functions import similarity as S
+
+
+class TestSemanticDecontam:
+    def test_planted_leak_found_with_cos_1(self, spark):
+        # vec_id 100 (train) is an exact copy of eval vec_id 37 -> must be
+        # flagged at cosine 1.0; vec_id 200 is orthogonal -> must not.
+        rows = [
+            (37, [1.0, 0.0, 0.0, 0.0]),   # eval (37 % 37 == 0)
+            (74, [0.0, 1.0, 0.0, 0.0]),   # eval
+            (100, [1.0, 0.0, 0.0, 0.0]),  # train, identical to eval 37
+            (200, [0.0, 0.0, 1.0, 0.0]),  # train, orthogonal to both
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        got = {
+            (r.train_id, r.eval_id): r.cos
+            for r in S.semantic_decontam_pairs(
+                df, "vec_id % 37 = 0", tau=0.5
+            ).collect()
+        }
+        assert got == {(100, 37): 1.0}
+
+    def test_empty_eval_set_is_empty_result(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id bigint, embedding array<float>"
+        )
+        out = S.semantic_decontam_pairs(df, "vec_id < 0", tau=0.5)
+        assert out.columns == ["train_id", "eval_id", "cos"]
+        assert out.count() == 0
+
+    def test_plan_has_no_exchange(self, spark, sf_dir):
+        # Recall-1.0 decontamination must stay a single linear scan: the eval
+        # set rides a literal, so the plan contains NO shuffle exchange.
+        from mini_flink_spark.queries import QUERIES
+
+        plan = (
+            QUERIES["semantic_decontamination"]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestTokenizerFertility:
+    @pytest.fixture(scope="class")
+    def result(self, spark, sf_dir):
+        from mini_flink_spark.queries import QUERIES
+
+        return QUERIES["tokenizer_fertility"].fn(spark, sf_dir).collect()
+
+    def test_covers_every_source_once(self, result, spark, sf_dir):
+        from mini_flink_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        per_source = {
+            r.source: r.n
+            for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert {r.source: r.n_docs for r in result} == per_source
+
+    def test_fertility_bounds(self, result):
+        # >= 1 unit per word always; merges only ever shrink the unit count,
+        # and a unit is at least one char, so chars/unit >= 1 too (n_chars
+        # counts separators, pushing it strictly above 1 on this corpus).
+        for r in result:
+            assert r.fertility >= 1.0, r
+            assert r.chars_per_unit >= 1.0, r
+            assert r.n_units >= r.n_words
+
+
+class TestDedupClusterStats:
+    @pytest.fixture(scope="class")
+    def result(self, spark, sf_dir):
+        from mini_flink_spark.queries import QUERIES
+
+        return QUERIES["dedup_cluster_stats"].fn(spark, sf_dir).collect()
+
+    def test_histogram_identities(self, result):
+        for r in result:
+            # every CC node comes from a pair -> no singleton clusters
+            assert r.cluster_size >= 2, r
+            assert r.n_docs == r.cluster_size * r.n_clusters
+            assert r.n_removable == r.n_docs - r.n_clusters
+
+    def test_mass_matches_component_labels(self, result, spark, sf_dir):
+        from mini_flink_spark.functions import dedup as D
+        from mini_flink_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4)
+        n_nodes = D.connected_components(pairs).count()
+        assert sum(r.n_docs for r in result) == n_nodes
