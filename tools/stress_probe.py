@@ -494,6 +494,102 @@ def probe_curation_100x(spark):
         )
 
 
+def probe_round4_new(spark):
+    """Round-4 additions at scale.
+
+    semantic_decontamination: replicate the sf0.1 embeddings 50x/250x (100k /
+    500k vectors) against a FIXED-size eval split (the production shape: the
+    benchmark does not grow with the corpus). Claims under test: ZERO shuffle
+    at any scale (the eval set rides a literal or broadcast, never a join),
+    wall ~linear in the corpus (x5 target), and the |eval|*d > LITERAL_KD_MAX
+    Arrow route costs about the same as the literal route it replaces (both
+    are one linear scan).
+
+    tokenizer_fertility + dedup_cluster_stats ride the dedup_100x family
+    corpus at 20x/100x (100k / 500k docs): fertility is the BPE encode scan +
+    a source-keyed rollup (shuffle bounded by |sources|); cluster_stats adds
+    two tiny aggs on top of the CC labeling, so its cost IS the pair-graph +
+    CC cost already probed — the histogram must not add data-sized work."""
+    import tempfile
+
+    from mini_flink_spark.functions import similarity as S
+    from mini_flink_spark.queries import QUERIES
+
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    results = {}
+    for reps, label in ((50, "50x"), (250, "250x")):
+        repl = (
+            base.select(
+                "*", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("rep")
+            )
+            .select(
+                (F.col("vec_id") * reps + F.col("rep")).alias("vec_id"),
+                "embedding",
+            )
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)  # measure the scan, not the generator
+        )
+        n = repl.count()
+        # ~54 eval vecs -> 54*64 <= 4096: literal path; ~181 -> Arrow path.
+        for pred, plabel in (
+            (f"vec_id % {37 * reps} = 0", "literal54"),
+            (f"vec_id % {11 * reps} = 0", "arrow181"),
+        ):
+            before = _stage_metrics_total(spark)
+            t0 = time.time()
+            out = S.semantic_decontam_pairs(repl, pred, tau=0.3)
+            out.write.format("noop").mode("overwrite").save()
+            rows = out.count()
+            dt = time.time() - t0
+            after = _stage_metrics_total(spark)
+            sw = (after["shuffle_write"] - before["shuffle_write"]) / 1e6
+            sp = (after["disk_spill"] - before["disk_spill"]) / 1e6
+            results[(label, plabel)] = (dt, rows)
+            print(
+                f"{label} ({n} vecs) decontam[{plabel}]: {dt:.1f}s, {rows} rows, "
+                f"shuffle_w={sw:.1f}MB spill_disk={sp:.0f}MB",
+                flush=True,
+            )
+    for plabel in ("literal54", "arrow181"):
+        t50, _ = results[("50x", plabel)]
+        t250, _ = results[("250x", plabel)]
+        print(
+            f"trend decontam[{plabel}]: wall x{t250 / max(t50, 0.001):.1f} "
+            f"(linear target ~5x)",
+            flush=True,
+        )
+
+    for families, label in ((4, "20x"), (20, "100x")):
+        d = tempfile.mkdtemp(prefix=f"r4new{label}_")
+        _family_docs(spark, families).write.mode("overwrite").parquet(
+            d + "/documents.parquet"
+        )
+        n_docs = spark.read.parquet(d + "/documents.parquet").count()
+        for name in ("tokenizer_fertility", "dedup_cluster_stats"):
+            before = _stage_metrics_total(spark)
+            t0 = time.time()
+            out = QUERIES[name].fn(spark, d)
+            out.write.format("noop").mode("overwrite").save()
+            rows = out.count()
+            dt = time.time() - t0
+            after = _stage_metrics_total(spark)
+            sw = (after["shuffle_write"] - before["shuffle_write"]) / 1e6
+            sp = (after["disk_spill"] - before["disk_spill"]) / 1e6
+            results[(label, name)] = (dt, rows)
+            print(
+                f"{label} ({n_docs} docs) {name}: {dt:.1f}s, {rows} rows, "
+                f"shuffle_w={sw:.1f}MB spill_disk={sp:.0f}MB",
+                flush=True,
+            )
+    for name in ("tokenizer_fertility", "dedup_cluster_stats"):
+        t20, _ = results[("20x", name)]
+        t100, _ = results[("100x", name)]
+        print(
+            f"trend {name}: wall x{t100 / max(t20, 0.001):.1f} (linear target ~5x)",
+            flush=True,
+        )
+
+
 PROBES = {
     "embedding_cosine": probe_embedding_cosine,
     "curation_100x": probe_curation_100x,
@@ -504,6 +600,7 @@ PROBES = {
     "round3_docs": probe_round3_docs,
     "round3_late": probe_round3_late,
     "dedup_100x": probe_dedup_100x,
+    "round4_new": probe_round4_new,
 }
 
 if __name__ == "__main__":
