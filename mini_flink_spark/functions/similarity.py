@@ -209,6 +209,46 @@ def multi_table_buckets_expr(
     return F.expr("array(" + ", ".join(keys) + ")")
 
 
+def multi_table_buckets_arrow(
+    vec: Column, tables: int = L_TABLES, planes: int = PLANES_PER_TABLE, dim: int = DIM
+) -> Column:
+    """Vectorized twin of `multi_table_buckets_expr`: the same L bucket keys
+    from an Arrow-batched pandas UDF. Each plane dot product is accumulated
+    left-to-right over dimensions — the same IEEE op order as the zip_with/
+    aggregate fold — so the raw dots are bit-identical and the sign pattern
+    (and therefore every bucket key) matches the expression exactly (pinned
+    by test_bucket_expr_arrow_parity).
+
+    Why it exists: Catalyst does not codegen higher-order functions, so the
+    expression form interprets tables*planes folds per row. The numpy route
+    pays per Arrow batch instead — the same measured economics as
+    `cosine_arrow` and the decontam broadcast fold (SCALE_NOTES round4_new).
+    The expression form stays the zero-Python default; heavy blocked-dedup
+    paths opt in."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(hyperplanes(tables * planes, dim), dtype=np.float64)  # (T*B, d)
+
+    @pandas_udf("array<string>")
+    def _bk(v):
+        V = np.stack(v.to_numpy()).astype(np.float64)  # (n, d)
+        dot = np.zeros((V.shape[0], P.shape[0]))
+        for dd in range(P.shape[1]):  # left-to-right, same op order as fold
+            dot = dot + V[:, dd, None] * P[None, :, dd]
+        bits = dot > 0
+        codes = np.zeros((V.shape[0], tables), dtype=np.int64)
+        for t in range(tables):
+            for i in range(planes):
+                codes[:, t] += bits[:, t * planes + i].astype(np.int64) << i
+        return pd.Series(
+            [[f"{t}:{codes[r, t]}" for t in range(tables)] for r in range(V.shape[0])]
+        )
+
+    return _bk(vec.cast("array<double>"))
+
+
 def multi_table_buckets_sql(
     vec: str, tables: int = L_TABLES, planes: int = PLANES_PER_TABLE, dim: int = DIM
 ) -> str:
@@ -373,6 +413,7 @@ def embedding_neardup_pairs(
     n_planes_per_table: int = NEARDUP_PLANES,
     blocked: bool = True,
     verify: str = "expr",
+    buckets: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
 
@@ -385,7 +426,13 @@ def embedding_neardup_pairs(
     graded path) or "arrow" (the bit-identical vectorized pandas UDF,
     `cosine_arrow` — use when candidate density is adversarial and the
     verify stage dominates; tests/test_extensions.py pins that the two paths
-    produce identical pair sets)."""
+    produce identical pair sets).
+
+    buckets selects the candidate-generation projection the same way:
+    "expr" = the interpreted tables×planes fold, "arrow" =
+    `multi_table_buckets_arrow` (bit-identical sign patterns, pinned) —
+    Catalyst doesn't codegen higher-order functions, so the 36-fold
+    projection dominates blocked runs on wide corpora."""
     parts = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(parts).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if blocked:
@@ -394,12 +441,14 @@ def embedding_neardup_pairs(
         # l/r self-join branches would otherwise each recompute the 36-dot-
         # product projection (pruning gives them different subtrees, so
         # ReuseExchange never fires). Same pattern as lsh_topk's base.
-        keyed = c.select(
-            "id",
-            F.explode(
-                multi_table_buckets_expr("v", n_tables, n_planes_per_table)
-            ).alias("bkey"),
-        ).localCheckpoint(eager=False)
+        bucket_col = (
+            multi_table_buckets_arrow(F.col("v"), n_tables, n_planes_per_table)
+            if buckets == "arrow"
+            else multi_table_buckets_expr("v", n_tables, n_planes_per_table)
+        )
+        keyed = c.select("id", F.explode(bucket_col).alias("bkey")).localCheckpoint(
+            eager=False
+        )
         ids = (
             keyed.alias("l")
             .join(keyed.alias("r"), "bkey")
@@ -681,6 +730,7 @@ def semantic_decontam_pairs(
     vec_col: str = "embedding",
     tau: float = 0.3,
     path: str = "auto",
+    eval_source: DataFrame | None = None,
 ) -> DataFrame:
     """(train_id, eval_id, cos) for every train vector whose cosine to some
     eval vector is >= tau. `eval_pred` is a SQL predicate selecting the eval
@@ -698,10 +748,15 @@ def semantic_decontam_pairs(
     Arrow-batched pandas UDF replaying the SAME left-to-right dimension fold
     (bit-identical raw cosines; only the 6-dp round differs in mechanism —
     floor(x*1e6+0.5) vs JVM HALF_UP — which can only matter within ~1e-6 of
-    tau). "literal"/"arrow" force a path (tests pin their agreement)."""
-    ev = corpus.filter(F.expr(eval_pred)).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    tau). "literal"/"arrow" force a path (tests pin their agreement).
+
+    eval_source: where to read the eval split from, when `corpus` itself
+    cannot be collected — the STREAMING rendering passes the static table
+    here and the stream as `corpus`, making the whole check a stateless
+    per-record projection (gate-at-ingest)."""
+    ev = (eval_source if eval_source is not None else corpus).filter(
+        F.expr(eval_pred)
+    ).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     rows = sorted((int(r[0]), [float(x) for x in r[1]]) for r in ev.collect())
     if not rows:
         return corpus.sparkSession.createDataFrame(

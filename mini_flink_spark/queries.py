@@ -1153,7 +1153,7 @@ def q_ntile_quartiles(spark, sf_dir):
 # the 15 §2 reference-surface rows and 10 flagship LLM-pipeline anchors stay
 # pinned every round; the other 25 slots rotate each round to queries that
 # have NEVER had a driver verdict (r1∪r2∪r3 graded 74 distinct names; this
-# window adds 25 more — cumulative 99 of 188 (the registry grew by 4 after the window was fixed)). Everything else keeps
+# window adds 25 more — cumulative 99 of 193 (the registry kept growing after the window was fixed)). Everything else keeps
 # registration order after the window — nothing is removed, only reordered.
 GRADED_WINDOW: tuple[str, ...] = (
     # §2 reference surface — one row per operator (pinned forever)

@@ -2872,6 +2872,37 @@ def q_streaming_curation_gate_dedup(spark, sf_dir):
 
 
 @register(
+    "streaming_semantic_decontam",
+    S.semantic_decontam_pairs_sql("{T}.vec_id % 37 = 0", tau=0.3),
+    ("streaming", "decontamination", "embedding"),
+)
+def q_streaming_semantic_decontam(spark, sf_dir):
+    """Semantic decontamination ON THE STREAMING path: embedding records
+    arrive as a file stream and are scored in-flight against the broadcast
+    eval split (read from the static table — benchmark-bounded driver state),
+    emitting contaminated (train_id, eval_id, cos) rows in append mode. The
+    whole check is a STATELESS per-record projection — no keyed state, no
+    watermark, nothing to bound — so it composes at ingest time in front of
+    any downstream stateful stage, which is exactly where production runs it
+    (quarantine contaminated docs before they enter the corpus). Converged
+    output equals the batch query exactly (same oracle)."""
+    from mini_flink_spark.sources import parquet_stream, write_stream_fixture
+    from mini_flink_spark.streaming import run_stream_to_memory
+
+    emb = _t(spark, sf_dir, "embeddings")
+    fixture = write_stream_fixture(
+        emb.select("vec_id", "embedding"),
+        tempfile.mkdtemp(prefix="q_stream_decontam_"),
+        n_files=4,
+    )
+    stream = parquet_stream(spark, fixture, "vec_id bigint, embedding array<float>")
+    flagged = S.semantic_decontam_pairs(
+        stream, "vec_id % 37 = 0", tau=0.3, path="arrow", eval_source=emb
+    )
+    return run_stream_to_memory(flagged, spark, "append", state_partitions=None)
+
+
+@register(
     "sketch_histogram_quantiles",
     K.histogram_quantiles_sql("SELECT value FROM events", "value"),
     ("sketch", "quantiles"),

@@ -337,12 +337,17 @@ def q_semantic_decontamination(spark, sf_dir):
 
     Scale: recall must be 1.0 (a missed contaminated doc poisons the
     benchmark), so this is the EXACT plan — eval embeddings are
-    benchmark-bounded driver state re-attached as a codegen literal, and the
+    benchmark-bounded driver state broadcast back to the executors, and the
     check is one linear train scan with |eval| cosine folds per row: zero
-    joins, zero shuffles, embarrassingly parallel at any corpus size
-    (similarity.semantic_decontam_pairs has the large-|eval| Arrow seam)."""
+    joins, zero shuffles, embarrassingly parallel at any corpus size.
+
+    path="arrow": the broadcast + vectorized fold (bit-identical raw cosines
+    to the literal expression, pinned by test_literal_and_arrow_paths_agree)
+    — measured 4.7s -> 0.6s warm at sf0.1 and 78.6s -> 16.6s at 500k vectors
+    (SCALE_NOTES round4_new): the giant literal tree pays per-run analysis +
+    interpreted-fold cost the broadcast path doesn't."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.semantic_decontam_pairs(emb, "vec_id % 37 = 0", tau=0.3)
+    return S.semantic_decontam_pairs(emb, "vec_id % 37 = 0", tau=0.3, path="arrow")
 
 
 @register(

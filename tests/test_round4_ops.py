@@ -77,6 +77,62 @@ class TestSemanticDecontam:
         assert "Exchange" not in plan
 
 
+class TestArrowBuckets:
+    def test_bucket_expr_arrow_parity(self, spark, sf_dir):
+        # the Arrow bucket projection must emit the EXACT key arrays the
+        # interpreted expression emits (same plane dots, same signs)
+        from mini_flink_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        expr_keys = {
+            r.vec_id: list(r.b)
+            for r in emb.select(
+                "vec_id",
+                S.multi_table_buckets_expr("embedding").alias("b"),
+            ).collect()
+        }
+        arrow_keys = {
+            r.vec_id: list(r.b)
+            for r in emb.select(
+                "vec_id",
+                S.multi_table_buckets_arrow(F.col("embedding")).alias("b"),
+            ).collect()
+        }
+        assert arrow_keys == expr_keys
+
+    def test_neardup_pairs_bucket_paths_agree(self, spark, sf_dir):
+        from mini_flink_spark.session import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        kw = dict(threshold=0.4, blocked=True)
+        expr_pairs = {
+            (r.a, r.b, r.cos)
+            for r in S.embedding_neardup_pairs(emb, buckets="expr", **kw).collect()
+        }
+        arrow_pairs = {
+            (r.a, r.b, r.cos)
+            for r in S.embedding_neardup_pairs(emb, buckets="arrow", **kw).collect()
+        }
+        assert arrow_pairs == expr_pairs
+        assert len(expr_pairs) > 0
+
+
+class TestStreamingSemanticDecontam:
+    def test_converges_to_batch_result(self, spark, sf_dir):
+        from mini_flink_spark.queries import QUERIES
+
+        batch = {
+            (r.train_id, r.eval_id, r.cos)
+            for r in QUERIES["semantic_decontamination"].fn(spark, sf_dir).collect()
+        }
+        streamed = {
+            (r.train_id, r.eval_id, r.cos)
+            for r in QUERIES["streaming_semantic_decontam"].fn(spark, sf_dir).collect()
+        }
+        assert streamed == batch
+        assert len(streamed) > 0
+
+
 class TestTokenizerFertility:
     @pytest.fixture(scope="class")
     def result(self, spark, sf_dir):

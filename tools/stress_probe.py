@@ -559,6 +559,25 @@ def probe_round4_new(spark):
             flush=True,
         )
 
+        # A/B the LSH bucket projection itself at this scale: higher-order
+        # folds are interpreted (no codegen), so the 36-fold expression pays
+        # per (row x table x plane x dim) — the Arrow twin pays per batch.
+        if plabel == "arrow181":  # repl still bound to the 250x corpus
+            c = repl.select("vec_id", F.col("embedding").alias("v"))
+            for bpath, col in (
+                ("expr", S.multi_table_buckets_expr("v")),
+                ("arrow", S.multi_table_buckets_arrow(F.col("v"))),
+            ):
+                t0 = time.time()
+                c.select("vec_id", F.explode(col).alias("bkey")).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                print(
+                    f"{label} ({n} vecs) bucket_projection[{bpath}]: "
+                    f"{time.time() - t0:.1f}s",
+                    flush=True,
+                )
+
     for families, label in ((4, "20x"), (20, "100x")):
         d = tempfile.mkdtemp(prefix=f"r4new{label}_")
         _family_docs(spark, families).write.mode("overwrite").parquet(
