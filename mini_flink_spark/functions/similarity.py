@@ -759,6 +759,13 @@ def semantic_decontam_pairs(
     ).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     rows = sorted((int(r[0]), [float(x) for x in r[1]]) for r in ev.collect())
     if not rows:
+        if corpus.isStreaming:
+            # a batch empty relation can't stand in for a streaming plan;
+            # an empty eval set on the gate path is a caller bug, not data
+            raise ValueError(
+                "semantic_decontam_pairs: eval_pred selected no rows from "
+                "eval_source; a streaming gate needs a non-empty eval set"
+            )
         return corpus.sparkSession.createDataFrame(
             [], "train_id bigint, eval_id bigint, cos double"
         )

@@ -133,6 +133,17 @@ class TestStreamingSemanticDecontam:
         assert len(streamed) > 0
 
 
+    def test_empty_eval_on_stream_raises(self, spark):
+        # an empty eval set can't degrade to a batch empty relation when the
+        # corpus is a stream — the gate must fail loudly instead
+        stream = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        empty_eval = spark.createDataFrame(
+            [], "vec_id bigint, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="non-empty eval"):
+            S.semantic_decontam_pairs(stream, "vec_id < 0", eval_source=empty_eval)
+
+
 class TestTokenizerFertility:
     @pytest.fixture(scope="class")
     def result(self, spark, sf_dir):
