@@ -307,3 +307,95 @@ def test_connected_components_equal_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "a bigint, b bigint")
     got = {r.id: r.component for r in connected_components(pairs).collect()}
     assert got == _uf_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: semantic decontamination recall/precision is EXACT (the flagship
+# claim — a decontamination pass may not miss a single leaked vector), and
+# the Arrow LSH bucket projection matches the interpreted expression on
+# arbitrary vectors (sign boundaries included).
+
+VEC = st.lists(
+    st.integers(-3, 3).map(float), min_size=6, max_size=6
+).filter(lambda v: any(x != 0.0 for x in v))
+
+CORPUS = st.lists(VEC, min_size=4, max_size=24)
+
+
+def _seq_cos(a, b):
+    """The engine's exact op order: left-to-right products, sqrt, divide —
+    python floats ARE IEEE doubles, so this is bit-identical to the fold."""
+    import math
+
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+        na = na + x * x
+        nb = nb + y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+@given(vecs=CORPUS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_semantic_decontam_matches_exact_reference(spark, vecs):
+    import math
+
+    from mini_flink_spark.functions.similarity import semantic_decontam_pairs
+
+    tau = 0.5
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    expected = set()
+    for i, a in rows:
+        if i % 3 == 0:
+            continue  # train side
+        for j, b in rows:
+            if j % 3 != 0:
+                continue  # eval side
+            c = math.floor(_seq_cos(a, b) * 1e6 + 0.5) / 1e6  # arrow rounding
+            if c >= tau:
+                expected.add((i, j, c))
+    got = {
+        (r.train_id, r.eval_id, r.cos)
+        for r in semantic_decontam_pairs(
+            df, "vec_id % 3 = 0", tau=tau, path="arrow"
+        ).collect()
+    }
+    assert got == expected
+
+
+@given(vecs=st.lists(st.lists(st.floats(-1, 1, allow_nan=False, width=32), min_size=8, max_size=8), min_size=1, max_size=12))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bucket_expr_arrow_parity_property(spark, vecs):
+    from mini_flink_spark.functions.similarity import (
+        multi_table_buckets_arrow,
+        multi_table_buckets_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id bigint, v array<float>"
+    )
+    kw = dict(tables=3, planes=4, dim=8)
+    expr_keys = {
+        r.vec_id: list(r.b)
+        for r in df.select(
+            "vec_id", multi_table_buckets_expr("v", **kw).alias("b")
+        ).collect()
+    }
+    arrow_keys = {
+        r.vec_id: list(r.b)
+        for r in df.select(
+            "vec_id", multi_table_buckets_arrow(F.col("v"), **kw).alias("b")
+        ).collect()
+    }
+    assert arrow_keys == expr_keys
