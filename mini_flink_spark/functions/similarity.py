@@ -234,10 +234,11 @@ def multi_table_buckets_arrow(
     @pandas_udf("array<string>")
     def _bk(v):
         V = np.stack(v.to_numpy()).astype(np.float64)  # (n, d)
-        dot = np.zeros((V.shape[0], P.shape[0]))
-        for dd in range(P.shape[1]):  # left-to-right, same op order as fold
-            dot = dot + V[:, dd, None] * P[None, :, dd]
-        bits = dot > 0
+        dot = _seq_dot_matrix(np, V, P)
+        # NaN-faithful sign test: Spark orders NaN above every numeric, so
+        # the expression's `d > 0` SETS the bit on a NaN dot; numpy NaN
+        # comparisons are all False, hence ~(dot <= 0), not (dot > 0).
+        bits = ~(dot <= 0)
         codes = np.zeros((V.shape[0], tables), dtype=np.int64)
         for t in range(tables):
             for i in range(planes):
@@ -247,6 +248,28 @@ def multi_table_buckets_arrow(
         )
 
     return _bk(vec.cast("array<double>"))
+
+
+def _seq_dot_matrix(np, V, M):
+    """(n, m) dot products of every row of V against every row of M,
+    accumulated LEFT-TO-RIGHT over dimensions — the same IEEE op order as the
+    zip_with/aggregate expression fold, so each dot is bit-identical to the
+    interpreted twin. The load-bearing bit-exactness invariant lives HERE and
+    only here (multi_table_buckets_arrow and _decontam_hits_arrow both call
+    it); do not 'optimize' to np.dot/@ — pairwise summation changes the
+    result in the last ulp and desynchronizes the pinned expression parity."""
+    dot = np.zeros((V.shape[0], M.shape[0]))
+    for dd in range(M.shape[1]):
+        dot = dot + V[:, dd, None] * M[None, :, dd]
+    return dot
+
+
+def _seq_sq_norms(np, X):
+    """Per-row sum of squares with the same left-to-right dimension order."""
+    n = np.zeros(X.shape[0])
+    for dd in range(X.shape[1]):
+        n = n + X[:, dd] * X[:, dd]
+    return n
 
 
 def multi_table_buckets_sql(
@@ -754,6 +777,11 @@ def semantic_decontam_pairs(
     cannot be collected — the STREAMING rendering passes the static table
     here and the stream as `corpus`, making the whole check a stateless
     per-record projection (gate-at-ingest)."""
+    if corpus.isStreaming and eval_source is None:
+        raise ValueError(
+            "semantic_decontam_pairs: a streaming corpus cannot be collected "
+            "for the eval split — pass the static table as eval_source"
+        )
     ev = (eval_source if eval_source is not None else corpus).filter(
         F.expr(eval_pred)
     ).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
@@ -790,7 +818,15 @@ def semantic_decontam_pairs(
         )
     return (
         train.select(F.col(id_col).alias("train_id"), F.explode(hits).alias("h"))
-        .select("train_id", F.col("h.eval_id").alias("eval_id"), F.col("h.cos").alias("cos"))
+        .select(
+            "train_id",
+            F.col("h.eval_id").alias("eval_id"),
+            # Arrow serialization coerces a NaN inside the struct list to
+            # null (pandas' nan==missing convention); a null cos cannot
+            # otherwise occur here, so restore the literal path's NaN for
+            # exact path parity on garbage-float inputs
+            F.coalesce(F.col("h.cos"), F.lit(float("nan"))).alias("cos"),
+        )
     )
 
 
@@ -822,19 +858,20 @@ def _decontam_hits_arrow(
     def _hits(v):
         eids, EM = bc.value
         V = np.stack(v.to_numpy()).astype(np.float64)  # (n, d)
-        dot = np.zeros((V.shape[0], EM.shape[0]))
-        nt = np.zeros(V.shape[0])
-        ne = np.zeros(EM.shape[0])
-        # left-to-right over dimensions — same IEEE op order as the fold
-        for dd in range(EM.shape[1]):
-            dot = dot + V[:, dd, None] * EM[None, :, dd]
-            nt = nt + V[:, dd] * V[:, dd]
-            ne = ne + EM[:, dd] * EM[:, dd]
+        # the sequential-fold bit-exactness invariant lives in the shared
+        # helpers — see _seq_dot_matrix's warning before touching this
+        dot = _seq_dot_matrix(np, V, EM)
+        nt = _seq_sq_norms(np, V)
+        ne = _seq_sq_norms(np, EM)
         cos = dot / (np.sqrt(nt)[:, None] * np.sqrt(ne)[None, :])
         cos = np.floor(cos * 1e6 + 0.5) / 1e6
         out = []
         for r in range(V.shape[0]):
-            idx = np.nonzero(cos[r] >= tau)[0]
+            # NaN-faithful: Spark's `cos >= tau` is TRUE for NaN (NaN sorts
+            # above every numeric), so a NaN cosine must be EMITTED — the
+            # conservative call for a recall-1.0 contract. numpy NaN
+            # comparisons are all False, hence ~(cos < tau).
+            idx = np.nonzero(~(cos[r] < tau))[0]
             out.append(
                 [{"eval_id": int(eids[j]), "cos": float(cos[r, j])} for j in idx]
             )

@@ -43,6 +43,10 @@ from mini_flink_spark.functions import similarity as S
 from mini_flink_spark.functions import text as T
 from mini_flink_spark.queries import QUERIES, _t, register
 
+# one persisted sorted-corpus copy per session for curriculum_global_rank —
+# see the query body for the unpersist-on-reentry contract
+_CURRICULUM_CACHE: dict[int, object] = {}
+
 
 @register(
     "stratified_sample",
@@ -1147,6 +1151,15 @@ def q_curriculum_global_rank(spark, sf_dir):
     keyed = docs.select(
         "doc_id", T.token_count("text").cast("bigint").alias("n_tokens")
     )
+    # persist() has no ContextCleaner path (unlike the localCheckpoint it
+    # replaced), so without cleanup every invocation would pin another
+    # sorted-corpus copy on executor disks for the session's lifetime.
+    # One-slot registry: entering the query unpersists the PREVIOUS call's
+    # cache (the caller of run N-1 has necessarily consumed its result by
+    # the time run N starts), bounding disk to one materialized copy.
+    stale = _CURRICULUM_CACHE.pop(id(spark), None)
+    if stale is not None:
+        stale.unpersist(blocking=False)
     ranked = (
         keyed.repartitionByRange(
             keyed.sparkSession.sparkContext.defaultParallelism,
@@ -1164,6 +1177,7 @@ def q_curriculum_global_rank(spark, sf_dir):
         # offsets absorb whatever boundaries the range sampler picked.)
         .persist(StorageLevel.DISK_ONLY)
     )
+    _CURRICULUM_CACHE[id(spark)] = ranked
     ranked.count()  # materialize before the two dependent passes
 
     # pass 1: per-partition row counts (one long per partition)

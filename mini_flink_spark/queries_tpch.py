@@ -747,7 +747,8 @@ def q_min_cost_supplier(spark, sf_dir):
       SELECT l_suppkey,
              (sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
                         AND l_shipdate <  TIMESTAMP '1998-01-01'
-                       THEN l_quantity ELSE 0 END)::DECIMAL(28,10))::DOUBLE AS qty97,
+                       THEN l_quantity::DECIMAL(28,10)
+                       ELSE 0::DECIMAL(28,10) END))::DOUBLE AS qty97,
              (sum(l_quantity::DECIMAL(28,10)))::DOUBLE AS qty_all
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE p_name LIKE '%widget'

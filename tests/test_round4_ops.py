@@ -100,6 +100,25 @@ class TestArrowBuckets:
         }
         assert arrow_keys == expr_keys
 
+    def test_nan_vector_bucket_parity(self, spark):
+        # NaN dots must SET the sign bit on both paths (Spark's `d > 0` is
+        # true for NaN; the arrow path uses ~(dot <= 0) to match)
+        rows = [(1, [float("nan")] + [0.0] * 63), (2, [1.0] * 64)]
+        df = spark.createDataFrame(rows, "vec_id bigint, v array<float>")
+        e = {
+            r.vec_id: list(r.b)
+            for r in df.select(
+                "vec_id", S.multi_table_buckets_expr("v").alias("b")
+            ).collect()
+        }
+        a = {
+            r.vec_id: list(r.b)
+            for r in df.select(
+                "vec_id", S.multi_table_buckets_arrow(F.col("v")).alias("b")
+            ).collect()
+        }
+        assert a == e
+
     def test_neardup_pairs_bucket_paths_agree(self, spark, sf_dir):
         from mini_flink_spark.session import read_table
 
@@ -132,6 +151,31 @@ class TestStreamingSemanticDecontam:
         assert streamed == batch
         assert len(streamed) > 0
 
+
+    def test_nan_vector_flagged_on_both_paths(self, spark):
+        # Spark orders NaN above every numeric, so `cos >= tau` is TRUE for
+        # a NaN cosine on the literal path — the arrow path must emit the
+        # same (conservative) verdict, not numpy's all-comparisons-False.
+        import math
+
+        rows = [
+            (37, [1.0, 0.0]),                 # eval
+            (100, [float("nan"), 1.0]),       # train, NaN cosine to eval
+            (200, [1.0, 0.0]),                # train, cos 1.0
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        out = {}
+        for path in ("literal", "arrow"):
+            got = {
+                (r.train_id, r.eval_id): r.cos
+                for r in S.semantic_decontam_pairs(
+                    df, "vec_id % 37 = 0", tau=0.5, path=path
+                ).collect()
+            }
+            assert set(got) == {(100, 37), (200, 37)}, path
+            assert math.isnan(got[(100, 37)]) and got[(200, 37)] == 1.0, path
+            out[path] = set(got)
+        assert out["literal"] == out["arrow"]
 
     def test_empty_eval_on_stream_raises(self, spark):
         # an empty eval set can't degrade to a batch empty relation when the

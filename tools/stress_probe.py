@@ -423,9 +423,14 @@ def probe_dedup_100x(spark):
             # forces full materialization, same as bench.py.
             out = QUERIES[name].fn(spark, d)
             out.write.format("noop").mode("overwrite").save()
-            rows = out.count()
             dt = time.time() - t0
             after = _stage_metrics_total(spark)
+            # rows counted OUTSIDE the clock and the stage-metric window —
+            # count() re-executes the operator, and including that second
+            # run inflated both wall and shuffle deltas (ADVICE r4); trends
+            # in older SCALE_NOTES entries are unaffected (both scales were
+            # measured the same way), absolute walls there read ~2x high.
+            rows = out.count()
             delta = {k: after[k] - before[k] for k in after}
             results[(label, name)] = (dt, rows, delta)
             print(
@@ -474,9 +479,14 @@ def probe_curation_100x(spark):
             t0 = time.time()
             out = QUERIES[name].fn(spark, d)
             out.write.format("noop").mode("overwrite").save()
-            rows = out.count()
             dt = time.time() - t0
             after = _stage_metrics_total(spark)
+            # rows counted OUTSIDE the clock and the stage-metric window —
+            # count() re-executes the operator, and including that second
+            # run inflated both wall and shuffle deltas (ADVICE r4); trends
+            # in older SCALE_NOTES entries are unaffected (both scales were
+            # measured the same way), absolute walls there read ~2x high.
+            rows = out.count()
             delta = {k: after[k] - before[k] for k in after}
             results[(label, name)] = (dt, rows)
             print(
@@ -539,9 +549,14 @@ def probe_round4_new(spark):
             t0 = time.time()
             out = S.semantic_decontam_pairs(repl, pred, tau=0.3)
             out.write.format("noop").mode("overwrite").save()
-            rows = out.count()
             dt = time.time() - t0
             after = _stage_metrics_total(spark)
+            # rows counted OUTSIDE the clock and the stage-metric window —
+            # count() re-executes the operator, and including that second
+            # run inflated both wall and shuffle deltas (ADVICE r4); trends
+            # in older SCALE_NOTES entries are unaffected (both scales were
+            # measured the same way), absolute walls there read ~2x high.
+            rows = out.count()
             sw = (after["shuffle_write"] - before["shuffle_write"]) / 1e6
             sp = (after["disk_spill"] - before["disk_spill"]) / 1e6
             results[(label, plabel)] = (dt, rows)
@@ -589,9 +604,14 @@ def probe_round4_new(spark):
             t0 = time.time()
             out = QUERIES[name].fn(spark, d)
             out.write.format("noop").mode("overwrite").save()
-            rows = out.count()
             dt = time.time() - t0
             after = _stage_metrics_total(spark)
+            # rows counted OUTSIDE the clock and the stage-metric window —
+            # count() re-executes the operator, and including that second
+            # run inflated both wall and shuffle deltas (ADVICE r4); trends
+            # in older SCALE_NOTES entries are unaffected (both scales were
+            # measured the same way), absolute walls there read ~2x high.
+            rows = out.count()
             sw = (after["shuffle_write"] - before["shuffle_write"]) / 1e6
             sp = (after["disk_spill"] - before["disk_spill"]) / 1e6
             results[(label, name)] = (dt, rows)
