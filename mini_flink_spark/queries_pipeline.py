@@ -347,7 +347,7 @@ def q_semantic_decontamination(spark, sf_dir):
 
     path="arrow": the broadcast + vectorized fold (bit-identical raw cosines
     to the literal expression, pinned by test_literal_and_arrow_paths_agree)
-    — measured 4.7s -> 0.6s warm at sf0.1 and 78.6s -> 16.6s at 500k vectors
+    — measured 4.7s -> 0.6s warm at sf0.1 and 29.3s -> 10.5s at 500k vectors
     (SCALE_NOTES round4_new): the giant literal tree pays per-run analysis +
     interpreted-fold cost the broadcast path doesn't."""
     emb = _t(spark, sf_dir, "embeddings")
