@@ -5,11 +5,12 @@ Design for 100 TB (the whole point of these):
 
 - *Exact*: hash-groupBy on a 56-bit content fingerprint — one shuffle on a
   fixed-width key instead of full text; keep the min doc_id per group.
-- *MinHash+LSH*: signatures are computed **without any shuffle** (nested array
-  expressions over the shingle array, whole-stage codegen); only the LSH
-  band→bucket self-join shuffles, and it shuffles 8-byte band keys, not text.
-  Candidate pairs are then verified with an exact Jaccard join (inverted-index
-  style, no cross join anywhere).
+- *MinHash+LSH*: signatures fold exploded shingle hashes through ONE
+  map-side-combinable aggregation (`minhash_sig_from_shingled` — the min per
+  seed combines partially before the exchange, so the shuffle carries k
+  8-byte partial minima per doc, never text); the LSH band→bucket self-join
+  likewise shuffles only 8-byte band keys. Candidate pairs are then verified
+  with an exact Jaccard join (inverted-index style, no cross join anywhere).
 - *SimHash*: one explode + two keyed aggregations on integer bit positions;
   pair extraction blocks on band keys (pigeonhole: hamming ≤ k ⇒ some band of
   (k+1) bands equal), never a cross join.
@@ -26,7 +27,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from mini_flink_spark.functions.hashing import portable_hash64_sql, seeded_hash
+from mini_flink_spark.functions.hashing import (
+    portable_hash64,
+    portable_hash64_sql,
+    seeded_hash,
+)
 from mini_flink_spark.functions.text import (
     fingerprint,
     fingerprint_sql,
@@ -62,6 +67,27 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(col), n)
 
 
+def tokenized(df: DataFrame, id_col: str, text_col: str, extra_cols=None) -> DataFrame:
+    """(id[, *extra], t) — the shared preamble of every heavy per-row dedup
+    operator: spread raw rows to cluster parallelism, THEN tokenize once per
+    row in a separate projection. The repartition exists because a small
+    parquet table scans as ONE task (the tokenizer's regexes would run
+    single-threaded — measured 16-25x on the shingle paths); the projection
+    split keeps CollapseProject from inlining the tokenizer into downstream
+    per-element lambdas (which re-evaluate captured children per element).
+    The rationale lives HERE once — operators must not restate the preamble.
+    extra_cols: {name: Column} carried alongside (e.g. the incremental
+    operators' NULL-safe is_new flag)."""
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    extras = extra_cols or {}
+    raw = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        *[c.alias(name) for name, c in extras.items()],
+    ).repartition(parts)
+    return raw.select("id", *extras.keys(), tokens("_text").alias("t"))
+
+
 def shingled(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, sh) with the shingle set materialized cheaply: repartition the raw
     rows to cluster parallelism first (a small parquet file scans as ONE task
@@ -77,9 +103,7 @@ def shingled(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     (single-threaded, measured 25× slower). Explode-based consumers drop empty
     arrays for free; the DuckDB oracles carry an explicit `len(sh) >= 1` where
     the Spark side relies on that drop."""
-    parts = df.sparkSession.sparkContext.defaultParallelism
-    raw = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text")).repartition(parts)
-    toks = raw.select("id", tokens("_text").alias("t"))
+    toks = tokenized(df, id_col, text_col)
     return toks.select("id", shingles_from_tokens(F.col("t"), n).alias("sh"))
 
 
@@ -117,34 +141,31 @@ MINHASH_K = 16  # signature length
 LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
 
 
-def minhash_signature(col: Column | str, k: int = MINHASH_K, n: int = 3) -> Column:
-    """k-element MinHash signature (array<bigint>) of the shingle set.
-
-    h_i(doc) = min over shingles s of H(s || '#i') — computed as nested array
-    transforms: zero shuffle, zero Python.
-    """
-    sh = shingles(col, n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                sh,
-                lambda s: F.conv(
-                    F.substring(F.md5(F.concat(s, F.lit("#"), i.cast("string"))), 1, 14),
-                    16,
-                    10,
-                ).cast("bigint"),
-            )
-        ),
+def minhash_sig_from_shingled(base, keys, k: int = MINHASH_K):
+    """(keys..., sig) — the k-element MinHash signature from a shingled frame
+    (`base` carries the materialized `sh` array column): explode shingles ->
+    k seeded hashes -> per-key min fold. h_i(doc) = min over shingles s of
+    H(s || '#i'). This is the ONE definition of the signature shape — the
+    self-join path, the incremental probe, and the persisted index all build
+    from here, and the SQL twin is minhash_sig_from_col_sql; changing k, the
+    hash family, or the band encoding in fewer than both places silently
+    desynchronizes index and probe."""
+    sh_rows = base.select(*keys, F.explode("sh").alias("s"))
+    hash_cols = [seeded_hash(F.col("s"), i).alias(f"h{i}") for i in range(k)]
+    return (
+        sh_rows.select(*keys, *hash_cols)
+        .groupBy(*keys)
+        .agg(F.array(*[F.min(f"h{i}") for i in range(k)]).alias("sig"))
     )
 
 
-def minhash_signature_sql(expr: str, k: int = MINHASH_K, n: int = 3) -> str:
-    sh = shingles_sql(expr, n)
+def minhash_sig_from_col_sql(k: int = MINHASH_K) -> str:
+    """DuckDB twin of minhash_sig_from_shingled over a materialized `sh`
+    column (inlining the shingle expression re-derives the tokenize+shingle
+    pipeline once per hash index — measured 27s -> 0.7s at sf0.01)."""
     h = portable_hash64_sql("(s || '#' || i::VARCHAR)")
     return (
-        f"list_transform(range(0, {k}), "
-        f"i -> list_min(list_transform({sh}, s -> {h})))"
+        f"list_transform(range(0, {k}), i -> list_min(list_transform(sh, s -> {h})))"
     )
 
 
@@ -208,13 +229,7 @@ def minhash_lsh_pairs(
         .withColumn("n_sh", F.array_size("sh"))
         .localCheckpoint(eager=False)
     )
-    sh_rows = base.select("id", F.explode("sh").alias("s"))
-    hash_cols = [seeded_hash(F.col("s"), i).alias(f"h{i}") for i in range(k)]
-    sig = (
-        sh_rows.select("id", *hash_cols)
-        .groupBy("id")
-        .agg(F.array(*[F.min(f"h{i}") for i in range(k)]).alias("sig"))
-    )
+    sig = minhash_sig_from_shingled(base, ["id"], k)
     banded = sig.select(
         "id", F.explode(minhash_bands(F.col("sig"), k, bands)).alias("band")
     )
@@ -273,10 +288,7 @@ def minhash_lsh_pairs_sql(
     # Signature from the materialized `sh` COLUMN, not the inline shingle
     # expression: inlined, DuckDB re-derives the whole tokenize+shingle
     # pipeline once per hash index (k=16x) — measured 27s -> 0.7s at sf0.01.
-    h = portable_hash64_sql("(s || '#' || i::VARCHAR)")
-    sig_from_col = (
-        f"list_transform(range(0, {k}), i -> list_min(list_transform(sh, s -> {h})))"
-    )
+    sig_from_col = minhash_sig_from_col_sql(k)
     bands_expr = minhash_bands_sql("sig", k, bands)
     bucket_cap = (
         f"banded AS (SELECT banded0.id, banded0.band FROM banded0 JOIN "
@@ -335,15 +347,16 @@ def minhash_incremental_pairs(
     then touches only candidate rows. Output: (a=existing id, b=new id,
     jaccard) with the same band/signature semantics as minhash_lsh_pairs.
     """
-    parts = df.sparkSession.sparkContext.defaultParallelism
     # evaluate new_pred against the ORIGINAL columns, then shingle (same
-    # two-projection shape as `shingled` so the tokenizer runs once per row)
-    raw = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("_text"),
-        F.expr(new_pred).alias("is_new"),
-    ).repartition(parts)
-    toks = raw.select("id", "is_new", tokens("_text").alias("t"))
+    # two-projection shape as `shingled` so the tokenizer runs once per row).
+    # NULL-safe is_new: a NULL predicate (e.g. an ingest_ts >= cutoff test
+    # on a nullable column) means "not new" — without the coalesce such rows
+    # fail BOTH the is_new and NOT-is_new filters and silently vanish from
+    # the comparison on both engines (review r4)
+    toks = tokenized(
+        df, id_col, text_col,
+        {"is_new": F.coalesce(F.expr(new_pred), F.lit(False))},
+    )
     base = (
         toks.select(
             "id", "is_new", shingles_from_tokens(F.col("t"), n).alias("sh")
@@ -351,13 +364,7 @@ def minhash_incremental_pairs(
         .withColumn("n_sh", F.array_size("sh"))
         .localCheckpoint(eager=False)
     )
-    sh_rows = base.select("id", "is_new", F.explode("sh").alias("s"))
-    hash_cols = [seeded_hash(F.col("s"), i).alias(f"h{i}") for i in range(k)]
-    sig = (
-        sh_rows.select("id", "is_new", *hash_cols)
-        .groupBy("id", "is_new")
-        .agg(F.array(*[F.min(f"h{i}") for i in range(k)]).alias("sig"))
-    )
+    sig = minhash_sig_from_shingled(base, ["id", "is_new"], k)
     banded = sig.select(
         "id", "is_new", F.explode(minhash_bands(F.col("sig"), k, bands)).alias("band")
     ).localCheckpoint(eager=False)
@@ -396,14 +403,11 @@ def minhash_incremental_pairs_sql(
     n: int = 3,
 ) -> str:
     sh = shingles_sql(text_col, n)
-    h = portable_hash64_sql("(s || '#' || i::VARCHAR)")
-    sig_from_col = (
-        f"list_transform(range(0, {k}), i -> list_min(list_transform(sh, s -> {h})))"
-    )
+    sig_from_col = minhash_sig_from_col_sql(k)
     bands_expr = minhash_bands_sql("sig", k, bands)
     return f"""
 WITH sh_t AS MATERIALIZED (
-  SELECT {id_col} AS id, ({new_pred}) AS is_new, {sh} AS sh FROM {table}
+  SELECT {id_col} AS id, coalesce(({new_pred}), false) AS is_new, {sh} AS sh FROM {table}
 ),
 base AS MATERIALIZED (
   SELECT id, is_new, sh, {sig_from_col} AS sig FROM sh_t WHERE len(sh) >= 1
@@ -463,6 +467,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.v == labels.id)
@@ -487,6 +492,15 @@ def connected_components(
         labels = new_labels.select("id", "comp")
         if changed == 0:
             break
+    if changed != 0:
+        # labels were still moving when the round budget ran out — returning
+        # them would silently mislabel components (a >25-hop chain is
+        # pathological for near-dup graphs, but wrong answers must be loud).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "graph diameter exceeds the budget; raise max_iter or switch the "
+            "loop body to Kiveris et al. star-contraction (SoCC'14)"
+        )
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 
@@ -546,8 +560,7 @@ def simhash_expr(text_col: str) -> F.Column:
     """
     masks = F.array(*[F.lit(1 << i).cast("bigint") for i in range(SIMHASH_BITS)])
     toks_h = F.transform(
-        F.array_distinct(tokens(text_col)),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 14), 16, 10).cast("bigint"),
+        F.array_distinct(tokens(text_col)), lambda t: portable_hash64(t)
     )
     one = F.lit(1).cast("bigint")
     zero = F.lit(0).cast("bigint")
@@ -568,6 +581,11 @@ def simhash_expr(text_col: str) -> F.Column:
 
 
 def simhash_sql(id_col: str, text_col: str, table: str = "documents") -> str:
+    # LEFT JOIN back to the table so a ZERO-TOKEN document (blank,
+    # punctuation-only, fully non-Latin — normalize_text strips everything
+    # outside [a-z0-9 ]) still yields a row with simhash 0, matching the
+    # Spark fold, whose aggregate over an empty token array returns 0. The
+    # unnest pipeline alone drops such docs entirely (found in review r4).
     h = portable_hash64_sql("tok")
     return f"""
 WITH tok AS (
@@ -579,9 +597,13 @@ bits AS (
   SELECT id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS contrib
   FROM hashed, range(0, {SIMHASH_BITS}) r(b)
 ),
-per_bit AS (SELECT id, b, sum(contrib) AS s FROM bits GROUP BY id, b)
-SELECT id, (sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
-FROM per_bit GROUP BY id
+per_bit AS (SELECT id, b, sum(contrib) AS s FROM bits GROUP BY id, b),
+agg AS (
+  SELECT id, (sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+  FROM per_bit GROUP BY id
+)
+SELECT d.{id_col} AS id, coalesce(a.simhash, 0)::BIGINT AS simhash
+FROM {table} d LEFT JOIN agg a ON a.id = d.{id_col}
 """
 
 
@@ -774,11 +796,7 @@ def duplicate_spans(
     Short docs (< w tokens) contribute an empty hash array (see
     `_span_positions` for the filter-pushdown rationale).
     """
-    parts = df.sparkSession.sparkContext.defaultParallelism
-    raw = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
-    ).repartition(parts)
-    toks = raw.select("id", tokens("_text").alias("t"))
+    toks = tokenized(df, id_col, text_col)
     sp = toks.select(
         "id", F.explode(span_hash_array(F.col("t"), w)).alias("span_hash")
     )
@@ -840,11 +858,7 @@ def remove_duplicate_spans(
     `clean_text` is the *normalized* token stream re-joined — the same
     canonical form every other dedup operator keys on.
     """
-    parts = df.sparkSession.sparkContext.defaultParallelism
-    raw = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
-    ).repartition(parts)
-    toks = raw.select("id", tokens("_text").alias("t"))
+    toks = tokenized(df, id_col, text_col)
     ph = toks.select(
         "id", F.explode(span_pos_hashes(F.col("t"), w)).alias("z")
     ).select("id", F.col("z.pos").alias("pos"), F.col("z.h").alias("h"))
@@ -942,13 +956,14 @@ def incremental_duplicate_spans(
     (n_spans = n_dup_spans = 0 via a left join back onto the new-doc id
     list) — a consumer acting per new arrival must be able to distinguish
     'zero dup spans' from 'doc absent'."""
-    parts = df.sparkSession.sparkContext.defaultParallelism
-    raw = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("_text"),
-        F.expr(new_pred).alias("is_new"),
-    ).repartition(parts)
-    toks = raw.select("id", "is_new", tokens("_text").alias("t"))
+    # NULL-safe is_new: a NULL predicate (e.g. an ingest_ts >= cutoff test
+    # on a nullable column) means "not new" — without the coalesce such rows
+    # fail BOTH the is_new and NOT-is_new filters and silently vanish from
+    # the comparison on both engines (review r4)
+    toks = tokenized(
+        df, id_col, text_col,
+        {"is_new": F.coalesce(F.expr(new_pred), F.lit(False))},
+    )
     ph = toks.select(
         "id", "is_new", F.explode(span_hash_array(F.col("t"), w)).alias("h")
     ).localCheckpoint(eager=True)  # index + probe branches both consume ph:
@@ -980,7 +995,7 @@ def incremental_duplicate_spans_sql(
     toks = tokens_sql(text_col)
     return f"""
 WITH toks AS (
-  SELECT {id_col} AS id, ({new_pred}) AS is_new, {toks} AS t FROM {table}
+  SELECT {id_col} AS id, coalesce(({new_pred}), false) AS is_new, {toks} AS t FROM {table}
 ),
 ph AS (
   SELECT id, is_new,
@@ -1037,8 +1052,8 @@ def intradoc_block_dedup(
     ).withColumn("blocks", F.expr(expr))
     hashed = base.withColumn(
         "bh",
-        F.expr(
-            "transform(blocks, b -> cast(conv(substring(md5(array_join(b, ' ')), 1, 14), 16, 10) as bigint))"
+        F.transform(
+            F.col("blocks"), lambda b: portable_hash64(F.array_join(b, " "))
         ),
     )
     kept = hashed.withColumn(
@@ -1197,24 +1212,14 @@ def minhash_index_persist(
     PERSISTED inventory instead of re-tokenizing the corpus. Distributed
     write; at warehouse scale `bands` would be bucketed by band key so the
     probe join co-locates without a shuffle (storage.py has the layout)."""
-    parts = df.sparkSession.sparkContext.defaultParallelism
-    raw = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
-    ).repartition(parts)
-    toks = raw.select("id", tokens("_text").alias("t"))
+    toks = tokenized(df, id_col, text_col)
     base = (
         toks.select("id", shingles_from_tokens(F.col("t"), n).alias("sh"))
         .withColumn("n_sh", F.array_size("sh"))
         .localCheckpoint(eager=False)
     )
     base.write.mode("overwrite").parquet(f"{path}/shingles")
-    sh_rows = base.select("id", F.explode("sh").alias("s"))
-    hash_cols = [seeded_hash(F.col("s"), i).alias(f"h{i}") for i in range(k)]
-    sig = (
-        sh_rows.select("id", *hash_cols)
-        .groupBy("id")
-        .agg(F.array(*[F.min(f"h{i}") for i in range(k)]).alias("sig"))
-    )
+    sig = minhash_sig_from_shingled(base, ["id"], k)
     sig.select(
         "id", F.explode(minhash_bands(F.col("sig"), k, bands)).alias("band")
     ).write.mode("overwrite").parquet(f"{path}/bands")
@@ -1236,23 +1241,13 @@ def minhash_probe_persisted(
     shuffled), candidates verify exact-Jaccard against the on-disk shingle
     sets. Output (a=indexed id, b=new id, jaccard) — identical to
     `minhash_incremental_pairs` over the union (pinned by test)."""
-    parts = spark.sparkContext.defaultParallelism
-    raw = new_docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
-    ).repartition(parts)
-    toks = raw.select("id", tokens("_text").alias("t"))
+    toks = tokenized(new_docs, id_col, text_col)
     nbase = (
         toks.select("id", shingles_from_tokens(F.col("t"), n).alias("sh"))
         .withColumn("n_sh", F.array_size("sh"))
         .localCheckpoint(eager=False)
     )
-    sh_rows = nbase.select("id", F.explode("sh").alias("s"))
-    hash_cols = [seeded_hash(F.col("s"), i).alias(f"h{i}") for i in range(k)]
-    nsig = (
-        sh_rows.select("id", *hash_cols)
-        .groupBy("id")
-        .agg(F.array(*[F.min(f"h{i}") for i in range(k)]).alias("sig"))
-    )
+    nsig = minhash_sig_from_shingled(nbase, ["id"], k)
     new_keys = nsig.select(
         F.col("id").alias("new_id"),
         F.explode(minhash_bands(F.col("sig"), k, bands)).alias("band"),
@@ -1331,22 +1326,31 @@ def winnow_select(hs: Column, w: int = 4) -> Column:
     )
 
 
-def winnow_fingerprints_sql(k: int = 5, w: int = 4) -> str:
-    """DuckDB twin over a token-list column `t`: identical k-gram hash,
-    identical window-min selection. range() yields [] when stop <= start,
-    matching the short-doc guard."""
-    hs = (
+def winnow_hs_sql(k: int = 5) -> str:
+    """DuckDB rolling k-gram hash array over a token-list column `t` — the
+    input stream of winnowing. Materialize this as a CTE column BEFORE the
+    window-min: DuckDB re-derives an inlined expression once per lambda
+    element (this file's own measurement at minhash_lsh_pairs_sql: 27s ->
+    0.7s), so inlining the whole chain inside the window-min lambda is
+    O(n²) md5 calls per document — the same trap the Spark side dodges with
+    its Generate barriers."""
+    return (
         f"(list_transform(range(1, greatest(len(t) - {k - 1}, 0) + 1), "
         f"i -> {span_hash_sql(k)}))"
     )
-    # Unambiguous {HS} placeholder + str.format (ADVICE r3: the previous
-    # textual .replace("hs", ...) was correct only while no other substring
-    # "hs" appeared anywhere in the template).
+
+
+def winnow_fingerprints_sql(hs_col: str = "hs", w: int = 4) -> str:
+    """DuckDB twin of `winnow_select` over a MATERIALIZED hash-array column
+    (see winnow_hs_sql). range() yields [] when stop <= start, matching the
+    short-doc guard. Unambiguous {HS} placeholder + str.format (ADVICE r3:
+    a textual .replace was correct only while no other 'hs' substring
+    appeared in the template)."""
     return (
         "list_sort(list_distinct(list_transform("
         "range(1, greatest(len({HS}) - {WM1}, 0) + 1), "
         "j -> list_min({HS}[j:j+{WM1}])))) "
-    ).format(HS=hs, WM1=w - 1)
+    ).format(HS=hs_col, WM1=w - 1)
 
 
 # ------------------------------------------------- paragraph-level dedup

@@ -2615,11 +2615,17 @@ def q_url_canonical_dedup(spark, sf_dir):
     f"""
     WITH toks AS (
       SELECT doc_id, {T.tokens_sql('text')} AS t FROM documents
+    ),
+    hst AS MATERIALIZED (
+      SELECT doc_id, {D.winnow_hs_sql()} AS hs FROM toks
+    ),
+    fpt AS (
+      SELECT doc_id, {D.winnow_fingerprints_sql('hs')} AS fp_arr FROM hst
     )
     SELECT doc_id,
-           len({D.winnow_fingerprints_sql()})::BIGINT AS n_fp,
-           array_to_string({D.winnow_fingerprints_sql()}, '-') AS fp
-    FROM toks
+           len(fp_arr)::BIGINT AS n_fp,
+           array_to_string(fp_arr, '-') AS fp
+    FROM fpt
     """,
     ("pipeline", "dedup", "fingerprint"),
 )

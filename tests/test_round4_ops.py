@@ -237,3 +237,57 @@ class TestDedupClusterStats:
         pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4)
         n_nodes = D.connected_components(pairs).count()
         assert sum(r.n_docs for r in result) == n_nodes
+
+
+class TestDedupReviewFixes:
+    """Round-4 review findings on functions/dedup.py."""
+
+    def test_simhash_oracle_keeps_zero_token_docs(self, spark):
+        import duckdb
+
+        from mini_flink_spark.functions import dedup as D
+
+        rows = [(1, "hello world"), (2, "!!! ..."), (3, "")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r.id: r.simhash for r in D.simhash(df, "doc_id", "text").collect()}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        oracle = {
+            r[0]: r[1]
+            for r in con.execute(D.simhash_sql("doc_id", "text")).fetchall()
+        }
+        # both engines must emit ALL THREE docs; zero-token docs hash to 0
+        assert set(got) == set(oracle) == {1, 2, 3}
+        assert got == oracle
+        assert got[2] == 0 and got[3] == 0
+
+    def test_connected_components_raises_on_nonconvergence(self, spark):
+        import pytest as _pytest
+
+        from mini_flink_spark.functions import dedup as D
+
+        chain = [(i, i + 1) for i in range(29)]  # diameter 29 > max_iter 3
+        pairs = spark.createDataFrame(chain, "a bigint, b bigint")
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            D.connected_components(pairs, max_iter=3)
+        # and with budget it converges to component 0 for every node
+        comp = {
+            r.id: r.component
+            for r in D.connected_components(pairs, max_iter=40).collect()
+        }
+        assert set(comp.values()) == {0}
+
+    def test_incremental_dedup_null_pred_rows_are_old(self, spark):
+        from mini_flink_spark.functions import dedup as D
+
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, text, None),  # NULL ingest_ts -> must count as OLD
+            (2, text, 9),     # new arrival, duplicate of doc 1
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, ingest int")
+        pairs = D.minhash_incremental_pairs(
+            df, "doc_id", "text", new_pred="ingest >= 5", threshold=0.5
+        ).collect()
+        assert [(r.a, r.b) for r in pairs] == [(1, 2)]
