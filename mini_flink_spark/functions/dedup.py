@@ -467,8 +467,12 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    changed = 0
-    for _ in range(max_iter):
+    # max_iter label-UPDATING rounds are permitted, plus one final
+    # verification-only probe round: a graph that converges exactly on round
+    # max_iter (the last permitted round makes the final change) is fully
+    # correct and must be returned, not rejected — only a probe that STILL
+    # observes movement proves the budget was genuinely too small.
+    for rnd in range(max_iter + 1):
         nbr_min = (
             sym.join(labels, sym.v == labels.id)
             .groupBy("u")
@@ -489,18 +493,19 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("comp") != F.col("prev")).limit(1).count()
-        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
-    if changed != 0:
-        # labels were still moving when the round budget ran out — returning
-        # them would silently mislabel components (a >25-hop chain is
-        # pathological for near-dup graphs, but wrong answers must be loud).
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds — "
-            "graph diameter exceeds the budget; raise max_iter or switch the "
-            "loop body to Kiveris et al. star-contraction (SoCC'14)"
-        )
+        if rnd == max_iter:
+            # labels were still moving on the verification round — returning
+            # them would silently mislabel components (a >max_iter-hop chain
+            # is pathological for near-dup graphs, but wrong answers must be
+            # loud).
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds — "
+                "graph diameter exceeds the budget; raise max_iter or switch the "
+                "loop body to Kiveris et al. star-contraction (SoCC'14)"
+            )
+        labels = new_labels.select("id", "comp")
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 

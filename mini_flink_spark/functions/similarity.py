@@ -454,14 +454,15 @@ def embedding_neardup_pairs(
     buckets selects the candidate-generation projection the same way:
     "expr" = the interpreted tables×planes fold, "arrow" =
     `multi_table_buckets_arrow` (bit-identical sign patterns, pinned) —
-    Catalyst doesn't codegen higher-order functions, so the 36-fold
-    projection dominates blocked runs on wide corpora."""
+    Catalyst doesn't codegen higher-order functions, so the tables×planes
+    dot-product fold (8×7 = 56 hyperplane projections per row at the
+    defaults) dominates blocked runs on wide corpora."""
     parts = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(parts).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if blocked:
         # Single-parse bucket expression (the Column-API builder costs ~2.3k
         # py4j round-trips) + materialize the bucketed projection ONCE: the
-        # l/r self-join branches would otherwise each recompute the 36-dot-
+        # l/r self-join branches would otherwise each recompute the 56-dot-
         # product projection (pruning gives them different subtrees, so
         # ReuseExchange never fires). Same pattern as lsh_topk's base.
         bucket_col = (
@@ -797,7 +798,11 @@ def semantic_decontam_pairs(
         return corpus.sparkSession.createDataFrame(
             [], "train_id bigint, eval_id bigint, cos double"
         )
-    train = corpus.filter(~F.expr(eval_pred))
+    # NULL-predicate rows must land in TRAIN, not vanish: a bare ~pred is
+    # NULL for them, so filter would drop such docs from BOTH splits and
+    # they'd silently escape the recall-1.0 scan (same class as the
+    # minhash_incremental is_new fix)
+    train = corpus.filter(~F.coalesce(F.expr(eval_pred), F.lit(False)))
     if path == "arrow" or (
         path == "auto" and len(rows) * len(rows[0][1]) > _literal_kd_max()
     ):
@@ -896,6 +901,6 @@ def semantic_decontam_pairs_sql(
     return f"""
 SELECT t.{id_col} AS train_id, e.{id_col} AS eval_id, round({cos}, 6) AS cos
 FROM {table} t JOIN {table} e
-  ON NOT ({eval_pred.format(T="t")}) AND {eval_pred.format(T="e")}
+  ON NOT coalesce({eval_pred.format(T="t")}, FALSE) AND {eval_pred.format(T="e")}
 WHERE round({cos}, 6) >= {tau}
 """

@@ -1157,9 +1157,18 @@ def q_curriculum_global_rank(spark, sf_dir):
     # One-slot registry: entering the query unpersists the PREVIOUS call's
     # cache (the caller of run N-1 has necessarily consumed its result by
     # the time run N starts), bounding disk to one materialized copy.
-    stale = _CURRICULUM_CACHE.pop(id(spark), None)
+    # Key by applicationId, not id(spark): a stopped-and-GC'd session's id()
+    # can be reused by a NEW SparkSession, which would hand us a stale
+    # DataFrame bound to a dead SparkContext. Guard the unpersist too — the
+    # stale entry's context may already be stopped, and cleanup failure must
+    # not fail the query.
+    app_id = spark.sparkContext.applicationId
+    stale = _CURRICULUM_CACHE.pop(app_id, None)
     if stale is not None:
-        stale.unpersist(blocking=False)
+        try:
+            stale.unpersist(blocking=False)
+        except Exception:
+            pass
     ranked = (
         keyed.repartitionByRange(
             keyed.sparkSession.sparkContext.defaultParallelism,
@@ -1177,7 +1186,7 @@ def q_curriculum_global_rank(spark, sf_dir):
         # offsets absorb whatever boundaries the range sampler picked.)
         .persist(StorageLevel.DISK_ONLY)
     )
-    _CURRICULUM_CACHE[id(spark)] = ranked
+    _CURRICULUM_CACHE[app_id] = ranked
     ranked.count()  # materialize before the two dependent passes
 
     # pass 1: per-partition row counts (one long per partition)
