@@ -68,9 +68,40 @@ HEADLINE = [
 ]
 
 
+def wait_for_quiet_machine(max_wait_s: float = 240.0, load_per_cpu: float = 0.25) -> None:
+    """Best-effort quiet-start guard. The bench shares its host with whatever
+    ran just before it (test suites, prior Spark JVMs still shutting down);
+    round-4's driver-recorded run measured the same code 1.2-4.4x slower than
+    a quiet-machine run purely from background load. Wall-clock numbers only
+    mean something on a calm machine, so: poll the 1-minute load average and
+    start once it drops below load_per_cpu*nproc, giving up (and proceeding
+    anyway, loudly) after max_wait_s."""
+    try:
+        ncpu = os.cpu_count() or 1
+        threshold = max(2.0, load_per_cpu * ncpu)
+        deadline = time.monotonic() + max_wait_s
+        load = os.getloadavg()[0]
+        while load > threshold and time.monotonic() < deadline:
+            print(
+                f"bench: waiting for quiet machine (load {load:.1f} > {threshold:.1f})",
+                file=sys.stderr,
+            )
+            time.sleep(10.0)
+            load = os.getloadavg()[0]
+        if load > threshold:
+            print(
+                f"bench: proceeding on a LOADED machine (load {load:.1f}) — "
+                "treat this run's numbers as an upper bound",
+                file=sys.stderr,
+            )
+    except OSError:  # getloadavg unavailable — proceed
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    wait_for_quiet_machine()
 
     from mini_flink_spark.queries import QUERIES  # populates the registry
     from mini_flink_spark.session import get_spark

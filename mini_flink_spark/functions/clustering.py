@@ -35,6 +35,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mini_flink_spark.functions.litarray import (
+    double_matrix_lit,
+    rounded_double_array_lit,
+)
+
 
 def sq_dist(v: Column, c: Column) -> Column:
     """Squared L2 distance between two double arrays — a single fold, codegen'd."""
@@ -46,7 +51,8 @@ def sq_dist(v: Column, c: Column) -> Column:
 
 
 def _centroid_lit(cents: list[list[float]]) -> Column:
-    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    # one expression parse, NOT k·d F.lit py4j round-trips — see litarray
+    return double_matrix_lit(cents)
 
 
 # Above this k*d, centroid literals stop being the right plan: building the
@@ -365,7 +371,7 @@ def pq_adc_topk(
             sum((q_sub[i] - c[i]) * (q_sub[i] - c[i]) for i in range(dsub))
             for c in books[s]
         ]
-        lut = F.array(*[F.round(F.lit(x), 6) for x in raw])
+        lut = rounded_double_array_lit(raw, 6)
         term = F.element_at(
             lut, (F.element_at("codes", s + 1) + 1).cast("int")
         )

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from mini_flink_spark.functions.litarray import bigint_array_lit, double_matrix_lit
+
 DIM = 64  # embeddings table dimension (FIXTURES.md §3)
 
 
@@ -808,8 +810,10 @@ def semantic_decontam_pairs(
     ):
         hits = _decontam_hits_arrow(train, rows, vec_col, tau)
     else:
-        ids_lit = F.array(*[F.lit(i).cast("bigint") for i, _ in rows])
-        vecs_lit = F.array(*[F.array(*[F.lit(float(x)) for x in v]) for _, v in rows])
+        # single-parse literals: |eval|·(dim+1) F.lit round-trips would put
+        # seconds of py4j latency inside the query-construction window
+        ids_lit = bigint_array_lit([i for i, _ in rows])
+        vecs_lit = double_matrix_lit([v for _, v in rows])
         hits = F.filter(
             F.zip_with(
                 ids_lit,

@@ -1003,7 +1003,15 @@ def _doc_avg_nll(docs):
     scoring convention (1e6-scaled integer log-probs, round(4) at the end)
     for lm_perplexity_score and ccnet_perplexity_buckets."""
     tri = _char_trigrams(docs)
-    model = tri.groupBy("tri").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # The model is alphabet³-bounded (KBs) but its PLAN contains the full
+    # corpus trigram explode: without a checkpoint the scoring join and the
+    # total both re-run that scan (3 corpus passes). Materialize the tiny
+    # model once -> exactly the two passes CCNet describes (count, score).
+    model = (
+        tri.groupBy("tri")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     tot = model.agg(F.sum("cnt").cast("double").alias("total"))
     lp = (
         tri.join(F.broadcast(model), "tri")
@@ -1149,25 +1157,34 @@ def q_dsir_importance_weights(spark, sf_dir):
     integer reduction — immune to double-addition ordering."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     tri = _char_trigrams(docs, extra_cols=("source",))
-    raw_m = tri.groupBy("tri").agg(F.count(F.lit(1)).cast("bigint").alias("cnt_r"))
-    tgt_m = (
-        tri.filter(F.col("source") == "src0")
-        .groupBy("tri")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_t"))
+    # BOTH models from ONE corpus pass (cnt_t counts only target-slice
+    # occurrences — identical integers to a separate filtered groupBy), then
+    # checkpoint the alphabet³-bounded result so the consts agg and the
+    # scoring join read the tiny table instead of re-running the trigram
+    # explode (was 5 corpus passes, now 2: count, score).
+    model = (
+        tri.groupBy("tri")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt_r"),
+            F.count(F.when(F.col("source") == "src0", F.lit(1)))
+            .cast("bigint")
+            .alias("cnt_t"),
+        )
+        .localCheckpoint(eager=False)
     )
-    consts = raw_m.agg(
+    consts = model.agg(
         F.sum("cnt_r").cast("double").alias("tot_r"),
         F.count(F.lit(1)).cast("bigint").alias("v"),
-    ).crossJoin(tgt_m.agg(F.coalesce(F.sum("cnt_t"), F.lit(0)).cast("double").alias("tot_t")))
+        F.coalesce(F.sum("cnt_t"), F.lit(0)).cast("double").alias("tot_t"),
+    )
     lw = (
-        tri.join(F.broadcast(raw_m), "tri")
-        .join(F.broadcast(tgt_m), "tri", "left")
+        tri.join(F.broadcast(model), "tri")
         .crossJoin(F.broadcast(consts))
         .select(
             "doc_id",
             F.round(
                 (
-                    F.log((F.coalesce(F.col("cnt_t"), F.lit(0)) + 1).cast("double"))
+                    F.log((F.col("cnt_t") + 1).cast("double"))
                     - F.log(F.col("tot_t") + F.col("v"))
                     - F.log(F.col("cnt_r").cast("double"))
                     + F.log("tot_r")

@@ -2,10 +2,10 @@
 queries in registration order (CORRECTNESS_r{N}.json), so `all_queries()`
 must lead with the curated GRADED_WINDOW.
 
-Round-4 policy (VERDICT r3 "Next round" #3): 25 slots are PINNED — the 15
+Rotation policy (VERDICT r3 "Next round" #3): 25 slots are PINNED — the 15
 SURVEY §2 reference-surface rows plus 10 flagship LLM-pipeline anchors —
 and the other 25 slots ROTATE each round to queries that have never had a
-driver verdict, accumulating driver evidence across the full registry (193 queries as of round 4).
+driver verdict, accumulating driver evidence across the full registry (193 queries as of round 5).
 Every windowed query must carry a DuckDB oracle (a no-oracle row inside the
 window wastes a graded slot on a weaker rows-only check)."""
 
@@ -56,7 +56,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _previously_graded() -> set[str]:
     names: set[str] = set()
-    for n in range(1, 4):
+    for n in range(1, 5):
         path = os.path.join(_REPO, f"CORRECTNESS_r{n:02d}.json")
         if os.path.exists(path):
             with open(path) as f:

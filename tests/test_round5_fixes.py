@@ -51,6 +51,54 @@ class TestDecontamNullPredicate:
         assert got == oracle
 
 
+class TestLitArray:
+    # adversarial doubles: shortest-repr round-trip, subnormals, exponents,
+    # signed zero, non-finite
+    VALS = [
+        0.0, -0.0, 1.0, -1.5, 1/3, 0.1, 1e-300, 5e-324, 1.7976931348623157e308,
+        -2.2250738585072014e-308, 1e20, 123456789.123456789, -7.895e-7,
+        float("nan"), float("inf"), float("-inf"),
+    ]
+
+    def test_double_array_bit_identical_to_lit(self, spark):
+        from pyspark.sql import functions as F
+
+        from mini_flink_spark.functions.litarray import double_array_lit
+
+        df = spark.range(1)
+        got = df.select(double_array_lit(self.VALS).alias("a")).first().a
+        ref = df.select(
+            F.array(*[F.lit(float(x)) for x in self.VALS]).alias("a")
+        ).first().a
+        import struct
+
+        bits = lambda xs: [struct.pack(">d", x) for x in xs]
+        assert bits(got) == bits(ref)
+
+    def test_matrix_and_bigint_and_rounded(self, spark):
+        from pyspark.sql import functions as F
+
+        from mini_flink_spark.functions.litarray import (
+            bigint_array_lit,
+            double_matrix_lit,
+            rounded_double_array_lit,
+        )
+
+        df = spark.range(1)
+        finite = [x for x in self.VALS if x == x and abs(x) != float("inf")]
+        m = df.select(double_matrix_lit([finite, finite[::-1]]).alias("m")).first().m
+        assert m == [finite, finite[::-1]]
+        ids = [0, -1, 2**63 - 1, -(2**63)]
+        assert df.select(bigint_array_lit(ids).alias("i")).first().i == ids
+        # engine-side HALF_UP rounding, same as F.round(F.lit(x), 6)
+        vals = [1.2345675, -1.2345675, 2.5e-6]
+        got = df.select(rounded_double_array_lit(vals, 6).alias("r")).first().r
+        ref = df.select(
+            F.array(*[F.round(F.lit(v), 6) for v in vals]).alias("r")
+        ).first().r
+        assert got == ref
+
+
 class TestCCBoundaryConvergence:
     def test_converges_exactly_on_max_iter_round(self, spark):
         # Min-label propagation moves label 0 one hop per round: a 5-edge
