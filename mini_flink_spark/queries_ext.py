@@ -1358,7 +1358,16 @@ def q_curation_pipeline_v2(spark, sf_dir):
     )
     gated = docs.filter(f1 & f2 & f3 & f4)
     cleaned = D.remove_duplicate_spans(gated, "doc_id", "text", w=15)
-    surv = cleaned.filter(F.length("clean_text") > 0).select("doc_id", "clean_text")
+    # TWO consumers read the span-removal output (the fingerprint groupBy and
+    # the representative rejoin) — materialize it once or the whole
+    # gate→span-removal subplan (the expensive half of the pipeline) executes
+    # twice. At corpus scale this is persist(DISK_ONLY) of the cleaned text,
+    # the standard shared-scan materialization.
+    surv = (
+        cleaned.filter(F.length("clean_text") > 0)
+        .select("doc_id", "clean_text")
+        .localCheckpoint(eager=False)
+    )
     reps = (
         surv.select("doc_id", T.fingerprint("clean_text").alias("fp"))
         .groupBy("fp")
