@@ -99,6 +99,36 @@ class TestLitArray:
         assert got == ref
 
 
+class TestLitArrayProperty:
+    def test_random_doubles_round_trip(self, spark):
+        # hypothesis-driven: ANY finite double must survive the repr->parse
+        # round trip bit-exactly (one Spark job over many drawn examples —
+        # drawing inside @given would pay session latency per example)
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        collected = []
+
+        @settings(
+            max_examples=200,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(st.floats(allow_nan=False, width=64))
+        def draw(x):
+            collected.append(x)
+
+        draw()
+        import struct
+
+        from mini_flink_spark.functions.litarray import double_array_lit
+
+        got = spark.range(1).select(double_array_lit(collected).alias("a")).first().a
+        assert [struct.pack(">d", x) for x in got] == [
+            struct.pack(">d", x) for x in collected
+        ]
+
+
 class TestCCBoundaryConvergence:
     def test_converges_exactly_on_max_iter_round(self, spark):
         # Min-label propagation moves label 0 one hop per round: a 5-edge
