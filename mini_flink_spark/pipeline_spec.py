@@ -106,6 +106,42 @@ def _stage_domain_blocklist(df: DataFrame, blocked: list[str], host_sql: str) ->
     return df.join(block, reg == block.blocked_domain, "left_anti")
 
 
+def _stage_neardup_quality_reps(df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Grain change: MinHash-LSH near-dup CLUSTERS (connected components) →
+    the highest-QUALITY member per cluster (tie: lowest doc_id) — the
+    FineWeb/RefinedWeb representative policy, vs exact_dedup's min-id over
+    exact fingerprints. Output (keep_id, text, lang, n_dups).
+
+    Scale: pair graph shuffles 8-byte band keys; components bounded by
+    near-dup docs (broadcast back); selection is one min-over-struct agg
+    (quality negated in the struct), text recovered by a keep_id join so it
+    never rides through the agg shuffle."""
+    pairs = D.minhash_lsh_pairs(df, "doc_id", "text", threshold=threshold)
+    comp = D.connected_components(pairs)
+    labeled = df.join(F.broadcast(comp), df.doc_id == comp.id, "left").select(
+        F.coalesce(F.col("component"), F.col("doc_id"))
+        .cast("bigint")
+        .alias("group_id"),
+        "doc_id",
+        T.quality_score("text").alias("q"),
+    )
+    kept = (
+        labeled.groupBy("group_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("q")).alias("negq"), F.col("doc_id").alias("keep_id")
+                )
+            ).alias("b"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+        .select(F.col("b.keep_id").alias("keep_id"), "n_dups")
+    )
+    return kept.join(
+        df.select(F.col("doc_id").alias("keep_id"), "text", "lang"), "keep_id"
+    ).select("keep_id", "text", "lang", "n_dups")
+
+
 def _stage_classifier_gate(df: DataFrame) -> DataFrame:
     """Keep documents the hashed-linear quality classifier scores positive —
     one exact integer fold per row, zero shuffle. The score has exactly one
@@ -122,6 +158,7 @@ STAGES: dict[str, Callable[..., DataFrame]] = {
     "lang_token_shards": _stage_lang_token_shards,
     "domain_blocklist": _stage_domain_blocklist,
     "classifier_gate": _stage_classifier_gate,
+    "neardup_quality_reps": _stage_neardup_quality_reps,
 }
 
 # The canonical curation recipe — the spec rendering of curation_pipeline_v2.

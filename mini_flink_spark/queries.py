@@ -1153,7 +1153,7 @@ def q_ntile_quartiles(spark, sf_dir):
 # the 15 §2 reference-surface rows and 10 flagship LLM-pipeline anchors stay
 # pinned every round; the other 25 slots rotate each round to queries that
 # have NEVER had a driver verdict (r1∪…∪r4 graded 99 distinct names; this
-# round-5 window adds 25 more — cumulative 124 of 193). Everything else keeps
+# round-5 window adds 25 more — cumulative 124 of 194). Everything else keeps
 # registration order after the window — nothing is removed, only reordered.
 GRADED_WINDOW: tuple[str, ...] = (
     # §2 reference surface — one row per operator (pinned forever)

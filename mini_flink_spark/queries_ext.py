@@ -1401,6 +1401,123 @@ def q_curation_pipeline_v2(spark, sf_dir):
     )
 
 
+@register(
+    "curation_pipeline_fineweb",
+    f"""
+    WITH gated AS (
+      SELECT doc_id, text, lang FROM (
+        SELECT doc_id, text, lang, {T.tokens_sql('text')} AS t FROM documents
+      ) WHERE {_GOPHER_GATE_SQL}
+    ),
+    comp AS ({{comp_sql}}),
+    labeled AS (
+      SELECT g.doc_id, g.lang,
+             coalesce(c.component, g.doc_id) AS group_id,
+             {T.quality_score_sql('g.text')} AS quality,
+             {T.token_count_sql('g.text')} AS n_tok
+      FROM gated g LEFT JOIN comp c ON g.doc_id = c.id
+    ),
+    ranked AS (
+      SELECT group_id, doc_id, lang, quality, n_tok,
+             count(*) OVER (PARTITION BY group_id) AS n_dups,
+             row_number() OVER (PARTITION BY group_id
+                                ORDER BY quality DESC, doc_id) AS rn
+      FROM labeled
+    ),
+    kept AS (
+      SELECT group_id::BIGINT AS group_id, doc_id::BIGINT AS keep_id, lang,
+             quality, n_tok::BIGINT AS n_tok, n_dups::BIGINT AS n_dups
+      FROM ranked WHERE rn = 1
+    )
+    SELECT group_id, keep_id, lang, quality, n_tok, n_dups,
+           CAST(floor((cum - n_tok) / 20000.0) AS BIGINT) AS shard_id
+    FROM (
+      SELECT *, sum(n_tok) OVER (PARTITION BY lang
+                                 ORDER BY md5(keep_id::VARCHAR), keep_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM kept) b
+    """.replace("{comp_sql}", D.connected_components_sql(
+        D.minhash_lsh_pairs_sql("doc_id", "text", table="gated", threshold=0.5))),
+    ("pipeline", "dedup", "quality", "sharding"),
+)
+def q_curation_pipeline_fineweb(spark, sf_dir):
+    """FineWeb/RefinedWeb-shaped curation: Gopher rule gate → MinHash-LSH
+    near-dup CLUSTERS (connected components over the banded pair graph, not
+    just exact fingerprints) → QUALITY-AWARE representative per cluster —
+    keep the member with the highest quality score (tie: lowest doc_id),
+    the policy real pipelines use instead of first-crawled, because dup
+    clusters mix clean originals with boilerplate-wrapped recrawls — →
+    per-language token-budget shard assignment. Every ungated doc outside a
+    near-dup pair is its own singleton cluster (n_dups 1).
+
+    Scale: the gate is scan-side integer arithmetic; the pair graph shuffles
+    8-byte band keys/signatures (minhash_lsh_pairs' plan); CC is the bounded
+    BSP loop; the components frame is bounded by near-dup docs so its join
+    back broadcasts; representative selection is ONE min-over-struct agg
+    keyed by cluster (quality rides negated in the struct — no window over
+    the corpus); shards window over the already-deduped reps per lang."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    mx = gopher_metrics(T.tokens("text"))
+    f1, f2, f3, f4 = gopher_flags(
+        mx["n_tokens"], mx["n_chars"], mx["sw_hits"], mx["n_distinct"]
+    )
+    gated = docs.filter(f1 & f2 & f3 & f4).select("doc_id", "text", "lang")
+    pairs = D.minhash_lsh_pairs(gated, "doc_id", "text", threshold=0.5)
+    comp = D.connected_components(pairs)
+    labeled = (
+        gated.join(F.broadcast(comp), gated.doc_id == comp.id, "left")
+        .select(
+            F.coalesce(F.col("component"), F.col("doc_id"))
+            .cast("bigint")
+            .alias("group_id"),
+            "doc_id",
+            "lang",
+            T.quality_score("text").alias("quality"),
+            T.token_count("text").cast("bigint").alias("n_tok"),
+        )
+    )
+    # single-pass argmax: min over struct(-quality, doc_id, ...) = highest
+    # quality, then lowest id — deterministic, no per-cluster window
+    best = F.min(
+        F.struct(
+            (-F.col("quality")).alias("negq"),
+            F.col("doc_id").alias("keep_id"),
+            F.col("lang").alias("lang"),
+            F.col("n_tok").alias("n_tok"),
+        )
+    )
+    kept = (
+        labeled.groupBy("group_id")
+        .agg(best.alias("b"), F.count(F.lit(1)).cast("bigint").alias("n_dups"))
+        .select(
+            "group_id",
+            F.col("b.keep_id").cast("bigint").alias("keep_id"),
+            F.col("b.lang").alias("lang"),
+            (-F.col("b.negq")).alias("quality"),  # IEEE negation is exact
+            F.col("b.n_tok").alias("n_tok"),
+            "n_dups",
+        )
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("keep_id").cast("string")), "keep_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return kept.select(
+        "group_id",
+        "keep_id",
+        "lang",
+        "quality",
+        "n_tok",
+        "n_dups",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 20000.0)
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+
+
 # The raw sf0.01 embeddings are 500 random vectors with NO pairs above
 # cosine 0.5 — grading the operator directly certifies an empty set
 # (round-3 verdict: vacuous pass). The graded corpus therefore plants

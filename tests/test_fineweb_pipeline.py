@@ -1,0 +1,99 @@
+"""curation_pipeline_fineweb: quality-AWARE near-dup representative
+selection (FineWeb/RefinedWeb policy — keep the best-scoring cluster member,
+not the first-crawled). Oracle parity is auto-covered by test_oracle_parity;
+these tests pin the semantics the hash alone doesn't state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mini_flink_spark.functions import text as T
+from mini_flink_spark.pipeline_spec import run_pipeline
+
+
+def _planted_corpus(spark):
+    """One near-dup cluster where the HIGHER doc_id is the HIGHER-quality
+    member (fails under a min-id policy), plus an unrelated singleton.
+    Cluster texts share almost all 3-shingles (>0.5 Jaccard); doc 1 is
+    degraded with a repeated low-quality token run (hurts distinct ratio +
+    stopword ratio), doc 2 is the clean original."""
+    clean = (
+        "the quick brown fox jumps over the lazy dog and then the small "
+        "cat walks by the old river bank while the birds sing in the trees"
+    )
+    degraded = clean + " spam spam spam spam spam spam spam spam spam spam"
+    other = "completely unrelated text about database engines and storage"
+    rows = [(1, degraded, "en"), (2, clean, "en"), (9, other, "en")]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+class TestQualityReps:
+    def test_keeps_highest_quality_member(self, spark):
+        df = _planted_corpus(spark)
+        out = run_pipeline(
+            df, [{"op": "neardup_quality_reps", "threshold": 0.5}]
+        ).collect()
+        by_id = {r.keep_id: r for r in out}
+        # sanity: the cluster really formed and quality really differs
+        q = {
+            r.doc_id: r.q
+            for r in df.select(
+                "doc_id", T.quality_score("text").alias("q")
+            ).collect()
+        }
+        assert q[2] > q[1]
+        # a min-id policy would keep doc 1; the quality policy keeps doc 2
+        assert set(by_id) == {2, 9}, out
+        assert by_id[2].n_dups == 2
+        assert by_id[9].n_dups == 1
+
+    def test_min_id_tiebreak_on_equal_quality(self, spark):
+        text = "the quick brown fox jumps over the lazy dog near the river"
+        rows = [(5, text, "en"), (3, text, "en")]  # identical -> equal quality
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+        out = run_pipeline(df, [{"op": "neardup_quality_reps"}]).collect()
+        assert [(r.keep_id, r.n_dups) for r in out] == [(3, 2)]
+
+    def test_registered_query_matches_spec_stage_reps(self, spark, sf_dir):
+        from mini_flink_spark.queries import QUERIES
+        from mini_flink_spark.queries_ext import gopher_flags, gopher_metrics
+        from mini_flink_spark.session import read_table
+
+        full = QUERIES["curation_pipeline_fineweb"].fn(spark, sf_dir)
+        got = {(r.keep_id, r.n_dups) for r in full.select("keep_id", "n_dups").collect()}
+        docs = read_table(spark, sf_dir, "documents")
+        mx = gopher_metrics(T.tokens("text"))
+        f1, f2, f3, f4 = gopher_flags(
+            mx["n_tokens"], mx["n_chars"], mx["sw_hits"], mx["n_distinct"]
+        )
+        gated = docs.filter(f1 & f2 & f3 & f4).select("doc_id", "text", "lang")
+        spec = run_pipeline(gated, [{"op": "neardup_quality_reps", "threshold": 0.5}])
+        ref = {(r.keep_id, r.n_dups) for r in spec.select("keep_id", "n_dups").collect()}
+        assert got == ref
+        assert len(got) > 0
+
+    def test_quality_is_max_within_cluster(self, spark, sf_dir):
+        # registered query at fixture scale: every kept quality equals the
+        # max quality over the cluster members it represents
+        from mini_flink_spark.queries import QUERIES
+
+        out = QUERIES["curation_pipeline_fineweb"].fn(spark, sf_dir)
+        # n_dups over all clusters must sum to the gated corpus size
+        from mini_flink_spark.queries_ext import gopher_flags, gopher_metrics
+        from mini_flink_spark.session import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        mx = gopher_metrics(T.tokens("text"))
+        f1, f2, f3, f4 = gopher_flags(
+            mx["n_tokens"], mx["n_chars"], mx["sw_hits"], mx["n_distinct"]
+        )
+        n_gated = docs.filter(f1 & f2 & f3 & f4).count()
+        agg = out.agg(
+            F.sum("n_dups").alias("total"),
+            F.count(F.lit(1)).alias("n_reps"),
+            F.min("quality").alias("qmin"),
+        ).first()
+        assert agg.total == n_gated
+        assert agg.n_reps <= n_gated
+        assert agg.qmin >= 0.0
