@@ -55,6 +55,10 @@ def _stage_drop_empty(df: DataFrame) -> DataFrame:
 def _stage_exact_dedup(df: DataFrame) -> DataFrame:
     """Grain change: fingerprint groups → one representative row
     (keep_id, text, lang, n_dups)."""
+    # two consumers (fingerprint groupBy, representative rejoin) — without a
+    # materialization the whole upstream stage chain executes twice (the same
+    # fix as curation_pipeline_v2; persist(DISK_ONLY) at corpus scale)
+    df = df.localCheckpoint(eager=False)
     reps = (
         df.select("doc_id", T.fingerprint("text").alias("fp"))
         .groupBy("fp")
