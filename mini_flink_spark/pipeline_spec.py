@@ -29,14 +29,17 @@ from mini_flink_spark.functions import text as T
 
 
 def _stage_gopher_gate(df: DataFrame) -> DataFrame:
-    """Rule gate on (doc_id, text, lang) — scan-side integer arithmetic."""
+    """Rule gate on (doc_id, text, lang) — scan-side integer arithmetic.
+    The four flags evaluate over ONE tokens projection (each flag expression
+    would otherwise embed its own copy of the tokenizer chain)."""
     from mini_flink_spark.queries_ext import gopher_flags, gopher_metrics
 
-    mx = gopher_metrics(T.tokens("text"))
+    toks = df.select("*", T.tokens("text").alias("__gate_t"))
+    mx = gopher_metrics(F.col("__gate_t"))
     f1, f2, f3, f4 = gopher_flags(
         mx["n_tokens"], mx["n_chars"], mx["sw_hits"], mx["n_distinct"]
     )
-    return df.filter(f1 & f2 & f3 & f4)
+    return toks.filter(f1 & f2 & f3 & f4).drop("__gate_t")
 
 
 def _stage_span_removal(df: DataFrame, w: int = 15) -> DataFrame:
