@@ -558,6 +558,49 @@ def probe_round5_lm(spark):
         )
 
 
+def probe_round5_fineweb(spark):
+    """The fineweb pipeline (gate → MinHash clusters → quality reps →
+    shards) at 20×/100× sf0.1 (100k / 500k docs, dedup_100x corpus). Claims:
+    wall ≤ linear (the pair graph + CC dominate and near-dup groups stay
+    size-5 by construction), shuffle ~linear (band keys + signature rows),
+    zero spill — i.e. the composed pipeline inherits the already-probed
+    economics of its stages rather than multiplying them."""
+    import tempfile
+
+    from mini_flink_spark.queries import QUERIES
+
+    results = {}
+    for families, label in ((4, "20x"), (20, "100x")):
+        d = tempfile.mkdtemp(prefix=f"fw{label}_")
+        _family_docs(spark, families).write.mode("overwrite").parquet(
+            d + "/documents.parquet"
+        )
+        n_docs = spark.read.parquet(d + "/documents.parquet").count()
+        before = _stage_metrics_total(spark)
+        t0 = time.time()
+        out = QUERIES["curation_pipeline_fineweb"].fn(spark, d)
+        out.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        after = _stage_metrics_total(spark)
+        rows = out.count()  # outside the clock/metric window
+        delta = {k: after[k] - before[k] for k in after}
+        results[label] = (dt, rows, delta)
+        print(
+            f"{label} ({n_docs} docs) curation_pipeline_fineweb: {dt:.1f}s, "
+            f"{rows} rows, shuffle_w={delta['shuffle_write'] / 1e6:.1f}MB "
+            f"spill_disk={delta['disk_spill'] / 1e6:.0f}MB",
+            flush=True,
+        )
+    t20, r20, d20 = results["20x"]
+    t100, r100, d100 = results["100x"]
+    print(
+        f"trend: rows x{r100 / max(r20, 1):.1f}, wall x{t100 / max(t20, 0.001):.1f} "
+        f"(linear target ~5x), shuffle_w x"
+        f"{d100['shuffle_write'] / max(d20['shuffle_write'], 1):.1f}",
+        flush=True,
+    )
+
+
 def probe_round4_new(spark):
     """Round-4 additions at scale.
 
@@ -695,6 +738,7 @@ PROBES = {
     "dedup_100x": probe_dedup_100x,
     "round4_new": probe_round4_new,
     "round5_lm": probe_round5_lm,
+    "round5_fineweb": probe_round5_fineweb,
 }
 
 if __name__ == "__main__":
