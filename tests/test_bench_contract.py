@@ -43,3 +43,32 @@ def test_compact_line_shape_and_size():
         f"compact bench line is {len(compact)} bytes — large enough to risk "
         "the driver's tail capture again"
     )
+
+
+def test_quiet_start_guard_bounded(monkeypatch):
+    """The load guard must (a) not wait when the machine is quiet, (b) give
+    up after max_wait_s instead of blocking the bench forever on a machine
+    that never goes quiet."""
+    import os as _os
+    import time as _time
+
+    # quiet machine: returns immediately, no sleep calls
+    sleeps: list[float] = []
+    monkeypatch.setattr(_time, "sleep", lambda s: sleeps.append(s))
+    monkeypatch.setattr(_os, "getloadavg", lambda: (0.1, 0.1, 0.1))
+    bench.wait_for_quiet_machine(max_wait_s=5.0)
+    assert sleeps == []
+
+    # permanently loaded machine: bounded by the deadline (monotonic time is
+    # advanced by the stubbed sleep so the loop terminates without waiting)
+    clock = {"t": 1000.0}
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        clock["t"] += s
+
+    monkeypatch.setattr(_time, "sleep", fake_sleep)
+    monkeypatch.setattr(_time, "monotonic", lambda: clock["t"])
+    monkeypatch.setattr(_os, "getloadavg", lambda: (999.0, 999.0, 999.0))
+    bench.wait_for_quiet_machine(max_wait_s=30.0)
+    assert sleeps and sum(sleeps) <= 40.0  # gave up near the deadline
