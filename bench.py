@@ -94,7 +94,7 @@ def wait_for_quiet_machine(max_wait_s: float = 240.0, load_per_cpu: float = 0.25
                 "treat this run's numbers as an upper bound",
                 file=sys.stderr,
             )
-    except OSError:  # getloadavg unavailable — proceed
+    except (OSError, AttributeError):  # getloadavg unavailable — proceed
         pass
 
 

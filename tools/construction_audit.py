@@ -20,8 +20,8 @@ import time
 sys.path.insert(0, "/root/repo")
 
 # queries whose construction intentionally RUNS Spark jobs (model fitting /
-# index builds / convergence loops) — build time here is execution, not py4j
-EXECUTES_ON_BUILD_TAGS = {"kmeans", "pq", "bpe", "coreset"}
+# index builds / convergence loops / eager persists) — build time here is
+# execution, not py4j
 EXECUTES_ON_BUILD = {
     "kmeans_clusters",
     "pq_codes",
@@ -47,6 +47,7 @@ EXECUTES_ON_BUILD = {
     "mixture_weights",
     "mixture_weights_temperature",
     "dsir_importance_weights",
+    "curriculum_global_rank",
 }
 
 

@@ -31,19 +31,14 @@ def oracle_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Match the DRIVER's canonicalizer exactly: sort columns by name, then
+    sort rows with plain pandas sort_values and let it RAISE on unsortable
+    cells (lists/maps). Round 5 learned the hard way that a list->tuple
+    leniency here silently certifies queries the driver cannot grade
+    (CORRECTNESS_r05 pq_codes: "unhashable type: 'list'") — the graded
+    contract is scalar-only columns, pinned by tests/test_graded_shapes.py."""
     df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
-            )
-    try:
-        df = df.sort_values(by=list(df.columns), ignore_index=True)
-    except Exception:
-        df = df.iloc[df.astype(str).apply(tuple, axis=1).argsort()].reset_index(
-            drop=True
-        )
-    return df
+    return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
 def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
