@@ -1184,41 +1184,41 @@ GRADED_WINDOW: tuple[str, ...] = (
     "gopher_quality_flags",
     "curation_pipeline_v2",
     "bpe_learn_merges",
-    # ---- round-5 rotation: never-driver-graded before this round ----
-    # LM-filtering / decontamination layer (certifies this round's
-    # two-pass-checkpoint optimization and the NULL-predicate fix area)
-    "lm_perplexity_score",
-    "ccnet_perplexity_buckets",
-    "semantic_decontamination",
-    # clustering / PQ / retrieval evals
-    "dedup_representatives",
-    "dedup_cluster_stats",
+    # ---- round-6 rotation ----
+    # pq_codes is the ONE regrade exception (policy: never regrade a green
+    # row): its r5 verdict was a driver-canonicalizer ERR, not a pass, and
+    # VERDICT r5 #1 requires a green row for the reshaped scalar output.
     "pq_codes",
-    "ivf_recall_eval",
-    # sketches (the oracle-paired ones; the two accuracy-pinned sketches stay
-    # out — a no-oracle row would waste a graded slot on a rows-only check)
-    "sketch_count_min",
-    "sketch_bloom_membership",
-    "sketch_histogram_quantiles",
-    # text analysis / tokenization / packing
-    "tfidf_keywords",
-    "pmi_collocations",
-    "packed_sequence_offsets",
-    "doc_chunking",
-    "stratified_sample",
-    "dataset_split_assign",
-    # entity resolution / cross-source
-    "record_linkage_customers",
-    "cross_source_duplicates",
-    # temporal / relational battery
-    "timeseries_gapfill",
-    "rolling_daily_revenue",
-    "funnel_view_click_purchase",
-    "orders_above_customer_avg",
-    "top_supplier_revenue",
-    "min_cost_supplier",
-    # multimodal plumbing (typed metadata over binary columns)
-    "multimodal_meta",
+    # flagship pipelines + quality/filter layer (VERDICT r5 #3 priorities)
+    "curation_pipeline_fineweb",
+    "curation_pipeline_safety",
+    "quality_classifier_linear",
+    "domain_blocklist_filter",
+    "tokenizer_fertility",
+    "dedup_lsh_recall_eval",
+    "source_drift_kl",
+    "zipf_fit",
+    "feature_hash_embed",
+    "embedding_quantize_int8",
+    # streaming behaviors with batch-equal drained results (VERDICT r5 #5):
+    # each runs its stream to completion and returns the converged DataFrame,
+    # so the driver hashes it against the batch oracle like any other row
+    "streaming_window_counts",
+    "streaming_dedup",
+    "streaming_stream_join",
+    "streaming_topk_items",
+    # TPC-H stragglers (important_parts_value de-vacuated: 1.5x threshold
+    # keeps 29 rows at sf0.01; 2x selected zero)
+    "important_parts_value",
+    "priority_shipping_counts",
+    "customer_order_distribution",
+    "supplier_variety",
+    "large_volume_orders",
+    "disjunctive_brand_revenue",
+    "solo_supplier_orders",
+    "dormant_rich_customers",
+    "small_quantity_revenue",
+    "local_supplier_volume",
 )
 
 

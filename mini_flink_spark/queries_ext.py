@@ -1458,13 +1458,18 @@ def q_curation_pipeline_fineweb(spark, sf_dir):
     the corpus); shards window over the already-deduped reps per lang."""
     from pyspark.sql import Window
 
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
     # Gate over ONE tokens projection (each flag otherwise embeds its own
-    # copy of the tokenizer chain), and CHECKPOINT the survivors: the pair
+    # copy of the tokenizer chain), and MATERIALIZE the survivors: the pair
     # generation and the quality/labeled scan both consume `gated`, so
     # without the materialization the gate evaluates once per consumer
-    # (measured 20s -> ~8s at sf0.1). At corpus scale this is
-    # persist(DISK_ONLY) of the gate survivors — the standard shape.
+    # (measured 20s -> ~8s at sf0.1). persist(DISK_ONLY) — not
+    # localCheckpoint — so the materialization is spill-backed rather than
+    # heap-pinned: at corpus scale the gate survivors do not fit executor
+    # memory (same storage policy as curriculum_global_rank,
+    # queries_pipeline.py).
     toks = docs.select("doc_id", "text", "lang", T.tokens("text").alias("t"))
     mx = gopher_metrics(F.col("t"))
     f1, f2, f3, f4 = gopher_flags(
@@ -1473,7 +1478,7 @@ def q_curation_pipeline_fineweb(spark, sf_dir):
     gated = (
         toks.filter(f1 & f2 & f3 & f4)
         .select("doc_id", "text", "lang")
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.DISK_ONLY)
     )
     pairs = D.minhash_lsh_pairs(gated, "doc_id", "text", threshold=0.5)
     comp = D.connected_components(pairs)

@@ -97,3 +97,19 @@ class TestQualityReps:
         assert agg.total == n_gated
         assert agg.n_reps <= n_gated
         assert agg.qmin >= 0.0
+
+    def test_gate_survivors_persist_disk_only(self, spark, sf_dir):
+        """VERDICT r5 #4: the gate-survivor materialization must be a
+        spill-backed persist(DISK_ONLY) — not a heap-pinned localCheckpoint —
+        per the query's own 100 TB note (same policy as
+        curriculum_global_rank)."""
+        from mini_flink_spark.queries import QUERIES
+
+        QUERIES["curation_pipeline_fineweb"].fn(spark, sf_dir).count()
+        jlevels = [
+            rdd.getStorageLevel()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values()
+        ]
+        assert any(
+            lvl.useDisk() and not lvl.useMemory() for lvl in jlevels
+        ), f"no DISK_ONLY persisted RDD found; levels={[str(l) for l in jlevels]}"

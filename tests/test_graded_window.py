@@ -54,9 +54,16 @@ LLM_FLAGSHIP = {
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# The one allowed REGRADE: a prior appearance that was a driver ERR (not a
+# pass) may take a rotation slot to certify its fix. pq_codes r5 crashed the
+# driver canonicalizer (array output); round 6 reshapes it to a scalar
+# string and must show a green row (VERDICT r5 #1).
+REGRADE_OK = {"pq_codes"}
+
+
 def _previously_graded() -> set[str]:
     names: set[str] = set()
-    for n in range(1, 5):
+    for n in range(1, 6):
         path = os.path.join(_REPO, f"CORRECTNESS_r{n:02d}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -83,7 +90,7 @@ def test_rotation_slots_are_never_graded():
         return
     rotation = [n for n in GRADED_WINDOW if n not in S2_ROWS | LLM_FLAGSHIP]
     assert len(rotation) == 25
-    regraded = [n for n in rotation if n in prior]
+    regraded = [n for n in rotation if n in prior and n not in REGRADE_OK]
     assert not regraded, f"rotation slots wasted on already-graded: {regraded}"
 
 
