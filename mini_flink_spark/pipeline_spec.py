@@ -123,11 +123,16 @@ def _stage_neardup_quality_reps(df: DataFrame, threshold: float = 0.5) -> DataFr
     near-dup docs (broadcast back); selection is one min-over-struct agg
     (quality negated in the struct), text recovered by a keep_id join so it
     never rides through the agg shuffle."""
+    from pyspark import StorageLevel
+
     # three consumers below (pair generation, the labeled join, the keep_id
     # rejoin) — materialize once so a composed pipeline doesn't re-execute
     # the whole upstream stage chain 3x (same shared-scan policy as
-    # _stage_exact_dedup and q_curation_pipeline_fineweb)
-    df = df.localCheckpoint(eager=False)
+    # _stage_exact_dedup and q_curation_pipeline_fineweb); DISK_ONLY blocks
+    # so the corpus-scale materialization is spill-backed, via
+    # localCheckpoint (a cached-plan persist breaks band-join exchange
+    # reuse — 3.5× shuffle, measured in the fineweb query's docstring)
+    df = df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     pairs = D.minhash_lsh_pairs(df, "doc_id", "text", threshold=threshold)
     comp = D.connected_components(pairs)
     labeled = df.join(F.broadcast(comp), df.doc_id == comp.id, "left").select(

@@ -99,10 +99,12 @@ class TestQualityReps:
         assert agg.qmin >= 0.0
 
     def test_gate_survivors_persist_disk_only(self, spark, sf_dir):
-        """VERDICT r5 #4: the gate-survivor materialization must be a
-        spill-backed persist(DISK_ONLY) — not a heap-pinned localCheckpoint —
-        per the query's own 100 TB note (same policy as
-        curriculum_global_rank)."""
+        """VERDICT r5 #4 (amended by measurement): the gate-survivor
+        materialization must hold DISK_ONLY blocks — but via
+        localCheckpoint(storageLevel=DISK_ONLY), not df.persist: the
+        cached-plan route breaks exchange reuse in the LSH band self-join
+        (3.5× shuffle at 500k docs, A/B in the query docstring). This test
+        asserts the storage level actually observed on the persisted RDD."""
         from mini_flink_spark.queries import QUERIES
 
         QUERIES["curation_pipeline_fineweb"].fn(spark, sf_dir).count()

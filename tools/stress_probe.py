@@ -601,6 +601,81 @@ def probe_round5_fineweb(spark):
     )
 
 
+def probe_round6_fineweb_max(spark):
+    """Round-6 (VERDICT r5 #6): push the fineweb pipeline to the corpus the
+    100× probe couldn't certify — 200× (1,000,000 docs) — PLUS a planted
+    3,000-copy boilerplate block that forces the MAX_BAND_BUCKET hot-bucket
+    cap to actually ENGAGE (identical texts → identical signatures → every
+    band bucket holds 3,000 > 1,000 members). Claims under test:
+    (a) the cap drops the pathological buckets, so the block emits ZERO
+        candidate pairs instead of ~4.5M (3000²/2) — the O(b²) guard rail;
+    (b) each planted doc then survives as its own singleton representative
+        (the documented tradeoff: capped buckets skip near-dup detection);
+    (c) wall/shuffle stay on the 20×→100× linear trend and spill stays 0."""
+    import tempfile
+
+    from mini_flink_spark.functions import dedup as D
+    from mini_flink_spark.queries import QUERIES
+    from mini_flink_spark.queries_ext import gopher_flags, gopher_metrics
+    from mini_flink_spark.functions import text as T
+
+    # one gate-passing text, replicated 3000× with distinct ids above the
+    # family id range — the "boilerplate page crawled 3000 times" shape
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    mx = gopher_metrics(T.tokens("text"))
+    f1, f2, f3, f4 = gopher_flags(
+        mx["n_tokens"], mx["n_chars"], mx["sw_hits"], mx["n_distinct"]
+    )
+    boiler = (
+        base.filter(f1 & f2 & f3 & f4)
+        .orderBy("doc_id")
+        .limit(1)
+        .select("text", "lang", "source", "n_chars")
+    )
+    planted = (
+        boiler.select(
+            F.explode(F.sequence(F.lit(0), F.lit(2999))).alias("i"),
+            "text", "lang", "source", "n_chars",
+        )
+        .select((F.lit(10_000_000_000) + F.col("i")).alias("doc_id"),
+                "text", "lang", "source", "n_chars")
+    )
+
+    # (a) the cap engages: the block alone yields hot buckets and 0 pairs
+    n_pairs = D.minhash_lsh_pairs(planted, "doc_id", "text", threshold=0.5).count()
+    print(f"planted block (3000 identical docs): capped pair count = {n_pairs} "
+          f"(uncapped would be ~{3000 * 2999 // 2})", flush=True)
+    assert n_pairs == 0, n_pairs
+
+    d = tempfile.mkdtemp(prefix="fw200x_")
+    corpus = _family_docs(spark, 40).unionByName(planted)  # 1,000,000 + 3,000
+    corpus.write.mode("overwrite").parquet(d + "/documents.parquet")
+    n_docs = spark.read.parquet(d + "/documents.parquet").count()
+
+    before = _stage_metrics_total(spark)
+    t0 = time.time()
+    out = QUERIES["curation_pipeline_fineweb"].fn(spark, d)
+    out.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    after = _stage_metrics_total(spark)
+    delta = {k: after[k] - before[k] for k in after}
+
+    # (b) planted docs come out as 3000 singleton reps (outside the clock)
+    singles = out.filter(F.col("keep_id") >= 10_000_000_000)
+    n_singles = singles.count()
+    n_multi = singles.filter(F.col("n_dups") > 1).count()
+    rows = out.count()
+    print(
+        f"200x+hot ({n_docs} docs) curation_pipeline_fineweb: {dt:.1f}s, "
+        f"{rows} rows, shuffle_w={delta['shuffle_write'] / 1e6:.1f}MB "
+        f"spill_disk={delta['disk_spill'] / 1e6:.0f}MB; planted singleton "
+        f"reps={n_singles} (expect 3000), planted multi-dup reps={n_multi} "
+        f"(expect 0)",
+        flush=True,
+    )
+    assert n_singles == 3000 and n_multi == 0, (n_singles, n_multi)
+
+
 def probe_round4_new(spark):
     """Round-4 additions at scale.
 
@@ -739,6 +814,7 @@ PROBES = {
     "round4_new": probe_round4_new,
     "round5_lm": probe_round5_lm,
     "round5_fineweb": probe_round5_fineweb,
+    "round6_fineweb_max": probe_round6_fineweb_max,
 }
 
 if __name__ == "__main__":
