@@ -856,9 +856,13 @@ def remove_duplicate_spans(
     projection against the doc's own token array.
 
     The position-hash stream feeds both the inventory agg and the join side;
-    at corpus scale persist it (one line: .persist(DISK_ONLY)) instead of
-    recomputing the tokenizer twice — left unpersisted here because the
-    recompute is cheaper than materialization at test SFs.
+    at corpus scale materialize it with
+    `.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)`
+    instead of recomputing the tokenizer twice — left unmaterialized here
+    because the recompute is cheaper at test SFs. (localCheckpoint, NOT
+    df.persist: both consumers exchange on `h`, and a cached-plan
+    InMemoryRelation defeats that exchange reuse — measured 3.5× shuffle on
+    the analogous fineweb band join, see q_curation_pipeline_fineweb.)
 
     `clean_text` is the *normalized* token stream re-joined — the same
     canonical form every other dedup operator keys on.
