@@ -2452,39 +2452,78 @@ def q_sketch_count_min(spark, sf_dir):
 
 @register(
     "sketch_distinct_users",
-    None,  # HLL estimates are engine-specific; accuracy pinned in tests instead
+    """
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
+           true AS sketch_ok
+    FROM events GROUP BY event_type
+    """,
     ("sketch",),
 )
 def q_sketch_distinct_users(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++) per event type — the sketch the
     exact count-distinct queries fall back from at 100 TB, where a single
-    hot key's exact distinct set no longer fits an executor. rsd=2%;
-    tests/test_extensions.py asserts the estimate lands within 3×rsd of the
-    exact count (no DuckDB oracle — sketch values are engine-specific)."""
+    hot key's exact distinct set no longer fits an executor. rsd=2%.
+
+    HLL estimates are engine-specific, so the graded row emits (a) the EXACT
+    distinct count, genuinely cross-checked against DuckDB, and (b)
+    `sketch_ok` — the estimate-within-tolerance assertion (|approx−exact| ≤
+    max(2, 6%·exact), same bound as tests/test_extensions.py) evaluated
+    in-engine, which the oracle's `true` literal turns into a driver-graded
+    accuracy contract: a drifting sketch flips the boolean and fails the
+    hash. The raw estimate stays available via F.approx_count_distinct."""
     ev = _t(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.countDistinct("user_id").cast("bigint")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+        exact.alias("n_exact"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= F.greatest(F.lit(2.0), 0.06 * exact.cast("double"))
+        ).alias("sketch_ok"),
     )
 
 
 @register(
     "sketch_value_percentiles",
-    None,  # KLL/GK summaries are engine-specific; accuracy pinned in tests
+    """
+    SELECT event_type, count(*)::BIGINT AS n,
+           true AS p50_ok, true AS p95_ok, true AS p99_ok
+    FROM events GROUP BY event_type
+    """,
     ("sketch",),
 )
 def q_sketch_value_percentiles(spark, sf_dir):
     """percentile_approx (Greenwald-Khanna summary) of purchase values —
     mergeable quantile sketch, the scale path where exact percentiles
-    (a full sort per group) stop being feasible. Accuracy asserted in
-    tests/test_extensions.py against the exact percentile. The three
-    quantiles emit as scalar columns (p50/p95/p99), not one array — the
-    graded-output contract is scalar-only (tests/test_graded_shapes.py)."""
+    (a full sort per group) stop being feasible.
+
+    GK summaries are engine-specific, so the graded row emits (a) the exact
+    group count `n`, genuinely cross-checked against DuckDB, and (b) one
+    boolean per quantile asserting the GK *rank guarantee* in-engine: the
+    returned value's observed quantile rank must sit within eps (0.02) plus
+    order-statistic granularity (2/n) of the requested quantile — the same
+    bound tests/test_extensions.py pins. The oracle's `true` literals make a
+    drifting sketch fail the driver hash. Raw quantile values stay available
+    via F.percentile_approx; the estimate ranks are computed with ONE extra
+    keyed agg over a broadcast of the per-group summary (group cardinality
+    rows — trivially broadcastable at any corpus size)."""
     ev = _t(spark, sf_dir, "events")
-    pcts = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
-    return ev.groupBy("event_type").agg(
-        F.element_at(pcts, 1).alias("p50"),
-        F.element_at(pcts, 2).alias("p95"),
-        F.element_at(pcts, 3).alias("p99"),
+    pa = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
+    s = ev.groupBy("event_type").agg(
+        F.element_at(pa, 1).alias("p50"),
+        F.element_at(pa, 2).alias("p95"),
+        F.element_at(pa, 3).alias("p99"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    j = ev.select("event_type", "value").join(F.broadcast(s), "event_type")
+
+    def ok(p: str, q: float):
+        rank = F.sum((F.col("value") <= F.col(p)).cast("long")) / F.first("n")
+        tol = F.lit(0.02) + F.lit(2.0) / F.first("n")
+        return (F.abs(rank - F.lit(q)) <= tol).alias(f"{p}_ok")
+
+    return j.groupBy("event_type").agg(
+        F.first("n").alias("n"), ok("p50", 0.5), ok("p95", 0.95), ok("p99", 0.99)
     )
 
 
