@@ -60,8 +60,11 @@ def _stage_exact_dedup(df: DataFrame) -> DataFrame:
     (keep_id, text, lang, n_dups)."""
     # two consumers (fingerprint groupBy, representative rejoin) — without a
     # materialization the whole upstream stage chain executes twice (the same
-    # fix as curation_pipeline_v2; persist(DISK_ONLY) at corpus scale)
-    df = df.localCheckpoint(eager=False)
+    # fix as curation_pipeline_v2); DISK_ONLY blocks so the corpus-scale
+    # materialization is spill-backed, uniformly with _stage_neardup_quality_reps
+    from pyspark import StorageLevel
+
+    df = df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     reps = (
         df.select("doc_id", T.fingerprint("text").alias("fp"))
         .groupBy("fp")

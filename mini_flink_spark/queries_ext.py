@@ -2864,9 +2864,11 @@ def q_orders_above_customer_avg(spark, sf_dir):
            list_min(embedding) AS vmin,
            embedding[1] AS h4_first,
            embedding[4] AS h4_last,
-           list_sort(embedding[1:4])[1] AS h4s_lo,
-           list_sort(embedding[1:4])[4] AS h4s_hi,
-           list_reverse(embedding[1:4])[1] AS h4r_first,
+           list_reverse(embedding[1:4])[2] AS h4r_2,
+           list_sort(embedding[1:4])[1] AS h4s_1,
+           list_sort(embedding[1:4])[2] AS h4s_2,
+           list_sort(embedding[1:4])[3] AS h4s_3,
+           list_sort(embedding[1:4])[4] AS h4s_4,
            list_contains(embedding, 0.0) AS has_zero
     FROM embeddings
     """,
@@ -2881,9 +2883,14 @@ def q_array_battery(spark, sf_dir):
     The slice/sort/reverse results project out as SCALAR elements
     (`element_at`) rather than array columns: the driver's pandas
     canonicalizer cannot sort list cells, so graded rows are scalar-only
-    (tests/test_graded_shapes.py pins this registry-wide)."""
+    (tests/test_graded_shapes.py pins this registry-wide). The projections
+    jointly cover ALL FOUR slice elements — positions 1/4 directly, position
+    3 via reverse[2], and the full multiset via every sorted position — so
+    an engine bug in any interior slice/sort/reverse element still breaks
+    the graded hash."""
     emb = _t(spark, sf_dir, "embeddings")
     head4 = F.slice("embedding", 1, 4)
+    sorted4 = F.array_sort(head4)
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
@@ -2891,9 +2898,11 @@ def q_array_battery(spark, sf_dir):
         F.array_min("embedding").alias("vmin"),
         F.element_at(head4, 1).alias("h4_first"),
         F.element_at(head4, 4).alias("h4_last"),
-        F.element_at(F.array_sort(head4), 1).alias("h4s_lo"),
-        F.element_at(F.array_sort(head4), 4).alias("h4s_hi"),
-        F.element_at(F.reverse(head4), 1).alias("h4r_first"),
+        F.element_at(F.reverse(head4), 2).alias("h4r_2"),
+        F.element_at(sorted4, 1).alias("h4s_1"),
+        F.element_at(sorted4, 2).alias("h4s_2"),
+        F.element_at(sorted4, 3).alias("h4s_3"),
+        F.element_at(sorted4, 4).alias("h4s_4"),
         F.array_contains("embedding", F.lit(0.0)).alias("has_zero"),
     )
 

@@ -103,15 +103,29 @@ class TestQualityReps:
         materialization must hold DISK_ONLY blocks — but via
         localCheckpoint(storageLevel=DISK_ONLY), not df.persist: the
         cached-plan route breaks exchange reuse in the LSH band self-join
-        (3.5× shuffle at 500k docs, A/B in the query docstring). This test
-        asserts the storage level actually observed on the persisted RDD."""
+        (3.5× shuffle at 500k docs, A/B in the query docstring). Asserts on
+        the DELTA of persisted RDDs (other tests in this session leave their
+        own DISK_ONLY RDDs behind — an any() over all of them false-passes),
+        and holds a reference to the result so the ContextCleaner can't
+        unpersist the checkpoint before the assertion."""
         from mini_flink_spark.queries import QUERIES
 
-        QUERIES["curation_pipeline_fineweb"].fn(spark, sf_dir).count()
-        jlevels = [
-            rdd.getStorageLevel()
-            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values()
-        ]
+        def _persisted():
+            return {
+                int(rid): rdd.getStorageLevel()
+                for rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items()
+            }
+
+        before = set(_persisted())
+        df = QUERIES["curation_pipeline_fineweb"].fn(spark, sf_dir)
+        df.count()
+        new_levels = {
+            rid: lvl for rid, lvl in _persisted().items() if rid not in before
+        }
         assert any(
-            lvl.useDisk() and not lvl.useMemory() for lvl in jlevels
-        ), f"no DISK_ONLY persisted RDD found; levels={[str(l) for l in jlevels]}"
+            lvl.useDisk() and not lvl.useMemory() for lvl in new_levels.values()
+        ), (
+            "no NEW DISK_ONLY persisted RDD created by the fineweb query; "
+            f"new levels={[str(l) for l in new_levels.values()]}"
+        )
+        del df

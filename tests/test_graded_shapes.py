@@ -23,7 +23,11 @@ from mini_flink_spark.queries import all_queries
 def test_no_registered_query_returns_toplevel_array_or_map(spark, sf_dir):
     offenders: dict[str, list[str]] = {}
     for name, fn in all_queries().items():
-        df = fn(spark, sf_dir)  # plan construction only; no collect
+        # schema extraction needs fn() to return — cheap plan construction
+        # for most queries, but the EXECUTES_ON_BUILD subset (kmeans/PQ/BPE
+        # fits, eager persists) and the streaming drains run real Spark jobs
+        # here, so this sweep costs minutes at fixture scale, not seconds
+        df = fn(spark, sf_dir)
         bad = [
             f.name
             for f in df.schema.fields

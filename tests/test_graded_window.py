@@ -54,21 +54,43 @@ LLM_FLAGSHIP = {
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-# The one allowed REGRADE: a prior appearance that was a driver ERR (not a
-# pass) may take a rotation slot to certify its fix. pq_codes r5 crashed the
-# driver canonicalizer (array output); round 6 reshapes it to a scalar
-# string and must show a green row (VERDICT r5 #1).
-REGRADE_OK = {"pq_codes"}
+def _artifacts() -> list[dict]:
+    """All recorded CORRECTNESS_r*.json artifacts in round order (globbed,
+    not a pinned range — a pinned range silently stops reading new rounds),
+    EXCLUDING any artifact that is the CURRENT window's own grading record
+    (key set == GRADED_WINDOW): once the driver grades this window, its
+    artifact must not retroactively flag the very window it recorded — the
+    no-regrade guard compares a window against the rounds BEFORE it. Two
+    windows can never share a key set under the no-regrade policy itself
+    (25 slots always rotate to new names), so the exclusion is unambiguous."""
+    import glob
+
+    window = set(GRADED_WINDOW)
+    out = []
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            art = json.load(f)
+        if set(art) != window:
+            out.append(art)
+    return out
 
 
 def _previously_graded() -> set[str]:
     names: set[str] = set()
-    for n in range(1, 6):
-        path = os.path.join(_REPO, f"CORRECTNESS_r{n:02d}.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                names |= set(json.load(f))
+    for art in _artifacts():
+        names |= set(art)
     return names
+
+
+def _regrade_allowed() -> set[str]:
+    """A rotation slot may REGRADE a query only while its LATEST recorded
+    driver verdict is an ERR (not a pass) — the exemption self-expires the
+    moment a green row lands. pq_codes r5 crashed the driver canonicalizer
+    (array output); round 6 reshapes it to a scalar string (VERDICT r5 #1)."""
+    last: dict[str, dict] = {}
+    for art in _artifacts():
+        last.update(art)
+    return {name for name, row in last.items() if row.get("err")}
 
 
 def test_window_is_first_50():
@@ -90,7 +112,8 @@ def test_rotation_slots_are_never_graded():
         return
     rotation = [n for n in GRADED_WINDOW if n not in S2_ROWS | LLM_FLAGSHIP]
     assert len(rotation) == 25
-    regraded = [n for n in rotation if n in prior and n not in REGRADE_OK]
+    regrade_ok = _regrade_allowed()
+    regraded = [n for n in rotation if n in prior and n not in regrade_ok]
     assert not regraded, f"rotation slots wasted on already-graded: {regraded}"
 
 

@@ -660,11 +660,16 @@ def probe_round6_fineweb_max(spark):
     after = _stage_metrics_total(spark)
     delta = {k: after[k] - before[k] for k in after}
 
-    # (b) planted docs come out as 3000 singleton reps (outside the clock)
-    singles = out.filter(F.col("keep_id") >= 10_000_000_000)
-    n_singles = singles.count()
-    n_multi = singles.filter(F.col("n_dups") > 1).count()
-    rows = out.count()
+    # (b) planted docs come out as 3000 singleton reps (outside the clock;
+    # ONE aggregation pass — out is uncached, so separate counts would each
+    # re-execute the full 1M-doc LSH/CC pipeline)
+    planted_rep = F.col("keep_id") >= 10_000_000_000
+    stats = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(planted_rep.cast("long")).alias("n_singles"),
+        F.sum((planted_rep & (F.col("n_dups") > 1)).cast("long")).alias("n_multi"),
+    ).first()
+    rows, n_singles, n_multi = stats.rows, stats.n_singles, stats.n_multi
     print(
         f"200x+hot ({n_docs} docs) curation_pipeline_fineweb: {dt:.1f}s, "
         f"{rows} rows, shuffle_w={delta['shuffle_write'] / 1e6:.1f}MB "
