@@ -681,6 +681,125 @@ def probe_round6_fineweb_max(spark):
     assert n_singles == 3000 and n_multi == 0, (n_singles, n_multi)
 
 
+def probe_round6_skew_join(spark):
+    """AQE skew-join under a planted hot key — the brief's 'skewed keys
+    hurt' scenario, measured rather than asserted. Fact: 5M rows with 30%
+    on ONE key (the power-law head every real event/log corpus has), dim:
+    200k rows (autoBroadcastJoinThreshold disabled so the join actually
+    shuffles — at 100 TB the dim side won't broadcast either). A/B on
+    spark.sql.adaptive.skewJoin.enabled: ON must split the hot partition so
+    the stage's max task duration collapses toward the median; OFF strands
+    the hot key's 1.5M rows in one oversized partition whose task dominates
+    the stage.
+
+    Two measurement traps this probe explicitly handles (both observed):
+    - warm-up bias: the first execution pays JIT/codegen/page-cache costs
+      that uniformly inflate whichever flag goes first by 2-3× — so an
+      untimed warm-up runs first and flags alternate, best run per flag;
+    - threshold scale: AQE marks a partition skewed only past
+      skewedPartitionThresholdInBytes (default 256 MB) AND factor×median.
+      The fixture's hot partition is ~24 MB, so at fixture scale the probe
+      scales the THRESHOLD to the data (8 MB / advisory 4 MB) rather than
+      the data to the threshold — at 100 TB the hot key's partition is
+      hundreds of GB and the stock defaults fire on their own.
+    Claims: (a) identical results both ways, (b) skew-ON splits the hot
+    partition (strictly more join tasks — the deterministic certificate)
+    and max task duration falls well below skew-OFF's."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+
+    def _join_stage_summary(app, seen_stages):
+        stages = _json.load(
+            urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages?status=complete")
+        )
+        new = [s for s in stages if s["stageId"] not in seen_stages]
+        # the join stage = largest shuffle READ among this run's new stages
+        s = max(new, key=lambda s: s.get("shuffleReadBytes", 0))
+        q = _json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages/{s['stageId']}/"
+                f"{s['attemptId']}/taskSummary?quantiles=0.5,1.0"
+            )
+        )
+        med, mx = q["executorRunTime"]
+        return s["stageId"], s.get("numCompleteTasks", 0), med, mx
+
+    apps = _json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+    app = apps[0]["id"]
+
+    fact = spark.range(0, 5_000_000).selectExpr(
+        "IF(pmod(id, 10) < 3, 0L, pmod(hash(id), 100000) + 1) AS k",
+        "pmod(id, 997) AS v",
+    )
+    dim = spark.range(0, 200_000).selectExpr("id AS k", "pmod(id, 31) AS grp")
+
+    def run():
+        return (
+            fact.join(dim, "k")
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+            .orderBy("grp")
+            .collect()
+        )
+
+    probe_confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+    }
+    prev = {k: spark.conf.get(k) for k in probe_confs}
+    results: dict = {}
+    try:
+        for k, v in probe_confs.items():
+            spark.conf.set(k, v)
+        run()  # warm-up: JIT, codegen cache, shuffle-service pages
+        for flag in ("true", "false", "true", "false"):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", flag)
+            seen = {
+                s["stageId"]
+                for s in _json.load(
+                    urllib.request.urlopen(
+                        f"{ui}/api/v1/applications/{app}/stages"
+                    )
+                )
+            }
+            t0 = time.time()
+            agg = run()
+            dt = time.time() - t0
+            sid, ntasks, med, mx = _join_stage_summary(app, seen)
+            print(
+                f"skewJoin={flag}: wall {dt:.1f}s, join stage {sid} "
+                f"({ntasks} tasks) task runtime median {med:.0f}ms "
+                f"max {mx:.0f}ms",
+                flush=True,
+            )
+            best = results.get(flag)
+            if best is None or mx < best[2]:
+                results[flag] = (dt, agg, mx, med, ntasks)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    assert results["false"][1] == results["true"][1], "results differ under skew-join!"
+    wall_off, _, mx_off, med_off, nt_off = results["false"]
+    wall_on, _, mx_on, med_on, nt_on = results["true"]
+    print(
+        f"trend: identical results; best-per-flag max task {mx_on:.0f}ms (on, "
+        f"med {med_on:.0f}, {nt_on} tasks) vs {mx_off:.0f}ms (off, med "
+        f"{med_off:.0f}, {nt_off} tasks) — {mx_off / max(mx_on, 1):.1f}x; "
+        f"wall {wall_on:.1f}s vs {wall_off:.1f}s",
+        flush=True,
+    )
+    # the structural claim is deterministic (AQE split the hot partition into
+    # extra tasks); the timing claim gets a noise margin — tasks are a few
+    # hundred ms here, so the 0.5× the sizes imply bounces around run-to-run
+    assert nt_on > nt_off, "skew-ON did not split the hot partition"
+    assert mx_on < 0.7 * mx_off, (mx_on, mx_off)
+
+
 def probe_round4_new(spark):
     """Round-4 additions at scale.
 
@@ -820,6 +939,7 @@ PROBES = {
     "round5_lm": probe_round5_lm,
     "round5_fineweb": probe_round5_fineweb,
     "round6_fineweb_max": probe_round6_fineweb_max,
+    "round6_skew_join": probe_round6_skew_join,
 }
 
 if __name__ == "__main__":
