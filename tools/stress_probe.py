@@ -681,6 +681,97 @@ def probe_round6_fineweb_max(spark):
     assert n_singles == 3000 and n_multi == 0, (n_singles, n_multi)
 
 
+def probe_round6_join_state(spark):
+    """Stream-stream interval-join STATE boundedness — the eviction claim
+    behind the now-driver-graded `streaming_stream_join` ("both sides
+    watermarked, join condition time-bounded on both ends so state evicts"),
+    demonstrated rather than asserted from the plan. 10 waves × (5k clicks +
+    5k purchases) with event time advancing 20 min per wave, 10-min
+    watermarks, purchases joined within [0, 5 min] of their click. If
+    eviction worked, per-batch join-state `numRowsTotal` stays ~a wave or
+    two; if the time bounds were missing (the classic unbounded stream-join
+    bug) state would ratchet up toward all 100k buffered rows."""
+    import datetime
+    import os
+    import tempfile
+
+    waves, per_wave = 10, 5_000
+    src = tempfile.mkdtemp(prefix="probe_jstate_src_")
+    base = datetime.datetime(2026, 1, 1)
+    stamped: set[str] = set()
+    for i in range(waves):
+        ts = base + datetime.timedelta(minutes=20 * i)
+        (
+            spark.range(i * per_wave, (i + 1) * per_wave)
+            .selectExpr(
+                "id AS user_id",
+                f"timestamp'{ts:%Y-%m-%d %H:%M:%S}' AS c_ts",
+                # the matching purchase lands 2 min after its click
+                f"timestamp'{ts:%Y-%m-%d %H:%M:%S}' + interval 2 minutes AS p_ts",
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in stamped:
+                os.utime(os.path.join(src, f), (1_000_000 + i, 1_000_000 + i))
+                stamped.add(f)
+
+    schema = "user_id bigint, c_ts timestamp, p_ts timestamp"
+
+    def reader():
+        return (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+
+    clicks = (
+        reader().select("user_id", "c_ts").withWatermark("c_ts", "10 minutes").alias("c")
+    )
+    purchases = (
+        reader().select("user_id", "p_ts").withWatermark("p_ts", "10 minutes").alias("p")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c.user_id = p.user_id AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 5 minutes"
+        ),
+    )
+    ckpt = tempfile.mkdtemp(prefix="probe_jstate_ckpt_")
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    rows_per_batch = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    out_rows = sum(
+        p.get("sink", {}).get("numOutputRows", 0) or 0 for p in q.recentProgress
+    )
+    q.stop()
+    print(
+        f"join_state buffered_input={waves * per_wave * 2} "
+        f"matches={out_rows} state_rows_per_batch={rows_per_batch}",
+        flush=True,
+    )
+    peak = max(rows_per_batch)
+    # both sides of ~2 waves may be resident before the watermark crosses;
+    # anything near the 100k total means eviction is broken
+    assert peak <= 6 * per_wave, (
+        f"join state grew to {peak} rows — time bounds are not evicting"
+    )
+    assert out_rows == waves * per_wave, out_rows
+
+
 def probe_round6_skew_join(spark):
     """AQE skew-join under a planted hot key — the brief's 'skewed keys
     hurt' scenario, measured rather than asserted. Fact: 5M rows with 30%
@@ -940,6 +1031,7 @@ PROBES = {
     "round5_fineweb": probe_round5_fineweb,
     "round6_fineweb_max": probe_round6_fineweb_max,
     "round6_skew_join": probe_round6_skew_join,
+    "round6_join_state": probe_round6_join_state,
 }
 
 if __name__ == "__main__":
