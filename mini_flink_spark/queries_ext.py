@@ -1768,6 +1768,51 @@ def q_warc_ingest_roundtrip(spark, sf_dir):
 
 
 @register(
+    "jsonl_ingest_roundtrip",
+    """
+    SELECT doc_id, lang, source,
+           octet_length(encode(text))::BIGINT AS text_bytes
+    FROM documents
+    """,
+    ("source", "ingest", "jsonl"),
+)
+def q_jsonl_ingest_roundtrip(spark, sf_dir):
+    """JSONL ingestion — the de-facto LLM-corpus interchange format (one JSON
+    object per line; RedPajama/Dolma/FineWeb all ship this way) — through
+    Spark's NATIVE json reader, the idiomatic path (unlike WARC, which needed
+    a custom DataSource): the documents table is written as JSONL
+    distributively, read back with an EXPLICIT schema, and ids/lang/source/
+    payload byte lengths must survive the round trip exactly (JSON string
+    escaping makes embedded newlines safe — that is why JSONL stays
+    line-splittable on document text).
+
+    100 TB notes: (a) the explicit schema is the whole game — schema
+    INFERENCE is a full extra corpus scan before the real one (samplingRatio
+    mitigates but still scans); (b) JSONL is line-splittable so scan tasks
+    parallelize by byte range under maxPartitionBytes, but only if the
+    compression codec is splittable — gzip archives serialize a whole file
+    through one task (use zstd/bzip2 or many files); (c) malformed-line
+    policy is PERMISSIVE + columnNameOfCorruptRecord quarantine at corpus
+    scale, FAILFAST in CI — both pinned in tests/test_jsonl_ingest.py."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="jsonl_q_") + "/docs"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    docs.write.mode("overwrite").json(d)  # Spark's json writer emits JSONL
+    schema = "doc_id bigint, lang string, source string, text string"
+    return (
+        spark.read.schema(schema)
+        .json(d)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.octet_length("text").cast("bigint").alias("text_bytes"),
+        )
+    )
+
+
+@register(
     "heavy_hitter_tokens",
     K.heavy_hitters_sql(
         f"SELECT unnest({T.tokens_sql('text')}) AS tok FROM documents",
