@@ -189,6 +189,47 @@ def redact_pii_sql(expr: str) -> str:
     return out
 
 
+CONTROL_CHARS_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"  # C0 minus \t\n\r, + DEL
+
+
+def strip_control_chars(col: Column | str) -> Column:
+    """Drop non-printing control characters (C0 minus tab/newline/CR, plus
+    DEL) — the crawl-artifact bytes every corpus cleanup pass removes before
+    tokenization. Pure JVM regexp, zero Python."""
+    return F.regexp_replace(col, CONTROL_CHARS_RE, "")
+
+
+def strip_control_chars_sql(expr: str) -> str:
+    # RE2 and Java regex both read \xNN hex escapes, so the class literal is
+    # engine-portable as-is
+    return f"regexp_replace({expr}, '{CONTROL_CHARS_RE}', '', 'g')"
+
+
+def nfc_normalize(col: Column | str) -> Column:
+    """Unicode NFC normalization — combining sequences (e + U+0301) fold to
+    their composed forms (é) so that visually-identical strings hash, dedup,
+    and tokenize identically. Spark has NO built-in Unicode normalizer, so
+    this is a DECLARED Arrow-batched pandas path (unicodedata is the CPython
+    Unicode database — the same tables DuckDB's nfc_normalize implements,
+    which is what makes the oracle twin exact). Stateless per-row projection:
+    linear, no shuffle; at corpus scale it fuses into the scan projection
+    like any other narrow transform."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no annotations on the inner fn: `from __future__ import annotations`
+    # stringifies hints and pandas_udf can't resolve them (similarity.py's
+    # pandas paths use the same untyped-scalar form)
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    return _nfc(F.col(col) if isinstance(col, str) else col)
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: 56-bit hash of the normalized text (content-
     defined identity — robust to case/punct/whitespace variation)."""

@@ -1813,6 +1813,49 @@ def q_jsonl_ingest_roundtrip(spark, sf_dir):
 
 
 @register(
+    "unicode_normalize_docs",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' e' || chr(769) || 'u' || chr(776) || ' x' || chr(7)
+               AS planted
+      FROM documents
+    )
+    SELECT doc_id,
+           octet_length(encode(planted))::BIGINT AS raw_bytes,
+           octet_length(encode(nfc_normalize(
+             {T.strip_control_chars_sql('planted')})))::BIGINT AS clean_bytes,
+           substr(md5(nfc_normalize(
+             {T.strip_control_chars_sql('planted')})), 1, 8) AS clean_md5_8
+    FROM p
+    """,
+    ("text", "cleanup", "unicode", "pandas-udf"),
+)
+def q_unicode_normalize_docs(spark, sf_dir):
+    """Corpus text cleanup: strip control characters (JVM regexp), then
+    Unicode-NFC normalize (declared Arrow pandas path — Spark has no builtin
+    normalizer; DuckDB's nfc_normalize implements the same Unicode tables,
+    so the md5 of the cleaned text matches EXACTLY). The driver corpus is
+    pure ASCII, so each doc gets a planted suffix of combining sequences
+    (e+U+0301, u+U+0308 -> é, ü) plus a BEL control byte — every row is
+    genuinely transformed (raw_bytes != clean_bytes on all 100%), not a
+    vacuous identity pass (the round-3 dedup_embedding_cosine lesson).
+
+    Scale: both steps are stateless per-row projections fused into the scan;
+    the pandas stage is the one declared Python boundary (same policy as
+    multimodal feature extraction)."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat("text", F.lit(" e\u0301u\u0308 x\x07"))
+    clean = T.nfc_normalize(T.strip_control_chars(planted))
+    return docs.select(
+        "doc_id",
+        F.octet_length(planted).cast("bigint").alias("raw_bytes"),
+        F.octet_length(clean).cast("bigint").alias("clean_bytes"),
+        F.substring(F.md5(F.encode(clean, "UTF-8")), 1, 8).alias("clean_md5_8"),
+    )
+
+
+@register(
     "heavy_hitter_tokens",
     K.heavy_hitters_sql(
         f"SELECT unnest({T.tokens_sql('text')}) AS tok FROM documents",
