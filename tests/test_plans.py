@@ -73,7 +73,10 @@ def test_no_python_udfs_in_core_queries(spark, sf_dir):
     # every core/relational query stays JVM-side (UDFs would appear as
     # BatchEvalPython / ArrowEvalPython); decontam is exempt since round 4 —
     # its broadcast-eval Arrow fold is a declared pandas path (PLANS.md),
-    # bit-identical to the literal expression by pinned test
+    # bit-identical to the literal expression by pinned test; NFC
+    # normalization (round 6) is likewise declared — Spark has no builtin
+    # Unicode normalizer, and the pandas path is md5-pinned against DuckDB's
+    # nfc_normalize by its oracle
     for name, spec in QUERIES.items():
         if (
             "dedup" in name
@@ -81,6 +84,7 @@ def test_no_python_udfs_in_core_queries(spark, sf_dir):
             or "streaming" in name
             or "multimodal" in name
             or "semantic_decontam" in name
+            or "unicode_normalize" in name
         ):
             continue
         plan = plan_of(spark, sf_dir, name)
