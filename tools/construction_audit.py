@@ -48,6 +48,8 @@ EXECUTES_ON_BUILD = {
     "mixture_weights_temperature",
     "dsir_importance_weights",
     "curriculum_global_rank",
+    "warc_ingest_roundtrip",  # writes the WARC fixture (1-row barrier) at build
+    "jsonl_ingest_roundtrip",  # writes the JSONL fixture at build
 }
 
 
