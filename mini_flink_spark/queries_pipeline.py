@@ -1221,13 +1221,30 @@ def q_curriculum_global_rank(spark, sf_dir):
     return ranked.mapInPandas(_stamp, "doc_id long, n_tokens long, rank long")
 
 
+# Record-linkage hot-block cap: blocks above this size are dropped from
+# candidate generation (the O(b²) guard rail, same class as dedup's
+# MAX_BAND_BUCKET). 100k rows/block = ~5e9 bounded-levenshtein compares —
+# seconds on a real cluster, so the cap only fires on genuinely pathological
+# skew (null-ish blocking keys collapsing a corpus slice into one block),
+# not on normal growth. The oracle applies the identical cap.
+MAX_LINKAGE_BLOCK = 100_000
+
+
 @register(
     "record_linkage_customers",
-    """
+    f"""
+    WITH blk AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS bc
+      FROM customer GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT c.* FROM customer c JOIN blk USING (c_nationkey, c_mktsegment)
+      WHERE blk.bc <= {MAX_LINKAGE_BLOCK}
+    )
     SELECT l.c_custkey AS a, r.c_custkey AS b,
            levenshtein(l.c_name, r.c_name)::BIGINT AS dist
-    FROM customer l
-    JOIN customer r
+    FROM cand l
+    JOIN cand r
       ON l.c_nationkey = r.c_nationkey
      AND l.c_mktsegment = r.c_mktsegment
      AND l.c_custkey < r.c_custkey
@@ -1243,14 +1260,28 @@ def q_record_linkage_customers(spark, sf_dir):
     an edit-distance predicate (integer Levenshtein ⇒ exactly portable
     across engines). Output: matched pairs at distance ≤ 2.
 
-    Scale: the self-join shuffles only the blocking key; a hot block would
-    be capped the same way n-gram dedup caps document frequency (count
-    blocks first, drop or sub-block the pathological ones). Real linkage
+    Scale: the self-join shuffles only the blocking key, and — the same
+    O(b²) guard rail as MinHash's MAX_BAND_BUCKET and n-gram dedup's df cap —
+    blocks larger than MAX_LINKAGE_BLOCK are DROPPED from candidate
+    generation before the self-join (one broadcast anti-join of the
+    oversized-block key list; the oracle applies the identical cap, so pair
+    sets agree at every SF). A dropped block is the loud signal that the
+    blocking key is not discriminative enough there and needs a sub-block
+    conjunct (for edit-distance predicates the complete scheme is PassJoin's
+    pigeonhole segments, VLDB'11); silently grinding through a
+    corpus-growing block is the failure mode this prevents. Real linkage
     swaps the name predicate for a scored rule set — the plan shape is
     identical."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
+    hot = (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .filter(F.col("bc") > MAX_LINKAGE_BLOCK)
+        .select("c_nationkey", "c_mktsegment")
+    )
+    c = c.join(F.broadcast(hot), ["c_nationkey", "c_mktsegment"], "left_anti")
     l = c.alias("l")
     r = c.alias("r")
     return (
