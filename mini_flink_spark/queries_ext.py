@@ -1813,6 +1813,61 @@ def q_jsonl_ingest_roundtrip(spark, sf_dir):
 
 
 @register(
+    "csv_ingest_roundtrip",
+    """
+    SELECT doc_id, lang,
+           octet_length(encode(text || ' ,"q' || chr(39) || 'z'))::BIGINT
+             AS text_bytes,
+           substr(md5(text || ' ,"q' || chr(39) || 'z'), 1, 8) AS text_md5_8
+    FROM documents
+    """,
+    ("source", "ingest", "csv"),
+)
+def q_csv_ingest_roundtrip(spark, sf_dir):
+    """CSV ingestion through Spark's native csv reader/writer, completing the
+    ingest trio (WARC = custom DataSource, JSONL = native json, CSV = native
+    csv). Every row gets a planted suffix containing the three characters
+    that break naive CSV handling — a field delimiter, a double quote, a
+    single quote — so the quoting/escaping path is exercised on 100% of rows
+    (non-vacuity, the dedup_embedding_cosine lesson); the md5 of the
+    round-tripped text must match the oracle's rendering of the same plant.
+
+    Written and read in RFC 4180 mode (escape = double-quote doubling, NOT
+    Spark's default backslash) — the dialect every other engine, DuckDB
+    included, parses without options. 100 TB notes: explicit schema (no
+    inference pass), and NO embedded raw newlines — handling them needs
+    multiLine=true, which makes files non-splittable (one task per file);
+    corpus text with newlines belongs in JSONL, where string escaping keeps
+    the format line-delimited (see jsonl_ingest_roundtrip)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="csv_q_") + "/docs"
+    planted = F.concat("text", F.lit(" ,\"q'z"))
+    (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", planted.alias("text"))
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(d)
+    )
+    return (
+        spark.read.schema("doc_id bigint, lang string, text string")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(d)
+        .select(
+            "doc_id",
+            "lang",
+            F.octet_length("text").cast("bigint").alias("text_bytes"),
+            F.substring(F.md5(F.encode("text", "UTF-8")), 1, 8).alias("text_md5_8"),
+        )
+    )
+
+
+@register(
     "unicode_normalize_docs",
     f"""
     WITH p AS (

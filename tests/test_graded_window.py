@@ -5,7 +5,7 @@ must lead with the curated GRADED_WINDOW.
 Rotation policy (VERDICT r3 "Next round" #3): 25 slots are PINNED — the 15
 SURVEY §2 reference-surface rows plus 10 flagship LLM-pipeline anchors —
 and the other 25 slots ROTATE each round to queries that have never had a
-driver verdict, accumulating driver evidence across the full registry (196 queries as of round 6).
+driver verdict, accumulating driver evidence across the full registry (197 queries as of round 6).
 Every windowed query must carry a DuckDB oracle (a no-oracle row inside the
 window wastes a graded slot on a weaker rows-only check)."""
 
