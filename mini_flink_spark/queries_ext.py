@@ -25,6 +25,23 @@ from mini_flink_spark.functions import text as T
 from mini_flink_spark.queries import _t, register
 
 
+def _fixture_dir(kind: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) fixture path under the system temp dir.
+
+    Ingest/streaming queries materialize a copy of the corpus as their
+    on-disk fixture; mkdtemp-per-invocation accumulated one copy per builder
+    call (oracle-parity tests, the graded-shapes sweep, grading, bench — all
+    rebuild) and never cleaned up (ADVICE r6). A deterministic path keyed on
+    (query kind, sf dir) makes every rebuild OVERWRITE the single copy
+    instead. Builds are sequential in every consumer (driver grade, pytest,
+    bench), so the lazy reader never races a rewrite of its own path."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"mfs_fixture_{kind}_{tag}")
+
+
 def _spread(df):
     """Repartition to cluster parallelism before per-row-heavy projections —
     only when the scan can't already feed the cluster.
@@ -1723,11 +1740,15 @@ def q_warc_ingest_roundtrip(spark, sf_dir):
     is a local tempdir, which executors share in local[*]; a real cluster
     would point this at shared storage, where crawl archives live anyway."""
     import os
-    import tempfile
+    import shutil
 
     from mini_flink_spark.sources import warc_source as W
 
-    d = tempfile.mkdtemp(prefix="warc_q_")
+    d = _fixture_dir("warc", sf_dir)
+    # unlike Spark's own writers there is no mode("overwrite") here: clear
+    # the dir so a partition-count change can't leave stale segments behind
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
 
     def _write_segment(batches):
         import pandas as pd
@@ -1794,9 +1815,7 @@ def q_jsonl_ingest_roundtrip(spark, sf_dir):
     through one task (use zstd/bzip2 or many files); (c) malformed-line
     policy is PERMISSIVE + columnNameOfCorruptRecord quarantine at corpus
     scale, FAILFAST in CI — both pinned in tests/test_jsonl_ingest.py."""
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="jsonl_q_") + "/docs"
+    d = _fixture_dir("jsonl", sf_dir) + "/docs"
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
     docs.write.mode("overwrite").json(d)  # Spark's json writer emits JSONL
     schema = "doc_id bigint, lang string, source string, text string"
@@ -1839,24 +1858,30 @@ def q_csv_ingest_roundtrip(spark, sf_dir):
     multiLine=true, which makes files non-splittable (one task per file);
     corpus text with newlines belongs in JSONL, where string escaping keeps
     the format line-delimited (see jsonl_ingest_roundtrip)."""
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="csv_q_") + "/docs"
+    d = _fixture_dir("csv", sf_dir) + "/docs"
     planted = F.concat("text", F.lit(" ,\"q'z"))
+    # whitespace handling pinned OFF on both sides: Spark's writer defaults
+    # ignoreLeading/TrailingWhiteSpace=true, which would silently trim
+    # documents with edge whitespace before the md5 and diverge from the
+    # oracle's byte-exact rendering (ADVICE r6) — safe-by-default, not
+    # safe-by-fixture-content
+    ws_opts = {
+        "header": "true",
+        "quote": '"',
+        "escape": '"',
+        "ignoreLeadingWhiteSpace": "false",
+        "ignoreTrailingWhiteSpace": "false",
+    }
     (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "lang", planted.alias("text"))
         .write.mode("overwrite")
-        .option("header", "true")
-        .option("quote", '"')
-        .option("escape", '"')
+        .options(**ws_opts)
         .csv(d)
     )
     return (
         spark.read.schema("doc_id bigint, lang string, text string")
-        .option("header", "true")
-        .option("quote", '"')
-        .option("escape", '"')
+        .options(**ws_opts)
         .csv(d)
         .select(
             "doc_id",
@@ -2128,7 +2153,7 @@ def q_streaming_wordcount(spark, sf_dir):
     from mini_flink_spark.streaming import run_stream_to_memory, wordcount_stream_update
 
     docs = _t(spark, sf_dir, "documents").select(F.col("text").alias("line"))
-    fixture = write_stream_fixture(docs, tempfile.mkdtemp(prefix="q_stream_wc_"), n_files=4)
+    fixture = write_stream_fixture(docs, _fixture_dir("stream_wc", sf_dir), n_files=4)
     stream = parquet_stream(spark, fixture, "line string")
     return run_stream_to_memory(wordcount_stream_update(stream), spark, "update").select(
         "word", "count"
@@ -2157,7 +2182,7 @@ def q_streaming_quality_filter(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     fixture = write_stream_fixture(
-        docs, tempfile.mkdtemp(prefix="q_stream_gq_"), n_files=4
+        docs, _fixture_dir("stream_gq", sf_dir), n_files=4
     )
     stream = parquet_stream(spark, fixture, "doc_id bigint, text string")
     mx = gopher_metrics(T.tokens("text"))
@@ -2232,7 +2257,7 @@ def q_streaming_running_reduce(spark, sf_dir):
     from mini_flink_spark.streaming import run_stream_to_memory
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    fixture = write_stream_fixture(ev, tempfile.mkdtemp(prefix="q_stream_rr_"), n_files=2)
+    fixture = write_stream_fixture(ev, _fixture_dir("stream_rr", sf_dir), n_files=2)
     stream = parquet_stream(
         spark, fixture, "event_id bigint, user_id bigint, value double"
     )
@@ -2264,7 +2289,7 @@ def q_streaming_window_counts(spark, sf_dir):
     from mini_flink_spark.streaming import run_stream_to_memory
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
-    fixture = write_stream_fixture(ev, tempfile.mkdtemp(prefix="q_stream_win_"), n_files=3)
+    fixture = write_stream_fixture(ev, _fixture_dir("stream_win", sf_dir), n_files=3)
     stream = parquet_stream(spark, fixture, "user_id bigint, ts timestamp")
     windowed = (
         stream.withWatermark("ts", "1 hour")
@@ -2293,7 +2318,7 @@ def q_streaming_dedup(spark, sf_dir):
     from mini_flink_spark.streaming import run_stream_to_memory
 
     ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
-    fixture = write_stream_fixture(ev, tempfile.mkdtemp(prefix="q_stream_dd_"), n_files=3)
+    fixture = write_stream_fixture(ev, _fixture_dir("stream_dd", sf_dir), n_files=3)
     stream = parquet_stream(spark, fixture, "event_type string, user_id bigint, ts timestamp")
     deduped = (
         stream.withWatermark("ts", "1 hour")
@@ -2334,7 +2359,7 @@ def q_streaming_neardup_groups(spark, sf_dir):
     from mini_flink_spark.streaming import run_stream_to_memory
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    fixture = write_stream_fixture(docs, tempfile.mkdtemp(prefix="q_stream_nd_"), n_files=3)
+    fixture = write_stream_fixture(docs, _fixture_dir("stream_nd", sf_dir), n_files=3)
     stream = parquet_stream(spark, fixture, "doc_id bigint, text string")
     grouped = (
         stream.withColumn("simhash", D.simhash_expr("text"))
@@ -2370,7 +2395,7 @@ def q_streaming_stream_join(spark, sf_dir):
     from mini_flink_spark.streaming import run_stream_to_memory
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
-    fixture = write_stream_fixture(ev, tempfile.mkdtemp(prefix="q_stream_ssj_"), n_files=2)
+    fixture = write_stream_fixture(ev, _fixture_dir("stream_ssj", sf_dir), n_files=2)
     schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
     clicks = (
         parquet_stream(spark, fixture, schema)
@@ -2437,7 +2462,7 @@ def q_streaming_session_windows(spark, sf_dir):
     from mini_flink_spark.streaming import run_stream_to_memory
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
-    fixture = write_stream_fixture(ev, tempfile.mkdtemp(prefix="q_stream_sw_"), n_files=2)
+    fixture = write_stream_fixture(ev, _fixture_dir("stream_sw", sf_dir), n_files=2)
     stream = parquet_stream(spark, fixture, "user_id bigint, ts timestamp")
     sessions = (
         stream.withWatermark("ts", "1 hour")
@@ -2475,7 +2500,7 @@ def q_streaming_enrich_join(spark, sf_dir):
     from mini_flink_spark.streaming import run_stream_to_memory
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
-    fixture = write_stream_fixture(ev, tempfile.mkdtemp(prefix="q_stream_enrich_"), n_files=2)
+    fixture = write_stream_fixture(ev, _fixture_dir("stream_enrich", sf_dir), n_files=2)
     stream = parquet_stream(
         spark, fixture, "event_id bigint, user_id bigint, event_type string, value double"
     )
@@ -3231,7 +3256,7 @@ def q_streaming_curation_gate_dedup(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     fixture = write_stream_fixture(
-        docs, tempfile.mkdtemp(prefix="q_stream_cur_"), n_files=4
+        docs, _fixture_dir("stream_cur", sf_dir), n_files=4
     )
     stream = parquet_stream(spark, fixture, "doc_id bigint, text string")
     mx = gopher_metrics(T.tokens("text"))
@@ -3273,7 +3298,7 @@ def q_streaming_semantic_decontam(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     fixture = write_stream_fixture(
         emb.select("vec_id", "embedding"),
-        tempfile.mkdtemp(prefix="q_stream_decontam_"),
+        _fixture_dir("stream_decontam", sf_dir),
         n_files=4,
     )
     stream = parquet_stream(spark, fixture, "vec_id bigint, embedding array<float>")

@@ -1052,10 +1052,10 @@ def q_ann_topk_ivf_persisted(spark, sf_dir):
     ever read (pinned in tests/test_plans.py). Results are identical to the
     in-memory `ann_topk_ivf` (same oracle), because the persisted layout
     changes WHERE rows live, never which rows score."""
-    import tempfile
+    from mini_flink_spark.queries_ext import _fixture_dir
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_idx_")
+    path = _fixture_dir("ivf_idx", sf_dir)
     S.ivf_persist(emb, path)
     cents = emb.filter(F.col("vec_id") < S.IVF_CELLS).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
@@ -2040,15 +2040,13 @@ def q_streaming_source_drift(spark, sf_dir):
 
     Scale: streaming state is vocabulary × sources (bounded); the KL pass
     touches only the count table, never re-reads documents."""
-    import tempfile
-
     from mini_flink_spark.sources import parquet_stream, write_stream_fixture
     from mini_flink_spark.streaming import run_stream_to_memory
 
     docs = _t(spark, sf_dir, "documents").select("source", "text")
-    fixture = write_stream_fixture(
-        docs, tempfile.mkdtemp(prefix="q_stream_drift_"), n_files=4
-    )
+    from mini_flink_spark.queries_ext import _fixture_dir
+
+    fixture = write_stream_fixture(docs, _fixture_dir("stream_drift", sf_dir), n_files=4)
     stream = parquet_stream(spark, fixture, "source string, text string")
     counts = (
         stream.select("source", F.explode(T.tokens("text")).alias("tok"))
@@ -2152,12 +2150,10 @@ def q_text_search_bm25_persisted(spark, sf_dir):
     columns rebuild the exact scoring frame of the tokenizing path (shared
     `_bm25_from_base`), so scores are bit-identical and the oracle is the
     same SQL as `text_search_bm25`."""
-    import tempfile
-
     from mini_flink_spark import queries_ext as E
 
     docs = _t(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="bm25_idx_")
+    path = E._fixture_dir("bm25_idx", sf_dir)
     E.bm25_persist(docs, path)
     return (
         E.bm25_query_persisted(spark, path, E._BM25_TERMS)
@@ -2548,17 +2544,15 @@ def q_streaming_topk_items(spark, sf_dir):
     table — the dashboard query pattern where the stream keeps the counts
     always-current and ranking stays a cheap batch read over item-cardinality
     rows. Converged output ≡ the batch oracle."""
-    import tempfile
-
     from mini_flink_spark.sources import parquet_stream, write_stream_fixture
     from mini_flink_spark.streaming import run_stream_to_memory
 
     ev = _t(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
     ).select(F.get_json_object("props", "$.k").cast("bigint").alias("item"))
-    fixture = write_stream_fixture(
-        ev, tempfile.mkdtemp(prefix="q_stream_topk_"), n_files=4
-    )
+    from mini_flink_spark.queries_ext import _fixture_dir
+
+    fixture = write_stream_fixture(ev, _fixture_dir("stream_topk", sf_dir), n_files=4)
     stream = parquet_stream(spark, fixture, "item bigint")
     counts = stream.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")

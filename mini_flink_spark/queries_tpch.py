@@ -273,9 +273,9 @@ def q_important_parts(spark, sf_dir):
     "priority_shipping_counts",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT
              AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT
              AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -286,7 +286,10 @@ def q_important_parts(spark, sf_dir):
 def q_priority_shipping(spark, sf_dir):
     """TPC-H Q12 shape (l_shipmode → l_returnflag): big-big join with the
     ship-year filter pushed to the lineitem scan, then conditional counts.
-    Integer sums — no decimal dance needed."""
+    Oracle casts the conditional sums ::BIGINT: DuckDB sums integers into
+    HUGEINT, which pandas renders as float64 (1085.0) while Spark's
+    F.sum(F.when(...)) is int64 (1085) — identical values, divergent
+    representation-sensitive driver hash (CORRECTNESS_r06)."""
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )

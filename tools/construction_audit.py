@@ -50,6 +50,7 @@ EXECUTES_ON_BUILD = {
     "curriculum_global_rank",
     "warc_ingest_roundtrip",  # writes the WARC fixture (1-row barrier) at build
     "jsonl_ingest_roundtrip",  # writes the JSONL fixture at build
+    "csv_ingest_roundtrip",  # writes the CSV fixture at build
 }
 
 
