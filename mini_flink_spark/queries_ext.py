@@ -2155,9 +2155,10 @@ def q_streaming_wordcount(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(F.col("text").alias("line"))
     fixture = write_stream_fixture(docs, _fixture_dir("stream_wc", sf_dir), n_files=4)
     stream = parquet_stream(spark, fixture, "line string")
-    return run_stream_to_memory(wordcount_stream_update(stream), spark, "update").select(
-        "word", "count"
-    )
+    return run_stream_to_memory(
+        wordcount_stream_update(stream), spark, "update",
+        query_name="streaming_wordcount", converge_keys=["word"],
+    ).select("word", "count")
 
 
 @register(
@@ -2232,7 +2233,8 @@ def q_streaming_python_source(spark, sf_dir):
 
     stream = elements_stream(spark, _PYSOURCE_LINES)
     return run_stream_to_memory(
-        wordcount_stream_update(stream, "value"), spark, "update"
+        wordcount_stream_update(stream, "value"), spark, "update",
+        query_name="streaming_python_source", converge_keys=["word"],
     ).select("word", "count")
 
 
@@ -2240,9 +2242,9 @@ def q_streaming_python_source(spark, sf_dir):
     "streaming_running_reduce",
     """
     SELECT user_id, event_id,
-           sum((round(value * 1000000))::BIGINT) OVER (
+           (sum((round(value * 1000000))::BIGINT) OVER (
               PARTITION BY user_id ORDER BY event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
              AS running_micros
     FROM events
     """,
@@ -2262,9 +2264,11 @@ def q_streaming_running_reduce(spark, sf_dir):
         spark, fixture, "event_id bigint, user_id bigint, value double"
     )
     out = running_reduce_stream(stream, "user_id", "value", "event_id")
-    return run_stream_to_memory(out, spark, "update").select(
-        "user_id", "event_id", "running_micros"
-    )
+    return run_stream_to_memory(
+        out, spark, "update",
+        query_name="streaming_running_reduce",
+        converge_keys=["user_id", "event_id"],
+    ).select("user_id", "event_id", "running_micros")
 
 
 @register(
@@ -2297,7 +2301,11 @@ def q_streaming_window_counts(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("window_start"), "n_events")
     )
-    return run_stream_to_memory(windowed, spark, "update")
+    return run_stream_to_memory(
+        windowed, spark, "update",
+        query_name="streaming_window_counts",
+        converge_keys=["user_id", "window_start"],
+    )
 
 
 @register(
@@ -2329,7 +2337,10 @@ def q_streaming_dedup(spark, sf_dir):
     # RocksDB state store BY DEFAULT (round-4): the dedup state set is the
     # query's scale risk, so the continuously-tested path is the production
     # off-heap/on-disk provider, not the heap-backed local default.
-    return run_stream_to_memory(deduped, spark, "update", state_store="rocksdb")
+    return run_stream_to_memory(
+        deduped, spark, "update", state_store="rocksdb",
+        query_name="streaming_dedup", converge_keys=["event_type"],
+    )
 
 
 @register(
@@ -2369,7 +2380,10 @@ def q_streaming_neardup_groups(spark, sf_dir):
             F.count(F.lit(1)).alias("n_members"),
         )
     )
-    return run_stream_to_memory(grouped, spark, "update")
+    return run_stream_to_memory(
+        grouped, spark, "update",
+        query_name="streaming_neardup_groups", converge_keys=["simhash"],
+    )
 
 
 @register(
@@ -2514,9 +2528,10 @@ def q_streaming_enrich_join(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
         )
     )
-    return run_stream_to_memory(enriched, spark, "update").select(
-        "c_mktsegment", "n_purchases", "total_value"
-    )
+    return run_stream_to_memory(
+        enriched, spark, "update",
+        query_name="streaming_enrich_join", converge_keys=["c_mktsegment"],
+    ).select("c_mktsegment", "n_purchases", "total_value")
 
 
 @register(
@@ -3274,7 +3289,10 @@ def q_streaming_curation_gate_dedup(spark, sf_dir):
     )
     # RocksDB state store BY DEFAULT (round-4): per-fingerprint state is
     # unbounded by stream length at scale — run the production provider here.
-    return run_stream_to_memory(grouped, spark, "update", state_store="rocksdb")
+    return run_stream_to_memory(
+        grouped, spark, "update", state_store="rocksdb",
+        query_name="streaming_curation_gate_dedup", converge_keys=["fp"],
+    )
 
 
 @register(

@@ -144,7 +144,7 @@ def _bigrams(tok_col: str) -> F.Column:
     ), cnt AS (
       SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY 1, 2
     )
-    SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_count,
+    SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS top_count,
            max(c)::DOUBLE / sum(c) AS top_share
     FROM cnt GROUP BY doc_id
     """,

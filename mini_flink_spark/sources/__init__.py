@@ -43,6 +43,14 @@ def write_stream_fixture(
 
 
 def parquet_stream(spark: SparkSession, path: str, schema, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a parquet fixture dir.
+
+    Batch-count note: with maxFilesPerTrigger unset, AvailableNow processes
+    every existing file in ONE microbatch. Update-mode drains must NOT rely
+    on that (one option/default change = stale partial aggregates in the
+    sink): pass converge_keys to run_stream_to_memory, which stays correct
+    for any batch count (pinned multi-batch in
+    tests/test_streaming_converged.py)."""
     reader = spark.readStream.format("parquet").schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -13,9 +13,13 @@ microbatch analogue of the reference's per-record running emission
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 
 def tokenize(lines: DataFrame, line_col: str = "line") -> DataFrame:
@@ -65,6 +69,7 @@ def run_stream_to_memory(
     query_name: str | None = None,
     state_partitions: int | None = 8,
     state_store: str | None = None,
+    converge_keys: list[str] | None = None,
 ) -> DataFrame:
     """Run a (bounded) streaming DataFrame to completion with AvailableNow and
     return the memory-sink table as a batch DataFrame.
@@ -89,6 +94,20 @@ def run_stream_to_memory(
     The provider class is read from the session conf at query start and
     frozen into the query, so setting+restoring around ``start()`` scopes it
     to this query without flipping the rest of the session.
+
+    ``converge_keys`` makes UPDATE-mode convergence STRUCTURAL. The raw
+    memory sink keeps one row per (key, microbatch-that-updated-it); with
+    AvailableNow and an unset maxFilesPerTrigger the whole file fixture is
+    a single microbatch, so the raw table *happens* to be converged — an
+    option-default away from silently accumulating stale partial aggregates
+    (ADVICE r6). With keys given, the drain runs through foreachBatch
+    instead, stamping every microbatch's updates with its batch_id (a
+    parquet append per batch — the idiomatic incremental-materialization
+    sink shape), and returns only the HIGHEST-batch row per key: correct
+    for any batch count, pinned multi-batch by
+    tests/test_streaming_converged.py. Append mode needs none of this
+    (each result row is emitted exactly once) and complete mode rewrites
+    the whole table per batch; both stay on the memory sink.
     """
     name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -106,14 +125,43 @@ def run_stream_to_memory(
         raise ValueError(f"unknown state_store: {state_store!r}")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    drain_dir = None
     try:
-        q = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
+        if converge_keys is not None:
+            if output_mode != "update":
+                raise ValueError(
+                    "converge_keys is the update-mode drain; append emits "
+                    "each row once and complete rewrites the table per batch"
+                )
+            # deterministic per-query-name drain path: rebuilds overwrite one
+            # copy (same policy as queries_ext._fixture_dir); builds are
+            # sequential in every consumer so the lazy reader never races
+            drain_dir = os.path.join(tempfile.gettempdir(), f"mfs_drain_{name}")
+            ckpt = drain_dir + "_ckpt"
+            shutil.rmtree(drain_dir, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+            def _stamp(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(drain_dir)
+
+            q = (
+                result.writeStream.foreachBatch(_stamp)
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        else:
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination(300)
         prog = q.lastProgress
         if prog is not None:
@@ -125,4 +173,14 @@ def run_stream_to_memory(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    return spark.table(name)
+    if converge_keys is None:
+        return spark.table(name)
+    if not os.path.exists(drain_dir):  # zero microbatches: empty source
+        return spark.createDataFrame([], result.schema)
+    w = Window.partitionBy(*converge_keys).orderBy(F.col("_batch_id").desc())
+    return (
+        spark.read.parquet(drain_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_batch_id")
+    )

@@ -73,6 +73,31 @@ def compare(spark_df, duck_rel):
     ddf.columns = [c for c in ddf.columns]
     ddf = ddf[sorted(ddf.columns, key=str.lower)]
     assert len(spdf) == len(ddf), f"row counts differ: {len(spdf)} vs {len(ddf)}"
+
+    # dtype CLASSES must agree before value comparison: `canon` coerces
+    # int 1085 and float 1085.0 to the same string, but the driver's
+    # value-hash is representation-sensitive and diverges on exactly that
+    # pairing (CORRECTNESS_r06 priority_shipping_counts — DuckDB's uncast
+    # HUGEINT sum rendered float64 vs Spark's int64). Strict here = strict
+    # like the driver.
+    def _cls(s):
+        t = pd.api.types
+        if t.is_bool_dtype(s):
+            return "bool"
+        if t.is_integer_dtype(s):
+            return "int"
+        if t.is_float_dtype(s):
+            return "float"
+        if t.is_datetime64_any_dtype(s):
+            return "datetime"
+        return "object"
+
+    drift = {
+        c: (_cls(spdf[c]), _cls(ddf[c]))
+        for c in spdf.columns
+        if _cls(spdf[c]) != _cls(ddf[c])
+    }
+    assert not drift, f"dtype-class drift (spark vs oracle): {drift}"
     s_rows = sorted(tuple(canon(v) for v in row) for row in spdf.itertuples(index=False))
     d_rows = sorted(tuple(canon(v) for v in row) for row in ddf.itertuples(index=False))
     mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]

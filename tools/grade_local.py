@@ -41,33 +41,53 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class — the granularity at which the DRIVER's
+    canonicalized value-hash is representation-sensitive (int64 `1085`
+    hashes differently from float64 `1085.0`; float32 vs float64 of the
+    same value render identically once both print as floats)."""
+    t = pd.api.types
+    if t.is_bool_dtype(s):
+        return "bool"
+    if t.is_integer_dtype(s):
+        return "int"
+    if t.is_float_dtype(s):
+        return "float"
+    if t.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
+def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str | None]:
+    """STRICT mirror of the driver comparator: (match, why_not).
+
+    Dtype CLASSES must agree per column before any value comparison — the
+    round-6 lesson (`priority_shipping_counts`): an int-vs-float pairing
+    routed through np.allclose "matched" locally while the driver's
+    representation-sensitive hash diverged on `1085` vs `1085.0`. This was
+    the second masking leniency in two rounds (round 5: list->tuple); the
+    tolerance branch is now reserved for float-vs-float ONLY."""
     if list(a.columns) != list(b.columns) or len(a) != len(b):
-        return False
+        return False, "columns/rows differ"
     for c in a.columns:
         av, bv = a[c], b[c]
-        try:
-            if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-                import numpy as np
+        ca, cb = dtype_class(av), dtype_class(bv)
+        if ca != cb:
+            return False, f"dtype class of {c!r}: spark={ca} vs oracle={cb}"
+        if ca == "float":
+            import numpy as np
 
-                # rtol matters: big DECIMAL sums cast to DOUBLE carry ulp
-                # (~1e-16 relative) noise from decimal-cast boundaries; a
-                # pure-absolute tolerance flags 1e9-magnitude sums spuriously
-                if not np.allclose(
-                    av.astype(float),
-                    bv.astype(float),
-                    rtol=1e-12,
-                    atol=1e-9,
-                    equal_nan=True,
-                ):
-                    return False
-            else:
-                if not av.astype(str).equals(bv.astype(str)):
-                    return False
-        except Exception:
+            # rtol matters: big DECIMAL sums cast to DOUBLE carry ulp
+            # (~1e-16 relative) noise from decimal-cast boundaries; a
+            # pure-absolute tolerance flags 1e9-magnitude sums spuriously
+            if not np.allclose(
+                av.astype(float), bv.astype(float), rtol=1e-12, atol=1e-9, equal_nan=True
+            ):
+                return False, f"float values of {c!r} differ"
+        else:
             if not av.astype(str).equals(bv.astype(str)):
-                return False
-    return True
+                return False, f"values of {c!r} differ"
+    return True, None
 
 
 def main() -> None:
@@ -126,12 +146,20 @@ def main() -> None:
         row["rows_match"] = row["spark_rows"] == row["oracle_rows"]
         if not args.timings_only:
             try:
-                row["values_match"] = values_equal(normalize(spdf), normalize(odf))
+                ns, no = normalize(spdf), normalize(odf)
+                # dtype classes recorded per query so rotation
+                # pre-certification catches representation drift mechanically
+                # (VERDICT r6 #2) — tests/test_grade_artifact.py sweeps these
+                row["spark_dtypes"] = {c: dtype_class(ns[c]) for c in ns.columns}
+                row["oracle_dtypes"] = {c: dtype_class(no[c]) for c in no.columns}
+                row["values_match"], row["why"] = values_equal(ns, no)
+                if row["why"] is None:
+                    del row["why"]
             except Exception as exc:  # noqa: BLE001
                 row["values_match"] = False
                 row["cmp_err"] = str(exc)[:200]
         results[name] = row
-        flag = "" if row.get("values_match", row["rows_match"]) else "  <-- MISMATCH"
+        flag = "" if row.get("values_match", row["rows_match"]) else f"  <-- MISMATCH {row.get('why', row.get('cmp_err', ''))}"
         print(
             f"{name:35s} rows={row['spark_rows']:<7} spark={row['spark_s']:6.1f}s "
             f"oracle={row.get('oracle_s', 0):6.1f}s{flag}"
