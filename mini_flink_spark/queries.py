@@ -1152,9 +1152,11 @@ def q_ntile_quartiles(spark, sf_dir):
 # exported dicts put a curated window first. Rotation policy (VERDICT r3 #3):
 # the 15 §2 reference-surface rows and 10 flagship LLM-pipeline anchors stay
 # pinned every round; the other 25 slots rotate each round to queries that
-# have NEVER had a driver verdict (r1∪…∪r4 graded 99 distinct names; this
-# round-5 window adds 25 more — cumulative 124 of 194). Everything else keeps
-# registration order after the window — nothing is removed, only reordered.
+# have NEVER had a driver verdict (r1∪…∪r6 graded 148 distinct names; this
+# round-7 window adds 24 more + the policy-allowed priority_shipping_counts
+# regrade — cumulative 172 of 197, leaving exactly 25 for round 8).
+# Everything else keeps registration order after the window — nothing is
+# removed, only reordered.
 GRADED_WINDOW: tuple[str, ...] = (
     # §2 reference surface — one row per operator (pinned forever)
     "map_project",
@@ -1184,41 +1186,42 @@ GRADED_WINDOW: tuple[str, ...] = (
     "gopher_quality_flags",
     "curation_pipeline_v2",
     "bpe_learn_merges",
-    # ---- round-6 rotation ----
-    # pq_codes is the ONE regrade exception (policy: never regrade a green
-    # row): its r5 verdict was a driver-canonicalizer ERR, not a pass, and
-    # VERDICT r5 #1 requires a green row for the reshaped scalar output.
-    "pq_codes",
-    # flagship pipelines + quality/filter layer (VERDICT r5 #3 priorities)
-    "curation_pipeline_fineweb",
-    "curation_pipeline_safety",
-    "quality_classifier_linear",
-    "domain_blocklist_filter",
-    "tokenizer_fertility",
-    "dedup_lsh_recall_eval",
-    "source_drift_kl",
-    "zipf_fit",
-    "feature_hash_embed",
-    "embedding_quantize_int8",
-    # streaming behaviors with batch-equal drained results (VERDICT r5 #5):
-    # each runs its stream to completion and returns the converged DataFrame,
-    # so the driver hashes it against the batch oracle like any other row
-    "streaming_window_counts",
-    "streaming_dedup",
-    "streaming_stream_join",
-    "streaming_topk_items",
-    # TPC-H stragglers (important_parts_value de-vacuated: 1.5x threshold
-    # keeps 29 rows at sf0.01; 2x selected zero)
-    "important_parts_value",
+    # ---- round-7 rotation ----
+    # priority_shipping_counts is the ONE regrade (policy: never regrade a
+    # GREEN row; regrade while the latest verdict is not fully green): its
+    # r6 row hash-mismatched on an oracle typing bug — DuckDB's uncast
+    # HUGEINT sum rendered float64 vs Spark's int64, values identical — now
+    # fixed with ::BIGINT casts (VERDICT r6 #1).
     "priority_shipping_counts",
-    "customer_order_distribution",
-    "supplier_variety",
-    "large_volume_orders",
-    "disjunctive_brand_revenue",
-    "solo_supplier_orders",
-    "dormant_rich_customers",
-    "small_quantity_revenue",
-    "local_supplier_volume",
+    # round-6 additions with no driver row yet (VERDICT r6 #3 priorities)
+    "jsonl_ingest_roundtrip",
+    "csv_ingest_roundtrip",
+    "warc_ingest_roundtrip",
+    "unicode_normalize_docs",
+    # multimodal family (binary columns + Arrow-batched decode plumbing)
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_chunks",
+    "multimodal_features",
+    # remaining sketches + the scalar-reshaped function battery
+    "sketch_distinct_users",
+    "sketch_value_percentiles",
+    "array_battery",
+    # drainable streaming queries (structurally-converged update drains)
+    "streaming_wordcount",
+    "streaming_running_reduce",
+    "streaming_neardup_groups",
+    "streaming_session_windows",
+    # batch extension/TPC-H coverage
+    "curation_pipeline",
+    "repetition_score",
+    "text_entropy",
+    "data_quality_report",
+    "pit_purchase_features",
+    "vocab_oov_rate",
+    "token_budget_shards",
+    "langid_confusion_matrix",
+    "excess_stock_suppliers",
 )
 
 

@@ -2701,9 +2701,19 @@ def q_sketch_value_percentiles(spark, sf_dir):
     j = ev.select("event_type", "value").join(F.broadcast(s), "event_type")
 
     def ok(p: str, q: float):
-        rank = F.sum((F.col("value") <= F.col(p)).cast("long")) / F.first("n")
-        tol = F.lit(0.02) + F.lit(2.0) / F.first("n")
-        return (F.abs(rank - F.lit(q)) <= tol).alias(f"{p}_ok")
+        # Rank-INTERVAL intersection, not the <=-count: the GK guarantee
+        # bounds the returned ELEMENT's rank, and under ties at p the
+        # <=-count overshoots by the whole tie mass (ADVICE r6). The
+        # element's possible ranks span [count(<p)+1, count(<=p)]; the
+        # guarantee holds iff that interval meets [(q-tol)n, (q+tol)n] —
+        # reduces to the plain rank check when values are continuous.
+        le = F.sum((F.col("value") <= F.col(p)).cast("long"))
+        lt = F.sum((F.col("value") < F.col(p)).cast("long"))
+        n = F.first("n")
+        tol = F.lit(0.02) + F.lit(2.0) / n
+        return (
+            ((lt + 1) <= (F.lit(q) + tol) * n) & (le >= (F.lit(q) - tol) * n)
+        ).alias(f"{p}_ok")
 
     return j.groupBy("event_type").agg(
         F.first("n").alias("n"), ok("p50", 0.5), ok("p95", 0.95), ok("p99", 0.99)

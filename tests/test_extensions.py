@@ -544,3 +544,33 @@ def test_minhash_persisted_index_matches_inline_incremental(spark, sf_dir):
         ).collect()
     }
     assert persisted == inline
+
+
+def test_sketch_percentile_rank_interval_survives_heavy_ties(spark):
+    """The graded GK booleans must not flip false on a CORRECT sketch when
+    the data is massively tied at the returned quantile (ADVICE r6): 60% of
+    the mass below is one constant, so the <=-count rank at the median
+    overshoots to 1.0 — but the element's possible-rank interval
+    [count(<p)+1, count(<=p)] still contains q*n, which is what the GK
+    guarantee actually bounds."""
+    from pyspark.sql import functions as F
+
+    vals = [5.0] * 600 + [float(i) / 400.0 for i in range(400)]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    p50 = df.agg(F.percentile_approx("value", 0.5, 10000)).first()[0]
+    assert p50 == 5.0  # median rank 500 lands inside the tie block
+    n = len(vals)
+    le = sum(1 for v in vals if v <= p50)
+    lt = sum(1 for v in vals if v < p50)
+    tol = 0.02 + 2.0 / n
+    # the old <=-count check flips false on this correct sketch...
+    assert abs(le / n - 0.5) > tol
+    # ...the rank-interval check holds
+    assert (lt + 1) <= (0.5 + tol) * n and le >= (0.5 - tol) * n
+    # and stays SENSITIVE: a genuinely wrong value (the true p10, whose
+    # rank interval [101,101] sits far below the q=0.5 band — note any
+    # value INSIDE the tie block is legitimately p50 here, ranks 401-1000)
+    wrong = sorted(vals)[int(0.1 * n)]
+    le_w = sum(1 for v in vals if v <= wrong)
+    lt_w = sum(1 for v in vals if v < wrong)
+    assert not ((lt_w + 1) <= (0.5 + tol) * n and le_w >= (0.5 - tol) * n)

@@ -84,13 +84,22 @@ def _previously_graded() -> set[str]:
 
 def _regrade_allowed() -> set[str]:
     """A rotation slot may REGRADE a query only while its LATEST recorded
-    driver verdict is an ERR (not a pass) — the exemption self-expires the
-    moment a green row lands. pq_codes r5 crashed the driver canonicalizer
-    (array output); round 6 reshapes it to a scalar string (VERDICT r5 #1)."""
+    driver verdict is NOT FULLY GREEN — an err (pq_codes r5: canonicalizer
+    crash on array output, reshaped scalar in r6) or a red match flag
+    (priority_shipping_counts r6: hash_match false on an oracle typing bug,
+    ::BIGINT-fixed in r7). The exemption self-expires the moment a green row
+    lands; a green row is never regraded."""
     last: dict[str, dict] = {}
     for art in _artifacts():
         last.update(art)
-    return {name for name, row in last.items() if row.get("err")}
+    return {
+        name
+        for name, row in last.items()
+        if row.get("err")
+        or not (
+            row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
+        )
+    }
 
 
 def test_window_is_first_50():
