@@ -1282,7 +1282,14 @@ def q_record_linkage_customers(spark, sf_dir):
         .select("c_nationkey", "c_mktsegment")
     )
     c = c.join(F.broadcast(hot), ["c_nationkey", "c_mktsegment"], "left_anti")
-    l = c.alias("l")
+    # the self-join must SHUFFLE on the block key, never broadcast: at 1.65M
+    # rows Catalyst still picks BHJ (under-threshold size estimate on the
+    # anti-join output) and the serialized broadcast build makes it 18×
+    # slower than the shuffled plan (373s vs 21s, probe_round7_linkage);
+    # at sf0.1 the two are identical (5.0s both) — the hint is the at-scale
+    # plan with zero fixture-size cost. Sort-merge, not shuffle-hash: the
+    # cap still allows 100k-row blocks, and SMJ spills gracefully there.
+    l = c.alias("l").hint("merge")
     r = c.alias("r")
     return (
         l.join(

@@ -1016,6 +1016,159 @@ def probe_round4_new(spark):
         )
 
 
+def probe_round7_linkage(spark):
+    """Round-7 (VERDICT r6 #5): prove the MAX_LINKAGE_BLOCK cap engages on
+    REAL data, the way round 6 proved MinHash's MAX_BAND_BUCKET — until now
+    the cap-fires case was pinned only by a monkeypatched unit test.
+
+    Corpus: the sf0.1 customer table scaled 110×. 100 replicas per customer
+    spread over 100 synthetic nation keys (blocks stay ~120 rows — the
+    discriminative-blocking regime linkage is designed for), plus 300
+    planted TWINS (one-char name edits of a rep-0 replica, same block: the
+    recall signal the probe must NOT lose), plus ONE planted
+    non-discriminative block — 150,000 rows sharing a single
+    (nation, segment), i.e. > MAX_LINKAGE_BLOCK — the "blocking key stopped
+    discriminating here" failure mode. Claims:
+    (a) exactly that one block exceeds the cap and is dropped BEFORE the
+        self-join: zero result pairs touch its custkey range, and the
+        ~1.1e10 would-be within-block comparisons (150k²/2) never run;
+    (b) all 300 planted twin pairs survive in the allowed blocks (the cap
+        removes pathology, not recall);
+    (c) wall/shuffle recorded, spill stays 0."""
+    import tempfile
+
+    from mini_flink_spark.queries import QUERIES
+    from mini_flink_spark.queries_pipeline import MAX_LINKAGE_BLOCK
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    )
+    reps = base.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(99))).alias("rep"),
+    )
+    # per-(customer, replica) 8-hex suffix: names inside a block differ in
+    # several characters, so cross-replica distances stay > 2 (real-corpus
+    # shape: blocks hold mostly non-matches)
+    suffix = F.substring(
+        F.md5(F.concat_ws("|", F.col("c_custkey"), F.col("rep"))), 1, 8
+    )
+    replicas = reps.select(
+        (F.col("c_custkey") * 100 + F.col("rep")).cast("long").alias("c_custkey"),
+        F.concat_ws("-", "c_name", suffix).alias("c_name"),
+        (F.col("c_nationkey") + 25 * F.col("rep")).cast("long").alias("c_nationkey"),
+        "c_mktsegment",
+    )
+    twin_src = reps.filter((F.col("rep") == 0) & (F.col("c_custkey") % 50 == 0))
+    twins = twin_src.select(
+        (F.col("c_custkey") * 100 + 10_000_000_000).cast("long").alias("c_custkey"),
+        F.concat(F.concat_ws("-", "c_name", suffix), F.lit("x")).alias("c_name"),
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_mktsegment",
+    )
+    n_twins = twins.count()
+    hot_rows = 150_000
+    hot = spark.range(hot_rows).select(
+        (F.col("id") + 20_000_000_000).alias("c_custkey"),
+        F.concat(F.lit("HOT-"), F.md5(F.col("id").cast("string"))).alias("c_name"),
+        F.lit(999_999).cast("long").alias("c_nationkey"),
+        F.lit("AUTOMOBILE").alias("c_mktsegment"),
+    )
+    d = tempfile.mkdtemp(prefix="probe_linkage_")
+    corpus = replicas.unionByName(twins).unionByName(hot)
+    corpus.write.mode("overwrite").parquet(d + "/customer.parquet")
+    n_rows = spark.read.parquet(d + "/customer.parquet").count()
+
+    over_cap = (
+        spark.read.parquet(d + "/customer.parquet")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .filter(F.col("bc") > MAX_LINKAGE_BLOCK)
+        .count()
+    )
+    assert over_cap == 1, over_cap  # exactly the planted block
+
+    before = _stage_metrics_total(spark)
+    t0 = time.time()
+    out = QUERIES["record_linkage_customers"].fn(spark, d)
+    hot_involved = (F.col("a") >= 20_000_000_000) | (F.col("b") >= 20_000_000_000)
+    is_twin = (F.col("b") - F.col("a")) == 10_000_000_000
+    stats = out.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.sum(hot_involved.cast("long")).alias("hot_pairs"),
+        F.sum(is_twin.cast("long")).alias("twin_pairs"),
+    ).first()
+    dt = time.time() - t0
+    after = _stage_metrics_total(spark)
+    delta = {k: after[k] - before[k] for k in after}
+
+    print(
+        f"linkage 110x ({n_rows} rows, 1 block of {hot_rows} > cap "
+        f"{MAX_LINKAGE_BLOCK}): {dt:.1f}s, {stats.pairs} pairs, "
+        f"hot-block pairs={stats.hot_pairs} (uncapped would compare "
+        f"~{hot_rows * (hot_rows - 1) // 2:.2e}), planted twins found="
+        f"{stats.twin_pairs}/{n_twins}, "
+        f"shuffle_w={delta['shuffle_write'] / 1e6:.1f}MB "
+        f"spill_disk={delta['disk_spill'] / 1e6:.0f}MB",
+        flush=True,
+    )
+    assert stats.hot_pairs == 0, stats.hot_pairs
+    assert stats.twin_pairs == n_twins, (stats.twin_pairs, n_twins)
+    assert delta["disk_spill"] == 0, delta
+
+    # Shape A/B (kept as the regression guard for the hint this probe
+    # motivated): unhinted, Catalyst picked BHJ BuildRight on the 1.5M-row
+    # side here (under-threshold size estimate on the anti-join output) and
+    # the serialized broadcast build cost 373s vs 21s shuffled — so
+    # q_record_linkage_customers now carries hint("merge") and both legs
+    # should time alike. Forcing broadcast OFF pins the at-scale plan.
+    restore = {}
+    for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ):
+        try:
+            restore[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset conf key
+            restore[k] = None
+        spark.conf.set(k, "-1")
+    try:
+        before = _stage_metrics_total(spark)
+        t0 = time.time()
+        out2 = QUERIES["record_linkage_customers"].fn(spark, d)
+        stats2 = out2.agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.sum(hot_involved.cast("long")).alias("hot_pairs"),
+            F.sum(is_twin.cast("long")).alias("twin_pairs"),
+        ).first()
+        dt2 = time.time() - t0
+        delta2 = {k: v - before[k] for k, v in _stage_metrics_total(spark).items()}
+    finally:
+        for k, v in restore.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    print(
+        f"linkage 110x SHUFFLED-join shape (100 TB plan): {dt2:.1f}s, "
+        f"{stats2.pairs} pairs, hot-block pairs={stats2.hot_pairs}, twins="
+        f"{stats2.twin_pairs}/{n_twins}, "
+        f"shuffle_w={delta2['shuffle_write'] / 1e6:.1f}MB "
+        f"spill_disk={delta2['disk_spill'] / 1e6:.0f}MB",
+        flush=True,
+    )
+    assert (stats2.pairs, stats2.hot_pairs, stats2.twin_pairs) == (
+        stats.pairs,
+        stats.hot_pairs,
+        stats.twin_pairs,
+    )
+    assert delta2["disk_spill"] == 0, delta2
+
+
 PROBES = {
     "embedding_cosine": probe_embedding_cosine,
     "curation_100x": probe_curation_100x,
@@ -1032,6 +1185,7 @@ PROBES = {
     "round6_fineweb_max": probe_round6_fineweb_max,
     "round6_skew_join": probe_round6_skew_join,
     "round6_join_state": probe_round6_join_state,
+    "round7_linkage": probe_round7_linkage,
 }
 
 if __name__ == "__main__":
