@@ -551,26 +551,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def simhash_expr(text_col: str) -> F.Column:
-    """Streaming-safe SimHash: the same 56-bit signature as ``simhash()``,
-    computed as ONE stateless per-row expression instead of explode + two
-    groupBys (chained aggregations are not allowed mid-stream, and a
-    per-row projection keeps the streaming plan stateless until the real
-    keyed aggregation).
-
-    Single pass over the distinct-token hashes with a 56-counter array
-    accumulator (zip_with inside aggregate) — the token array and hash
-    family evaluate once per row, not once per bit (the per-bit-rescan
-    formulation re-runs the tokenizer 56x once CollapseProject inlines it).
-    """
+def parity_fold56(hashes: Column) -> Column:
+    """Majority-parity sketch: fold an array of 56-bit hashes into one
+    56-bit signature (bit j set iff a majority of hashes have bit j set).
+    One stateless per-row expression — a 56-counter array accumulator
+    (zip_with inside aggregate), so the hash array evaluates once per row,
+    not once per bit. Empty array → 0. Shared by SimHash (word-token
+    hashes) and the multimodal pHash stand-in (payload byte-gram hashes)."""
     masks = F.array(*[F.lit(1 << i).cast("bigint") for i in range(SIMHASH_BITS)])
-    toks_h = F.transform(
-        F.array_distinct(tokens(text_col)), lambda t: portable_hash64(t)
-    )
     one = F.lit(1).cast("bigint")
     zero = F.lit(0).cast("bigint")
     return F.aggregate(
-        toks_h,
+        hashes,
         F.array_repeat(zero, SIMHASH_BITS),
         lambda acc, h: F.zip_with(
             acc,
@@ -583,6 +575,18 @@ def simhash_expr(text_col: str) -> F.Column:
             lambda x, y: x + y,
         ),
     )
+
+
+def simhash_expr(text_col: str) -> F.Column:
+    """Streaming-safe SimHash: the same 56-bit signature as ``simhash()``,
+    computed as ONE stateless per-row expression instead of explode + two
+    groupBys (chained aggregations are not allowed mid-stream, and a
+    per-row projection keeps the streaming plan stateless until the real
+    keyed aggregation)."""
+    toks_h = F.transform(
+        F.array_distinct(tokens(text_col)), lambda t: portable_hash64(t)
+    )
+    return parity_fold56(toks_h)
 
 
 def simhash_sql(id_col: str, text_col: str, table: str = "documents") -> str:

@@ -197,3 +197,84 @@ def media_meta_table(df: DataFrame, id_col: str = "doc_id", media_col: str = "me
         F.col(f"{media_col}.meta.byte_len").alias("byte_len"),
         F.col(f"{media_col}.meta.sha256").alias("sha256"),
     )
+
+
+# ------------------------------------------------------- perceptual hashing
+
+PHASH_GRAM = 8  # fixed-width payload gram (the "block" of the stand-in hash)
+PHASH_STRIDE = 4  # sample every 4th gram start: 4x fewer hash-fold elements
+# per payload at the same discrimination (pair sets verified stable against
+# stride 1 on the planted corpus) — the fold is the whole per-row cost
+
+
+def phash_table(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media", n: int = PHASH_GRAM
+) -> DataFrame:
+    """56-bit perceptual hash per media payload — deterministic stand-in.
+
+    A real image pHash is decode → resize 32×32 → DCT → low-frequency 8×8 →
+    median threshold → 64 bits (public algorithm, pHash.org / Blockhash.io);
+    decode needs codecs this container lacks (`decode_image` raises). The
+    stand-in hashes the RAW payload instead: a majority-parity sketch
+    (`dedup.parity_fold56`) over the payload's distinct fixed-width byte
+    grams — content-sensitive, fixed-width, engine-portable. Everything
+    downstream of the hash — pigeonhole Hamming band blocking, XOR/bit_count
+    verification, near-dup pair output — is the production pipeline this
+    function exists to exercise; swap the sketch for a DCT pHash UDF over
+    decoded pixels and nothing downstream changes.
+
+    Zero shuffle: per-row projection (whole-stage codegen; the fixture
+    payloads are ASCII so byte grams == char grams via a decode roundtrip).
+    """
+    from mini_flink_spark.functions.dedup import parity_fold56
+    from mini_flink_spark.functions.hashing import portable_hash64
+
+    # Generate barrier: bind the decoded payload to an attribute BEFORE the
+    # gram lambda consumes it — CollapseProject would otherwise inline
+    # decode(payload) into the transform and re-decode once per gram
+    # (the higher-order-lambda re-evaluation trap, SCALE_NOTES round 3).
+    flat = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(F.decode(F.col(f"{media_col}.payload"), "UTF-8"))
+        ).alias("_pay"),
+    )
+    grams = F.expr(
+        f"if(length(_pay) >= {n}, "
+        f"transform(sequence(1, length(_pay) - {n - 1}, {PHASH_STRIDE}), "
+        f"i -> substr(_pay, i, {n})), "
+        f"cast(array() as array<string>))"
+    )
+    hashes = F.transform(F.array_distinct(grams), lambda g: portable_hash64(g))
+    return flat.select("id", parity_fold56(hashes).alias("phash"))
+
+
+def phash_sql(
+    id_col: str = "doc_id", text_col: str = "text", table: str = "documents", n: int = PHASH_GRAM
+) -> str:
+    """DuckDB twin of `phash_table` (payload == utf-8 of `text_col` under the
+    `text_as_media` fixture, so the oracle grams the text directly)."""
+    from mini_flink_spark.functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("g")
+    return f"""
+WITH grams AS (
+  SELECT {id_col} AS id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(length({text_col}) - {n - 2}, 1), {PHASH_STRIDE}),
+           i -> substr({text_col}, i, {n})))) AS g
+  FROM {table}
+),
+hashed AS (SELECT id, {h} AS h FROM grams),
+bits AS (
+  SELECT id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+  FROM hashed, range(0, 56) r(b)
+),
+per_bit AS (SELECT id, b, sum(contrib) AS s FROM bits GROUP BY id, b),
+agg AS (
+  SELECT id, (sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS phash
+  FROM per_bit GROUP BY id
+)
+SELECT d.{id_col} AS id, coalesce(a.phash, 0)::BIGINT AS phash
+FROM {table} d LEFT JOIN agg a ON a.id = d.{id_col}
+"""

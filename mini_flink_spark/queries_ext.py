@@ -1893,6 +1893,61 @@ def q_csv_ingest_roundtrip(spark, sf_dir):
 
 
 @register(
+    "compaction_small_files",
+    """
+    SELECT event_type,
+           count(*)::BIGINT AS n_rows,
+           ceil(count(*) / 2000.0)::BIGINT AS n_files
+    FROM events GROUP BY event_type
+    """,
+    ("storage", "compaction"),
+)
+def q_compaction_small_files(spark, sf_dir):
+    """The small-files problem, exercised end-to-end: write the events table
+    partitioned by event_type with a per-file record cap, read the layout
+    back, and report MEASURED files per partition — which must equal the
+    bin-packing prediction ceil(rows / cap) the oracle computes. A green row
+    pins the compaction contract: `repartition(partition_col)` routes every
+    partition value to exactly one task (hash clustering), so
+    `maxRecordsPerFile` rolls files deterministically; without the
+    repartition, every one of the shuffle's N tasks opens a file per value
+    it sees — N x |values| files, the layout that makes 100 TB listings and
+    task scheduling collapse. (Executes at build: writes the fixture layout,
+    like the ingest roundtrips — tools/construction_audit.py.)
+
+    100 TB notes: record caps are a proxy — production compaction targets
+    BYTES (`storage.compact_files` sizes from source bytes; this query is
+    its oracle-paired graded face with a record cap, the one prediction
+    both engines can compute exactly); AQE
+    partition coalescing preserves the value->task clustering so the
+    contract survives it; and single-task-per-value is itself a skew risk —
+    a hot partition value compacts in one task, so very hot values want the
+    range variant instead."""
+    d = _fixture_dir("compact", sf_dir) + "/events"
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    (
+        ev.repartition("event_type")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 2000)
+        .partitionBy("event_type")
+        .parquet(d)
+    )
+    return (
+        spark.read.parquet(d)
+        # bind the (non-deterministic) file name to an attribute before the
+        # aggregate — it may not appear inside countDistinct directly
+        .select("event_type", F.input_file_name().alias("f"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("f").cast("bigint").alias("n_files"),
+        )
+    )
+
+
+@register(
     "unicode_normalize_docs",
     f"""
     WITH p AS (
@@ -2126,6 +2181,57 @@ def q_multimodal_resize(spark, sf_dir):
     resized = resize_stub(media, out_w=224, out_h=224, thumb_bytes=256)
     return resized.select(
         "doc_id", "out_w", "out_h", "thumb_len", F.sha2("thumb", 256).alias("thumb_sha256")
+    )
+
+
+def _phash_pairs_oracle() -> str:
+    from mini_flink_spark.functions.multimodal import phash_sql
+
+    return f"""
+    WITH ph AS ({phash_sql("doc_id", "text", "documents")})
+    SELECT a.id AS a, b.id AS b,
+           bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+    FROM ph a JOIN ph b ON a.id < b.id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """
+
+
+@register(
+    "multimodal_phash_neardup",
+    _phash_pairs_oracle(),
+    ("multimodal", "dedup"),
+)
+def q_multimodal_phash_neardup(spark, sf_dir):
+    """Near-duplicate *media* detection: perceptual hash per payload, then all
+    pairs within Hamming distance 3 — the image-dedup step of a multimodal
+    curation pipeline (the text twin is dedup_simhash + simhash_pairs).
+
+    The pHash itself is the documented deterministic stand-in (no codecs in
+    the container — `multimodal.phash_table`); the *pair extraction* is the
+    production plan: pigeonhole band blocking (4 bands × 14 bits: any pair
+    within Hamming 3 shares ≥1 exact band), equi-join on band keys, then
+    XOR/bit_count verification — never a cross join. The ORACLE is the O(n²)
+    brute-force definition, so a green row proves the LSH blocking is
+    lossless at the radius, not merely self-consistent.
+
+    Scale: per-doc hash is a zero-shuffle codegen fold; the band self-join
+    shuffles 8-byte keys only. Band width is the knob: radius ≤3 needs 4
+    bands of 14 bits (64k buckets/band — selective); radius ≤6 would force
+    8 bands of 7 bits (128 buckets/band — every bucket hot at corpus scale),
+    so larger radii should recurse (split the corpus per band value and
+    re-band) or multi-probe instead of widening bands. Hot buckets bound by
+    the same MAX_BAND_BUCKET cap class as MinHash-LSH."""
+    from mini_flink_spark.functions.dedup import simhash_pairs
+    from mini_flink_spark.functions.multimodal import phash_table, text_as_media
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = text_as_media(docs, "text", kind="image")
+    ph = phash_table(media).withColumnRenamed("phash", "simhash")
+    pairs = simhash_pairs(ph, max_hamming=3, n_blocks=4)
+    return pairs.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
     )
 
 

@@ -1510,6 +1510,72 @@ def q_dataset_split_assign(spark, sf_dir):
 
 
 @register(
+    "epoch_shard_manifest",
+    f"""
+    WITH assigned AS (
+      SELECT e.epoch,
+             ({H.portable_hash64_sql(
+                 "doc_id::VARCHAR || '#epoch' || e.epoch::VARCHAR"
+             )}) % 8 AS shard,
+             length(text) - length(replace(text, ' ', '')) + 1 AS tok,
+             ({H.portable_hash64_sql("doc_id::VARCHAR || '#ck'")}) AS ck
+      FROM documents, (VALUES (0), (1)) e(epoch)
+    )
+    SELECT epoch::BIGINT AS epoch, shard::BIGINT AS shard,
+           count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS n_tokens,
+           bit_xor(ck)::BIGINT AS checksum
+    FROM assigned GROUP BY epoch, shard
+    """,
+    ("pipeline", "sharding"),
+)
+def q_epoch_shard_manifest(spark, sf_dir):
+    """Per-epoch training-shard manifest: deterministic epoch-seeded shard
+    assignment (hash(doc_id # epoch) mod S — a fresh pseudo-random shuffle
+    each epoch, reproducible across runs/engines/partitionings), with the
+    integrity fields a training job checks before and during a run: doc
+    count, token count, and an order-independent XOR checksum of the member
+    doc hashes. Resuming a crashed epoch, verifying a shard wasn't
+    truncated in transit, and proving two pipeline versions produced the
+    same shard memberships all read this table, not the corpus.
+
+    Scale: one narrow projection (hash + token arithmetic in codegen), one
+    partially-aggregated shuffle keyed (epoch, shard) — cardinality
+    epochs x S regardless of corpus size; XOR is commutative/associative so
+    the checksum map-side combines like the counts. The actual shard WRITE
+    would be `repartition(shard)` per epoch — an unavoidable exchange per
+    epoch, which the deterministic hash makes restartable mid-epoch."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    ck = H.portable_hash64(F.concat(F.col("doc_id").cast("string"), F.lit("#ck")))
+    per_epoch = [
+        d.select(
+            F.lit(e).cast("bigint").alias("epoch"),
+            F.pmod(
+                H.portable_hash64(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(f"#epoch{e}"))
+                ),
+                F.lit(8),
+            )
+            .cast("bigint")
+            .alias("shard"),
+            tok.cast("bigint").alias("tok"),
+            ck.alias("ck"),
+        )
+        for e in (0, 1)
+    ]
+    return (
+        per_epoch[0]
+        .unionByName(per_epoch[1])
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(ck)").cast("bigint").alias("checksum"),
+        )
+    )
+
+
+@register(
     "event_path_trigrams",
     """
     WITH s AS (

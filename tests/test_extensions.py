@@ -574,3 +574,72 @@ def test_sketch_percentile_rank_interval_survives_heavy_ties(spark):
     le_w = sum(1 for v in vals if v <= wrong)
     lt_w = sum(1 for v in vals if v < wrong)
     assert not ((lt_w + 1) <= (0.5 + tol) * n and le_w >= (0.5 - tol) * n)
+
+
+# ------------------------------------------------- perceptual hash (round 7)
+def test_phash_banding_matches_bruteforce(spark, sf_dir):
+    """Pigeonhole guarantee: 4 bands x 14 bits loses NO pair within Hamming 3,
+    so the banded plan must equal the O(n^2) definition exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ph = M.phash_table(M.text_as_media(docs, "text", kind="image"))
+    hashes = {r.id: r.phash for r in ph.collect()}
+    ids = sorted(hashes)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    banded = D.simhash_pairs(
+        ph.withColumnRenamed("phash", "simhash"), max_hamming=3, n_blocks=4
+    )
+    got = {(r.a, r.b) for r in banded.collect()}
+    assert got == brute
+
+
+def test_phash_identical_payloads_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "the same exact payload bytes here"), (2, "the same exact payload bytes here")],
+        "doc_id bigint, text string",
+    )
+    ph = M.phash_table(M.text_as_media(df, "text"))
+    rows = {r.id: r.phash for r in ph.collect()}
+    assert rows[1] == rows[2] != 0
+
+
+def test_phash_short_payload_is_zero(spark):
+    df = spark.createDataFrame([(1, "tiny")], "doc_id bigint, text string")
+    ph = M.phash_table(M.text_as_media(df, "text"))
+    assert ph.collect()[0].phash == 0
+
+
+# ------------------------------------------- shard manifest + compaction (r7)
+def test_epoch_manifest_shape_and_determinism(spark, sf_dir):
+    from mini_flink_spark.queries import all_queries
+
+    q = all_queries()["epoch_shard_manifest"]
+    a = q(spark, sf_dir).collect()
+    b = q(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n_docs_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    for e in (0, 1):
+        rows = [r for r in a if r.epoch == e]
+        assert sum(r.n_docs for r in rows) == n_docs_total
+        assert all(0 <= r.shard < 8 for r in rows)
+    # epoch reshuffle actually reshuffles: the two epochs' manifests differ
+    assert {(r.shard, r.checksum) for r in a if r.epoch == 0} != {
+        (r.shard, r.checksum) for r in a if r.epoch == 1
+    }
+
+
+def test_compaction_writer_contract(spark, sf_dir):
+    """Measured files per partition == ceil(rows / maxRecordsPerFile) — the
+    contract the oracle predicts, asserted here without the oracle."""
+    import math
+
+    from mini_flink_spark.queries import all_queries
+
+    rows = all_queries()["compaction_small_files"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_files == math.ceil(r.n_rows / 2000.0), r

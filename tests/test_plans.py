@@ -641,3 +641,28 @@ def test_blocklist_filter_is_broadcast_equi_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_phash_banding_is_equi_join_with_single_fold(spark, sf_dir):
+    # the Hamming band self-join must be an equi join on the band key —
+    # never a nested loop over hash pairs — with the XOR/bit_count verify
+    # riding on the join condition (no post-join pair blowup). At fixture
+    # SF the planner broadcasts one side (fold evaluated per side); at
+    # corpus scale the same plan SMJs and ReuseExchange shares one fold.
+    plan = plan_of(spark, sf_dir, "multimodal_phash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin [band" in plan) or ("SortMergeJoin [band" in plan)
+    assert "bit_count" in plan.split("Join")[1][:400]
+    # the payload is bound behind a Generate barrier before the gram lambda
+    # (higher-order-lambda re-evaluation trap, SCALE_NOTES round 3)
+    assert "Generate explode" in plan
+
+
+def test_epoch_manifest_single_exchange(spark, sf_dir):
+    # two epoch projections union into ONE partial-aggregated exchange on
+    # (epoch, shard); nothing else shuffles and no Python boundary exists
+    plan = plan_of(spark, sf_dir, "epoch_shard_manifest")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan

@@ -51,6 +51,7 @@ EXECUTES_ON_BUILD = {
     "warc_ingest_roundtrip",  # writes the WARC fixture (1-row barrier) at build
     "jsonl_ingest_roundtrip",  # writes the JSONL fixture at build
     "csv_ingest_roundtrip",  # writes the CSV fixture at build
+    "compaction_small_files",  # writes the partitioned layout at build
 }
 
 
