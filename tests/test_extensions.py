@@ -643,3 +643,29 @@ def test_compaction_writer_contract(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.n_files == math.ceil(r.n_rows / 2000.0), r
+
+
+def test_simhash_pairs_identical_signature_collapse(spark):
+    """50 copies of one payload: the band join sees ONE distinct signature
+    (no hot bucket), while the expansion emits all C(50,2) distance-0 pairs."""
+    rows = [(i, 777 << 20) for i in range(50)] + [(100, (777 << 20) ^ 3)]
+    sim = spark.createDataFrame(rows, "id bigint, simhash bigint")
+    got = D.simhash_pairs(sim, max_hamming=3, n_blocks=4).collect()
+    zero = [(r.a, r.b) for r in got if r.hamming == 0]
+    assert len(zero) == 50 * 49 // 2
+    # the hamming-2 neighbor pairs with every copy through the value join
+    assert sum(1 for r in got if r.hamming == 2) == 50
+
+
+def test_simhash_pairs_bucket_cap_fires_and_is_inactive(spark):
+    """An adversarial family of near-identical signatures sharing three band
+    slices: the cap drops the hot buckets (pairs lost, by policy); with the
+    cap off — or buckets under the cap — the pairs survive."""
+    fam = [(i, i << 14) for i in range(1, 21)]  # bands 0,2,3 all zero-valued
+    sim = spark.createDataFrame(fam, "id bigint, simhash bigint")
+    uncapped = D.simhash_pairs(sim, max_hamming=3, n_blocks=4, max_bucket=None)
+    assert uncapped.count() > 0
+    capped = D.simhash_pairs(sim, max_hamming=3, n_blocks=4, max_bucket=10)
+    assert capped.count() == 0  # every shared band value exceeds the cap
+    under = D.simhash_pairs(sim, max_hamming=3, n_blocks=4, max_bucket=100)
+    assert under.count() == uncapped.count()

@@ -653,7 +653,17 @@ def test_phash_banding_is_equi_join_with_single_fold(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("BroadcastHashJoin [band" in plan) or ("SortMergeJoin [band" in plan)
-    assert "bit_count" in plan.split("Join")[1][:400]
+    # XOR/bit_count verification present, applied to signature pairs (the
+    # hamming filter), and the band join operates on DISTINCT signatures
+    # (the round-7 identical-signature collapse)
+    # the hamming verify rides the band join condition itself
+    band_join_line = [l for l in plan.splitlines() if "Join [band" in l][0]
+    assert "bit_count" in band_join_line
+    # the hot-bucket cap is live: LeftAnti against over-cap band values on
+    # both join sides (the distinct-signature collapse sits behind the
+    # banded localCheckpoint and is pinned behaviorally in
+    # test_simhash_pairs_identical_signature_collapse)
+    assert plan.count("LeftAnti") >= 2
     # the payload is bound behind a Generate barrier before the gram lambda
     # (higher-order-lambda re-evaluation trap, SCALE_NOTES round 3)
     assert "Generate explode" in plan

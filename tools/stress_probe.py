@@ -1169,6 +1169,147 @@ def probe_round7_linkage(spark):
     assert delta2["disk_spill"] == 0, delta2
 
 
+
+
+def _phash_doc_level_pairs(sim, max_hamming=3, n_blocks=4):
+    """The PRE-round-7 simhash_pairs shape (doc-level banding, no collapse,
+    no cap) — kept here only as the A/B baseline for probe_round7_phash."""
+    from pyspark.sql import functions as F
+
+    SIMHASH_BITS = 56
+    width = SIMHASH_BITS // n_blocks
+    mask = (1 << width) - 1
+    banded = sim.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_blocks - 1}), j -> "
+                f"concat(cast(j as string), ':', "
+                f"cast((shiftright(simhash, j * {width}) & {mask}) as string)))"
+            )
+        ).alias("band"),
+    )
+    return (
+        banded.alias("l")
+        .join(banded.alias("r"), "band")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.simhash").alias("ha"),
+            F.col("r.simhash").alias("hb"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def probe_round7_phash(spark):
+    """Round-7 media near-dup (multimodal_phash_neardup) at 20x/100x sf0.1
+    with a planted 2,000-copy boilerplate payload — the mass-duplicated
+    banner/logo every crawl corpus contains. Three claims under test:
+
+    1. The distinct-signature collapse absorbs mass duplication: the plant
+       contributes ONE banded row per band instead of 2,000, so the band
+       join never sees a hot bucket from identical content (its C(2000,2)
+       pairs are semantic OUTPUT and ride the per-signature equi-join).
+    2. A/B vs the doc-level banding this round replaced: same corpus, same
+       pair set, but the old shape pushes 4 x C(2000,2) candidate rows
+       through the band join + distinct.
+    3. Cap headroom at 500k docs: the largest DISTINCT-signature band
+       bucket vs MAX_BAND_BUCKET=1000 (md5-uniform signatures should sit
+       orders of magnitude under it; the cap is for adversarial
+       near-identical signature families, not this corpus)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mini_flink_spark.functions.dedup import simhash_pairs
+    from mini_flink_spark.functions.multimodal import phash_table, text_as_media
+
+    for families, plant_n, label, ab in (
+        (4, 2000, "20x/plant2k", True),
+        (4, 20000, "20x/plant20k", True),
+        (20, 2000, "100x/plant2k", False),
+    ):
+        d = tempfile.mkdtemp(prefix="phash_")
+        base = _family_docs(spark, families)
+        plant = spark.range(plant_n).select(
+            (F.lit(10_000_000) + F.col("id")).alias("doc_id"),
+            F.lit("boilerplate banner image payload served on every page").alias(
+                "text"
+            ),
+            F.lit("en").alias("lang"),
+            F.lit("plant").alias("source"),
+            F.lit(54).cast("bigint").alias("n_chars"),
+        )
+        base.unionByName(plant).write.mode("overwrite").parquet(
+            d + "/documents.parquet"
+        )
+        docs = spark.read.parquet(d + "/documents.parquet")
+        n_docs = docs.count()
+        media = text_as_media(docs, "text", kind="image")
+        # hash once (outside the join A/B); repartition by ROWS first — the
+        # parquet reader sizes partitions by BYTES, which leaves a CPU-bound
+        # per-row fold running ~20 fat tasks on 32 cores (observed: a 2-min
+        # straggler tail at 500k docs on the byte-sized layout)
+        t0 = time.time()
+        ph = phash_table(media.repartition(128)).localCheckpoint()
+        print(f"{label}: phash fold over {n_docs} docs: "
+              f"{time.time() - t0:.1f}s", flush=True)
+
+        runs = [("new(collapse+cap)", lambda: simhash_pairs(
+            ph.withColumnRenamed("phash", "simhash"), max_hamming=3, n_blocks=4
+        ))]
+        if ab:
+            runs.append(("old(doc-banding)", lambda: _phash_doc_level_pairs(
+                ph.withColumnRenamed("phash", "simhash"), max_hamming=3, n_blocks=4
+            )))
+        for name, mk in runs:
+            before = _stage_metrics_total(spark)
+            t0 = time.time()
+            out = mk()
+            out.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            after = _stage_metrics_total(spark)
+            rows = out.count()  # outside the clock (ADVICE r4)
+            delta = {k: after[k] - before[k] for k in after}
+            print(
+                f"{label} ({n_docs} docs, plant={plant_n}) {name}: {dt:.1f}s, "
+                f"{rows} pairs, "
+                f"shuffle_w={delta['shuffle_write'] / 1e6:.0f}MB "
+                f"shuffle_r={delta['shuffle_read'] / 1e6:.0f}MB "
+                f"spill_disk={delta['disk_spill'] / 1e6:.0f}MB",
+                flush=True,
+            )
+        if label.startswith("100x"):
+            width = 56 // 4
+            mask = (1 << width) - 1
+            buckets = (
+                ph.select(F.col("phash").alias("simhash"))
+                .distinct()
+                .select(
+                    F.explode(
+                        F.expr(
+                            f"transform(sequence(0, 3), j -> concat(cast(j as string), ':', "
+                            f"cast((shiftright(simhash, j * {width}) & {mask}) as string)))"
+                        )
+                    ).alias("band")
+                )
+                .groupBy("band")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.max("c").alias("max_bucket"), F.avg("c").alias("avg"))
+                .collect()[0]
+            )
+            print(
+                f"100x distinct-sig band buckets: max={buckets.max_bucket} "
+                f"avg={buckets.avg:.1f} (cap=1000)",
+                flush=True,
+            )
+
 PROBES = {
     "embedding_cosine": probe_embedding_cosine,
     "curation_100x": probe_curation_100x,
@@ -1186,6 +1327,7 @@ PROBES = {
     "round6_skew_join": probe_round6_skew_join,
     "round6_join_state": probe_round6_join_state,
     "round7_linkage": probe_round7_linkage,
+    "round7_phash": probe_round7_phash,
 }
 
 if __name__ == "__main__":
