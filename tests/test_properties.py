@@ -399,3 +399,39 @@ def test_bucket_expr_arrow_parity_property(spark, vecs):
         ).collect()
     }
     assert arrow_keys == expr_keys
+
+
+# --------------------------------------------- Hamming banding (round 7)
+
+SIGS = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(0, (1 << 56) - 1)),
+    min_size=2,
+    max_size=40,
+    unique_by=lambda kv: kv[0],
+)
+
+
+@given(sigs=SIGS, max_h=st.integers(0, 3))
+@PROP
+def test_simhash_banding_equals_bruteforce(spark, sigs, max_h):
+    """Pigeonhole completeness on arbitrary signatures: the banded plan
+    (distinct-signature collapse + expansion joins, cap off so adversarial
+    draws can't trip it) must produce EXACTLY the brute-force pair set —
+    random draws include hash collisions and near-misses at every radius."""
+    from mini_flink_spark.functions.dedup import simhash_pairs
+
+    sim = spark.createDataFrame(sigs, "id bigint, simhash bigint")
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_pairs(
+            sim, max_hamming=max_h, n_blocks=4, max_bucket=None
+        ).collect()
+    }
+    want = set()
+    for i, (ia, ha) in enumerate(sigs):
+        for ib, hb in sigs[i + 1 :]:
+            d = bin(ha ^ hb).count("1")
+            if d <= max_h:
+                a, b = min(ia, ib), max(ia, ib)
+                want.add((a, b, d))
+    assert got == want
