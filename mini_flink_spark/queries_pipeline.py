@@ -1510,6 +1510,77 @@ def q_dataset_split_assign(spark, sf_dir):
 
 
 @register(
+    "preference_pairs",
+    f"""
+    WITH scored AS (
+      SELECT source, doc_id, {T.quality_score_sql("text")} AS q FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, q,
+             row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    )
+    SELECT c.source, c.r::BIGINT AS pair_rank,
+           c.doc_id AS chosen_id, rj.doc_id AS rejected_id,
+           round(c.q - rj.q, 4) AS margin
+    FROM ranked c JOIN ranked rj
+      ON c.source = rj.source AND rj.r + c.r = c.n + 1
+    WHERE c.r <= 5 AND round(c.q - rj.q, 4) > 0
+    """,
+    ("pipeline", "rlhf"),
+)
+def q_preference_pairs(spark, sf_dir):
+    """Preference-pair construction (the DPO/RLHF data-prep step): per
+    source, pair the k-th BEST document with the k-th WORST by the
+    deterministic quality score, k <= 5, emitting (chosen, rejected,
+    margin) with zero-margin (self/tie) pairs dropped — the shape a reward
+    or DPO trainer consumes when preferences are induced from a scalar
+    judge instead of human labels.
+
+    One total order serves both ends: with the (score desc, doc_id)
+    tiebreak total, the k-th worst is simply position n-k+1, so the plan is
+    ONE exchange on the stratum key + one window sort + a self-join on the
+    mirrored rank — not a desc-window plus an asc-window (two sorts), and
+    never a per-stratum collect. Scale: window state is a row counter;
+    the self-join matches <= 5 rows per stratum; margins are the rounded
+    engine-identical doubles text_quality already grades."""
+    from mini_flink_spark.queries_ext import _spread
+
+    # _spread: the scorer runs 3 tokenizer passes per row — on the raw
+    # single-file scan that is one fat task (3.6s at sf0.1; 0.2s spread)
+    d = _spread(_t(spark, sf_dir, "documents"))
+    scored = d.select("source", "doc_id", T.quality_score("text").alias("q"))
+    w = Window.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id"))
+    ranked = scored.select(
+        "source",
+        "doc_id",
+        "q",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    ).localCheckpoint(eager=False)  # two join consumers; don't re-score per side
+    c = ranked.alias("c")
+    rj = ranked.alias("rj")
+    return (
+        c.join(
+            rj,
+            (F.col("c.source") == F.col("rj.source"))
+            & (F.col("rj.r") + F.col("c.r") == F.col("c.n") + 1),
+        )
+        .filter(F.col("c.r") <= 5)
+        .withColumn("margin", F.round(F.col("c.q") - F.col("rj.q"), 4))
+        .filter(F.col("margin") > 0)
+        .select(
+            F.col("c.source").alias("source"),
+            F.col("c.r").cast("bigint").alias("pair_rank"),
+            F.col("c.doc_id").alias("chosen_id"),
+            F.col("rj.doc_id").alias("rejected_id"),
+            "margin",
+        )
+    )
+
+
+@register(
     "epoch_shard_manifest",
     f"""
     WITH assigned AS (

@@ -669,3 +669,20 @@ def test_simhash_pairs_bucket_cap_fires_and_is_inactive(spark):
     assert capped.count() == 0  # every shared band value exceeds the cap
     under = D.simhash_pairs(sim, max_hamming=3, n_blocks=4, max_bucket=100)
     assert under.count() == uncapped.count()
+
+
+def test_preference_pairs_structure(spark, sf_dir):
+    """Chosen strictly outscores rejected; k-th best pairs with k-th worst;
+    at most 5 pairs per source; no doc appears as both sides of one pair."""
+    from mini_flink_spark.queries import all_queries
+
+    rows = all_queries()["preference_pairs"](spark, sf_dir).collect()
+    assert rows
+    from collections import Counter
+
+    per_source = Counter(r.source for r in rows)
+    assert all(c <= 5 for c in per_source.values())
+    for r in rows:
+        assert r.margin > 0
+        assert r.chosen_id != r.rejected_id
+        assert 1 <= r.pair_rank <= 5
