@@ -1310,6 +1310,51 @@ def probe_round7_phash(spark):
                 flush=True,
             )
 
+
+def probe_round7_compaction(spark):
+    """The compaction_small_files writer contract at 20x: 2M events,
+    repartition(event_type) + partitionBy + maxRecordsPerFile=2000. The
+    graded query pins ceil(rows/cap) at sf0.01/0.1; this verifies the
+    contract survives AQE partition coalescing and real multi-file task
+    inputs at 20x, and records the cost of the clustered write."""
+    import math
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ev = dense_events(spark)  # 20x sf0.1 = 2M rows
+    d = tempfile.mkdtemp(prefix="compact20x_") + "/events"
+    t0 = time.time()
+    (
+        ev.select("event_id", "event_type", "user_id", "value")
+        .repartition("event_type")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 2000)
+        .partitionBy("event_type")
+        .parquet(d)
+    )
+    wall = time.time() - t0
+    got = (
+        spark.read.parquet(d)
+        .select("event_type", F.input_file_name().alias("f"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("f").alias("n_files"),
+        )
+        .collect()
+    )
+    bad = [r for r in got if r.n_files != math.ceil(r.n_rows / 2000.0)]
+    total_files = sum(r.n_files for r in got)
+    total_rows = sum(r.n_rows for r in got)
+    print(
+        f"20x compaction: {total_rows} rows -> {total_files} files across "
+        f"{len(got)} partitions in {wall:.1f}s; contract violations: {len(bad)}"
+        + (f" {bad}" if bad else ""),
+        flush=True,
+    )
+    assert not bad
+
 PROBES = {
     "embedding_cosine": probe_embedding_cosine,
     "curation_100x": probe_curation_100x,
@@ -1328,6 +1373,7 @@ PROBES = {
     "round6_join_state": probe_round6_join_state,
     "round7_linkage": probe_round7_linkage,
     "round7_phash": probe_round7_phash,
+    "round7_compaction": probe_round7_compaction,
 }
 
 if __name__ == "__main__":
