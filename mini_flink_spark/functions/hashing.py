@@ -48,5 +48,19 @@ def seeded_hash(col: Column | str, seed: int) -> Column:
     return portable_hash64(F.concat(c, F.lit(f"#{seed}")))
 
 
+def fast_seeded_hash(col: Column | str, seed: int) -> Column:
+    """The documented at-scale swap for `seeded_hash`: xxhash64 with the seed
+    as a hashed sibling column — JVM-native, no md5 hex detour, masked to
+    the same 56-bit range so every downstream band/fold shape is unchanged.
+
+    NOT oracle-portable (DuckDB has no xxhash64), so NO graded query may use
+    it — it exists for the 100 TB deployment where cross-engine verification
+    has already happened at small SF and the md5 tax (a hex format + string
+    conv per hash call) dominates the signature stage. Measured A/B:
+    tools/stress_probe.py round8_xxhash."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c, F.lit(seed)).bitwiseAND(F.lit(HASH_MOD - 1)).cast("bigint")
+
+
 def seeded_hash_sql(expr: str, seed: int) -> str:
     return portable_hash64_sql(f"({expr} || '#{seed}')")

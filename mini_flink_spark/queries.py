@@ -1152,9 +1152,9 @@ def q_ntile_quartiles(spark, sf_dir):
 # exported dicts put a curated window first. Rotation policy (VERDICT r3 #3):
 # the 15 §2 reference-surface rows and 10 flagship LLM-pipeline anchors stay
 # pinned every round; the other 25 slots rotate each round to queries that
-# have NEVER had a driver verdict (r1∪…∪r6 graded 148 distinct names; this
-# round-7 window adds 24 more + the policy-allowed priority_shipping_counts
-# regrade — cumulative 172 of 197, leaving exactly 25 for round 8).
+# have NEVER had a driver verdict (r1∪…∪r7 graded 172 distinct names; this
+# round-8 window adds 25 more — cumulative 197 of 202 after the driver
+# grades, leaving 5 spilled names + any round-8 additions for round 9).
 # Everything else keeps registration order after the window — nothing is
 # removed, only reordered.
 GRADED_WINDOW: tuple[str, ...] = (
@@ -1186,43 +1186,46 @@ GRADED_WINDOW: tuple[str, ...] = (
     "gopher_quality_flags",
     "curation_pipeline_v2",
     "bpe_learn_merges",
-    # ---- round-7 rotation ----
-    # priority_shipping_counts is the ONE regrade (policy: never regrade a
-    # GREEN row; regrade while the latest verdict is not fully green): its
-    # r6 row hash-mismatched on an oracle typing bug — DuckDB's uncast
-    # HUGEINT sum rendered float64 vs Spark's int64, values identical — now
-    # fixed with ::BIGINT casts (VERDICT r6 #1).
-    "priority_shipping_counts",
-    # round-6 additions with no driver row yet (VERDICT r6 #3 priorities)
-    "jsonl_ingest_roundtrip",
-    "csv_ingest_roundtrip",
-    "warc_ingest_roundtrip",
-    "unicode_normalize_docs",
-    # multimodal family (binary columns + Arrow-batched decode plumbing)
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_audio_chunks",
-    "multimodal_features",
-    # remaining sketches + the scalar-reshaped function battery
-    "sketch_distinct_users",
-    "sketch_value_percentiles",
-    "array_battery",
-    # drainable streaming queries (structurally-converged update drains)
-    "streaming_wordcount",
-    "streaming_running_reduce",
-    "streaming_neardup_groups",
-    "streaming_session_windows",
-    # batch extension/TPC-H coverage
-    "curation_pipeline",
-    "repetition_score",
-    "text_entropy",
-    "data_quality_report",
-    "pit_purchase_features",
-    "vocab_oov_rate",
-    "token_budget_shards",
-    "langid_confusion_matrix",
-    "excess_stock_suppliers",
+    # ---- round-8 rotation (VERDICT r7 #1/#2/#4) ----
+    # streaming_python_source first: the ONLY §2 reference-surface row
+    # (addSource, StreamSource.java:43) without a driver verdict after
+    # seven rounds — local-green since round 2.
+    "streaming_python_source",
+    # sink_roundtrip_jsonl (new r8): gives the addSink surface (§2.5,
+    # StreamSink.java:54-58) its first oracle-paired CORRECTNESS row
+    # (previously test-evidence only, VERDICT r7 #2).
+    "sink_roundtrip_jsonl",
+    # the four round-7 additions — no round-7 code ships two rounds
+    # unverified by the driver (VERDICT r7 #4)
+    "multimodal_phash_neardup",
+    "epoch_shard_manifest",
+    "compaction_small_files",
+    "preference_pairs",
+    # remaining never-graded backlog (r1∪…∪r7 set-diff), batch side
+    "bpe_encode_docs",
+    "cluster_label_purity",
+    "cluster_representatives",
+    "corpus_trigram_topk",
+    "dedup_spans_incremental",
+    "event_rate_anomaly",
+    "event_transition_matrix",
+    "item_cooccurrence_lift",
+    "length_matched_sample",
+    "mixture_weights_temperature",
+    "negative_samples",
+    "quality_filter_by_source",
+    "rerank_cross_encoder",
+    "weighted_sample_es",
+    # never-graded streaming drains (all structurally-converged)
+    "streaming_curation_gate_dedup",
+    "streaming_enrich_join",
+    "streaming_quality_filter",
+    "streaming_semantic_decontam",
+    "streaming_source_drift",
 )
+# Spilled to round 9 (30 candidates, 25 slots — lowest-risk event/window
+# stragglers wait, per VERDICT r7 #4): event_path_trigrams, ewma_hourly_rate,
+# full_outer_nation_activity, incremental_revenue_agg, length_outliers_iqr.
 
 
 def _ordered_names() -> list[str]:

@@ -1832,6 +1832,55 @@ def q_jsonl_ingest_roundtrip(spark, sf_dir):
 
 
 @register(
+    "sink_roundtrip_jsonl",
+    """
+    SELECT doc_id, lang, source,
+           octet_length(encode(text))::BIGINT AS text_bytes,
+           substr(md5(text), 1, 8) AS text_md5_8
+    FROM documents
+    """,
+    ("sink", "jsonl"),
+)
+def q_sink_roundtrip_jsonl(spark, sf_dir):
+    """The ``addSink`` surface (StreamSink.java:54-58) under a graded oracle:
+    the documents table is written through the user-defined Python
+    DataSource V2 sink (``sources/python_sink.py`` — per-task staged
+    write-once files, task-side atomic rename, driver commit/abort; the
+    two-phase contract the reference's fire-and-forget ``invoke()`` never
+    had), read back with an explicit schema, and ids/lang/source/payload
+    bytes/md5 must survive byte-exactly. A green row certifies the full
+    sink path — task write, staging rename, driver commit manifest,
+    overwrite truncation — not just that the API exists (which
+    tests/test_python_sink.py already pins).
+
+    100 TB notes: the sink is the object-store shape — task-local staging +
+    idempotent publish means a retried or zombie task can never corrupt
+    published output; mode("overwrite") truncates driver-side before any
+    task runs so re-runs against a stable path are idempotent. Row-at-a-time
+    json.dumps is acceptable on the SINK boundary only because a sink is
+    write-once-per-row by definition; the read-back uses Spark's native
+    splittable JSONL scan with an explicit schema (no inference pass)."""
+    from mini_flink_spark.sources.python_sink import SINK_NAME, register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    d = _fixture_dir("pysink", sf_dir) + "/docs"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    docs.write.format(SINK_NAME).mode("overwrite").option("path", d).save()
+    schema = "doc_id bigint, lang string, source string, text string"
+    return (
+        spark.read.schema(schema)
+        .json(d)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.octet_length("text").cast("bigint").alias("text_bytes"),
+            F.substring(F.md5(F.encode("text", "UTF-8")), 1, 8).alias("text_md5_8"),
+        )
+    )
+
+
+@register(
     "csv_ingest_roundtrip",
     """
     SELECT doc_id, lang,
@@ -2227,7 +2276,14 @@ def q_multimodal_phash_neardup(spark, sf_dir):
     docs = _spread(_t(spark, sf_dir, "documents"))
     media = text_as_media(docs, "text", kind="image")
     ph = phash_table(media).withColumnRenamed("phash", "simhash")
-    pairs = simhash_pairs(ph, max_hamming=3, n_blocks=4)
+    # max_bucket=None: the graded oracle is the uncapped O(n²) brute force,
+    # which cannot mirror a band cap — so the graded query must be uncapped
+    # too (ADVICE r7). The cap belongs to the corpus-scale entry points and
+    # its engagement is probed (tools/stress_probe.py round7_phash), not
+    # graded; at graded SFs this changes nothing (md5-uniform signatures
+    # never approach the cap), it just removes the one way the row could
+    # silently diverge from its oracle.
+    pairs = simhash_pairs(ph, max_hamming=3, n_blocks=4, max_bucket=None)
     return pairs.select(
         F.col("a").cast("bigint").alias("a"),
         F.col("b").cast("bigint").alias("b"),

@@ -1526,7 +1526,7 @@ def q_dataset_split_assign(spark, sf_dir):
            round(c.q - rj.q, 4) AS margin
     FROM ranked c JOIN ranked rj
       ON c.source = rj.source AND rj.r + c.r = c.n + 1
-    WHERE c.r <= 5 AND round(c.q - rj.q, 4) > 0
+    WHERE c.r <= 5 AND c.q > rj.q
     """,
     ("pipeline", "rlhf"),
 )
@@ -1550,7 +1550,14 @@ def q_preference_pairs(spark, sf_dir):
     # _spread: the scorer runs 3 tokenizer passes per row — on the raw
     # single-file scan that is one fat task (3.6s at sf0.1; 0.2s spread)
     d = _spread(_t(spark, sf_dir, "documents"))
-    scored = d.select("source", "doc_id", T.quality_score("text").alias("q"))
+    return preference_pairs_plan(d)
+
+
+def preference_pairs_plan(docs, k: int = 5):
+    """The preference-pair plan over any (source, doc_id, text) frame — one
+    definition shared by the graded query and the skew probe
+    (tools/stress_probe.py round8_pref_skew)."""
+    scored = docs.select("source", "doc_id", T.quality_score("text").alias("q"))
     w = Window.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id"))
     ranked = scored.select(
         "source",
@@ -1567,9 +1574,16 @@ def q_preference_pairs(spark, sf_dir):
             (F.col("c.source") == F.col("rj.source"))
             & (F.col("rj.r") + F.col("c.r") == F.col("c.n") + 1),
         )
-        .filter(F.col("c.r") <= 5)
+        .filter(F.col("c.r") <= k)
+        # Gate on the UNROUNDED difference in both engines (ADVICE r7):
+        # Spark's round() is HALF_UP BigDecimal while DuckDB rounds the
+        # double, so a margin landing exactly on a 5th-decimal boundary
+        # could flip in/out of the result on one engine only. round() is
+        # kept solely for the displayed margin column, where the engines'
+        # disagreement window (exact .xxxx5 doubles) is unreachable from
+        # the scorer's ratio arithmetic.
+        .filter(F.col("c.q") > F.col("rj.q"))
         .withColumn("margin", F.round(F.col("c.q") - F.col("rj.q"), 4))
-        .filter(F.col("margin") > 0)
         .select(
             F.col("c.source").alias("source"),
             F.col("c.r").cast("bigint").alias("pair_rank"),

@@ -101,6 +101,20 @@ class JsonlDirSink(DataSource):
         return SINK_NAME
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        # Overwrite semantics are a DRIVER-side truncate before any task
+        # runs (this method executes on the driver; the writer is then
+        # pickled to executors): published write-once files of a prior run
+        # are removed so mode("overwrite") against a stable path is
+        # idempotent — the same contract Spark's native file sinks give.
+        # Only this sink's own artifacts are touched, never the directory.
+        if overwrite:
+            path = self.options.get("path")
+            if path and os.path.isdir(path):
+                for name in os.listdir(path):
+                    if name.endswith((".jsonl", ".jsonl.staging")) or name.startswith(
+                        ("_SUCCESS", "_COMMIT-")
+                    ):
+                        os.remove(os.path.join(path, name))
         return _JsonlBatchWriter(self.options)
 
     def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:

@@ -48,3 +48,24 @@ def test_streaming_sink_commits_batch_manifest(spark, tmp_path):
     assert m["rows"] == len(lines)
     for f in m["files"]:
         assert os.path.exists(f)
+
+
+def test_batch_sink_overwrite_truncates_prior_run(spark, tmp_path):
+    """mode('overwrite') against a stable path must be idempotent: the
+    driver-side truncate removes the prior run's published files, _SUCCESS,
+    and any stale staging leftovers — the contract sink_roundtrip_jsonl's
+    deterministic fixture dir depends on (a second run must not double the
+    row count)."""
+    from mini_flink_spark.sources.python_sink import SINK_NAME, register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "ow_out")
+    df = spark.range(50).select(F.col("id"))
+    df.write.format(SINK_NAME).mode("overwrite").option("path", out).save()
+    # plant a stale staging file (a crashed prior task) — overwrite sweeps it
+    open(os.path.join(out, "stale-deadbeef.jsonl.staging"), "w").write("{}\n")
+    df.write.format(SINK_NAME).mode("overwrite").option("path", out).save()
+    rows = _read_jsonl_dir(out)
+    assert sorted(r["id"] for r in rows) == list(range(50))
+    assert json.load(open(os.path.join(out, "_SUCCESS")))["rows"] == 50
+    assert not [n for n in os.listdir(out) if n.endswith(".staging")]

@@ -31,10 +31,15 @@ import sys
 
 def load(path_or_ref: str) -> dict[str, float]:
     if path_or_ref.startswith("git:"):
-        out = subprocess.run(
+        proc = subprocess.run(
             ["git", "show", path_or_ref[4:]], capture_output=True, text=True
-        ).stdout
-        data = json.loads(out)
+        )
+        if proc.returncode != 0 or not proc.stdout.strip():
+            sys.exit(
+                f"bench_diff: git show {path_or_ref[4:]!r} failed "
+                f"(rc={proc.returncode}): {proc.stderr.strip() or 'empty output'}"
+            )
+        data = json.loads(proc.stdout)
     else:
         with open(path_or_ref) as f:
             data = json.load(f)

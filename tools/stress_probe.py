@@ -1355,7 +1355,170 @@ def probe_round7_compaction(spark):
     )
     assert not bad
 
+def _skewed_docs(spark, replicas: int, hot_frac: int = 9, sf_dir="/root/testdata/sf0.1"):
+    """`replicas`× the sf0.1 documents table with a planted hot stratum:
+    hot_frac/10 of all rows land in source='hot_source', the rest keep their
+    original source — the one-source-holds-90% shape VERDICT r7 #5 asked to
+    probe (the per-source window sort is the only single-task risk in the
+    preference_pairs plan). Built distributively (explode + expressions)."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        base.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
+        )
+        .select(
+            (F.col("doc_id") * replicas + F.col("rep")).alias("doc_id"),
+            # vary text per replica so q isn't constant inside the hot
+            # stratum (a constant-q stratum would make the sort trivially
+            # cheap and the probe vacuous)
+            F.concat(F.col("text"), F.lit(" rep"), F.col("rep").cast("string")).alias(
+                "text"
+            ),
+            F.when(
+                F.pmod(F.xxhash64("doc_id", "rep"), F.lit(10)) < F.lit(hot_frac),
+                F.lit("hot_source"),
+            )
+            .otherwise(F.col("source"))
+            .alias("source"),
+        )
+    )
+
+
+def probe_round8_pref_skew(spark):
+    """preference_pairs under a 90%-hot stratum at 20× (100k docs, ~90k in
+    one source; VERDICT r7 #5): the per-source window sort puts the whole
+    hot stratum through ONE task — this measures whether that single-task
+    sort (rank + count window over ~90k scored rows) is the bottleneck and
+    whether it spills. The scorer itself is partition-parallel (it runs
+    BELOW the stratum exchange); only the rank/count window serializes."""
+    import time as _t
+
+    from mini_flink_spark.queries_pipeline import preference_pairs_plan
+
+    print("== round8_pref_skew: preference_pairs, 20x docs, 90% one source ==")
+    docs = _skewed_docs(spark, replicas=20).localCheckpoint()  # isolate build cost
+    n = docs.count()
+    hot = docs.filter(F.col("source") == "hot_source").count()
+    before = _stage_metrics_total(spark)
+    t0 = _t.time()
+    out = preference_pairs_plan(docs)
+    rows = out.count()
+    wall = _t.time() - t0
+    after = _stage_metrics_total(spark)
+    d = {k: after[k] - before[k] for k in after}
+    print(
+        f"  corpus={n} hot_stratum={hot} ({100*hot//n}%) pairs={rows} "
+        f"wall={wall:.1f}s"
+    )
+    print(
+        f"  shuffle_read={d['shuffle_read']/1e6:.1f}MB "
+        f"write={d['shuffle_write']/1e6:.1f}MB "
+        f"spill_mem={d['mem_spill']/1e6:.1f}MB disk={d['disk_spill']/1e6:.1f}MB"
+    )
+
+
+def probe_round8_manifest(spark):
+    """epoch_shard_manifest at 20× and 100× (VERDICT r7 #5): expect exactly
+    linear scan cost, ONE exchange carrying only the partial-aggregated
+    (epoch, shard) rows (map-side combine makes shuffle bytes ~constant in
+    corpus size — the property that matters at 100 TB), zero spill."""
+    import time as _t
+
+    print("== round8_manifest: epoch_shard_manifest scan scaling ==")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    from mini_flink_spark.functions.hashing import portable_hash64
+
+    for reps in (20, 100):
+        docs = base.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("rep")
+        ).select(
+            (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"), "text"
+        )
+        before = _stage_metrics_total(spark)
+        t0 = _t.time()
+        epochs = docs.select(
+            "*", F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+        )
+        tok = F.size(F.split("text", " ")).cast("bigint")
+        out = (
+            epochs.select(
+                "epoch",
+                F.pmod(
+                    portable_hash64(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("#epoch"),
+                            F.col("epoch").cast("string"),
+                        )
+                    ),
+                    F.lit(8),
+                ).alias("shard"),
+                tok.alias("tok"),
+                portable_hash64(
+                    F.concat(F.col("doc_id").cast("string"), F.lit("#ck"))
+                ).alias("ck"),
+            )
+            .groupBy("epoch", "shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("tok").alias("n_tokens"),
+                F.expr("bit_xor(ck)").alias("checksum"),
+            )
+        )
+        cells = out.count()
+        wall = _t.time() - t0
+        after = _stage_metrics_total(spark)
+        d = {k: after[k] - before[k] for k in after}
+        print(
+            f"  {reps}x: rows={reps*5000} cells={cells} wall={wall:.1f}s "
+            f"shuffle_write={d['shuffle_write']/1e3:.0f}KB "
+            f"spill={d['disk_spill']/1e6:.1f}MB"
+        )
+
+
+def probe_round8_xxhash(spark):
+    """The documented hash lever, measured (VERDICT r7 #6): MinHash
+    signatures (k=64 seeded hashes per shingle — the heaviest hash consumer
+    in the repo) at 20× docs, portable md5 hash vs fast_seeded_hash
+    (xxhash64). Graded paths keep the portable hash (oracle-checkable);
+    this records what the one-line swap buys at deployment scale."""
+    import time as _t
+
+    from mini_flink_spark.functions.dedup import MINHASH_K, shingled
+    from mini_flink_spark.functions.hashing import fast_seeded_hash, seeded_hash
+
+    print("== round8_xxhash: minhash signature stage, md5 vs xxhash64, 20x ==")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    docs = base.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep")
+    ).select((F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"), "text")
+    sh = shingled(docs, "doc_id", "text").localCheckpoint()  # shared preamble
+    sh_rows = sh.select("id", F.explode("sh").alias("s"))
+    results = {}
+    for name, fam in (("md5_portable", seeded_hash), ("xxhash64", fast_seeded_hash)):
+        hash_cols = [fam(F.col("s"), i).alias(f"h{i}") for i in range(MINHASH_K)]
+        sig = (
+            sh_rows.select("id", *hash_cols)
+            .groupBy("id")
+            .agg(F.array(*[F.min(f"h{i}") for i in range(MINHASH_K)]).alias("sig"))
+        )
+        # force every hash: fold the signature into one checksum
+        t0 = _t.time()
+        sig.select(
+            F.sum(F.expr("aggregate(sig, 0L, (a, x) -> a + x)")).alias("c")
+        ).collect()
+        results[name] = _t.time() - t0
+        print(f"  {name}: {results[name]:.1f}s")
+    print(
+        f"  speedup: {results['md5_portable'] / results['xxhash64']:.2f}x "
+        f"(100k docs x {MINHASH_K} hashes/shingle)"
+    )
+
+
 PROBES = {
+    "round8_pref_skew": probe_round8_pref_skew,
+    "round8_manifest": probe_round8_manifest,
+    "round8_xxhash": probe_round8_xxhash,
     "embedding_cosine": probe_embedding_cosine,
     "curation_100x": probe_curation_100x,
     "kmeans_largek": probe_kmeans_largek,
