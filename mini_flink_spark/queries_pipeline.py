@@ -1538,13 +1538,16 @@ def q_preference_pairs(spark, sf_dir):
     or DPO trainer consumes when preferences are induced from a scalar
     judge instead of human labels.
 
-    One total order serves both ends: with the (score desc, doc_id)
-    tiebreak total, the k-th worst is simply position n-k+1, so the plan is
-    ONE exchange on the stratum key + one window sort + a self-join on the
-    mirrored rank — not a desc-window plus an asc-window (two sorts), and
-    never a per-stratum collect. Scale: window state is a row counter;
-    the self-join matches <= 5 rows per stratum; margins are the rounded
-    engine-identical doubles text_quality already grades."""
+    One total order serves both ends: under the (score desc, doc_id)
+    tiebreak total the k-th worst is the k-th row of the reversed order, so
+    the pair condition is bottom-rank == top-rank and only each stratum's
+    top-k and bottom-k matter — which the salted two-stage tournament in
+    `preference_pairs_plan` extracts EXACTLY without ever fully sorting a
+    stratum (a 90%-hot source at 10^9 rows would otherwise sort in one
+    task; probed in tools/stress_probe.py round8_pref_skew). Never a
+    per-stratum collect; the self-join matches <= 5 rows per stratum;
+    margins are the rounded engine-identical doubles text_quality already
+    grades."""
     from mini_flink_spark.queries_ext import _spread
 
     # _spread: the scorer runs 3 tokenizer passes per row — on the raw
@@ -1553,18 +1556,57 @@ def q_preference_pairs(spark, sf_dir):
     return preference_pairs_plan(d)
 
 
-def preference_pairs_plan(docs, k: int = 5):
+def preference_pairs_plan(docs, k: int = 5, salt: int | None = 32):
     """The preference-pair plan over any (source, doc_id, text) frame — one
     definition shared by the graded query and the skew probe
-    (tools/stress_probe.py round8_pref_skew)."""
+    (tools/stress_probe.py round8_pref_skew).
+
+    The k-th BEST row pairs with the k-th WORST; under the (q desc, doc_id)
+    total order the k-th worst is exactly the k-th row of the REVERSED
+    (q asc, doc_id desc) order, so the pair condition is `bottom-rank ==
+    top-rank` — no stratum row count needed and, crucially, no FULL stratum
+    sort: only the top-k and bottom-k per stratum matter, which a salted
+    two-stage tournament extracts exactly.
+
+    salt=S (the default, the 100 TB shape): stage 1 ranks within (source,
+    salt-of-doc_id) slices — every sort task sees ~n/S rows even when one
+    source holds 90% of the corpus (probed: round8_pref_skew) — and keeps
+    rows locally top-k or bottom-k (a globally top-k row is top-k in its
+    slice, the tournament invariant, so this is EXACT, not approximate);
+    stage 2 re-ranks the <= 2kS survivors per source. A 10^9-row stratum
+    sorts as S bounded tasks + one 2kS-row task instead of one 50 GB
+    single-task sort. salt=None keeps the naive full-sort window (the A/B
+    baseline the probe measures against)."""
     scored = docs.select("source", "doc_id", T.quality_score("text").alias("q"))
-    w = Window.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id"))
+    top_order = [F.desc("q"), F.asc("doc_id")]
+    bot_order = [F.asc("q"), F.desc("doc_id")]
+    if salt is not None:
+        # stage 1: bounded local sorts; the salt function is arbitrary
+        # (ANY partition of the stratum preserves the tournament invariant)
+        # so the fast non-portable hash is fine — it never reaches output
+        slc = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(salt))
+        wt_l = Window.partitionBy("source", "_slc").orderBy(*top_order)
+        wb_l = Window.partitionBy("source", "_slc").orderBy(*bot_order)
+        scored = (
+            scored.withColumn("_slc", slc)
+            .select(
+                "source",
+                "doc_id",
+                "q",
+                F.row_number().over(wt_l).alias("_rt"),
+                F.row_number().over(wb_l).alias("_rb"),
+            )
+            .filter((F.col("_rt") <= k) | (F.col("_rb") <= k))
+            .select("source", "doc_id", "q")
+        )
+    wt = Window.partitionBy("source").orderBy(*top_order)
+    wb = Window.partitionBy("source").orderBy(*bot_order)
     ranked = scored.select(
         "source",
         "doc_id",
         "q",
-        F.row_number().over(w).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+        F.row_number().over(wt).alias("r"),
+        F.row_number().over(wb).alias("rb"),
     ).localCheckpoint(eager=False)  # two join consumers; don't re-score per side
     c = ranked.alias("c")
     rj = ranked.alias("rj")
@@ -1572,7 +1614,7 @@ def preference_pairs_plan(docs, k: int = 5):
         c.join(
             rj,
             (F.col("c.source") == F.col("rj.source"))
-            & (F.col("rj.r") + F.col("c.r") == F.col("c.n") + 1),
+            & (F.col("rj.rb") == F.col("c.r")),
         )
         .filter(F.col("c.r") <= k)
         # Gate on the UNROUNDED difference in both engines (ADVICE r7):

@@ -1,0 +1,78 @@
+"""Round-8 additions: the preference-pair salted tournament (exactness vs
+the naive full-sort window, including tie and tiny-stratum edge cases) and
+the graded sink-roundtrip query's fixture behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mini_flink_spark.queries_pipeline import preference_pairs_plan
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "source string, doc_id bigint, text string")
+
+
+def _pairs(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_tournament_matches_full_sort_with_ties_and_tiny_strata(spark):
+    # ties (identical text -> identical q) force the doc_id tiebreak total
+    # order through both paths; strata of size 1, 2, 3 (< 2k) exercise the
+    # overlap region where a row is both top-k and bottom-k; the big
+    # stratum exercises multi-slice survivors.
+    rows = []
+    for i in range(200):
+        # quality varies with doc length; every 7th doc duplicates text
+        # (a q tie) with a different doc_id
+        txt = "the quick brown fox " * ((i % 13) + 1)
+        rows.append(("big", i, txt if i % 7 else "tied text exactly here"))
+    rows += [("solo", 1000, "one doc only")]
+    rows += [("duo", 2000, "short"), ("duo", 2001, "a much longer document text")]
+    rows += [
+        ("trio", 3000, "aaa bbb"),
+        ("trio", 3001, "aaa bbb"),  # tie inside a tiny stratum
+        ("trio", 3002, "a considerably longer third document"),
+    ]
+    d = _docs(spark, rows)
+    full = _pairs(preference_pairs_plan(d, salt=None))
+    tour = _pairs(preference_pairs_plan(d, salt=4))
+    assert tour == full
+    # non-vacuous: the big stratum must actually emit ranked pairs
+    assert any(p[0] == "big" for p in full)
+
+
+def test_tournament_salt_value_is_irrelevant_to_output(spark):
+    rows = [("s", i, f"doc text number {i} " * (i % 5 + 1)) for i in range(60)]
+    d = _docs(spark, rows)
+    outs = [_pairs(preference_pairs_plan(d, salt=s)) for s in (1, 2, 32)]
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_tournament_local_filter_bounds_survivors(spark):
+    # the stage-1 filter must keep at most 2k rows per (source, slice) —
+    # the property that bounds every stage-2 partition at 2kS rows
+    rows = [("s", i, f"text {i} " * (i % 11 + 1)) for i in range(500)]
+    d = _docs(spark, rows)
+    from mini_flink_spark.functions import text as T
+    from pyspark.sql import Window
+
+    k, salt = 5, 8
+    scored = d.select("source", "doc_id", T.quality_score("text").alias("q"))
+    slc = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(salt))
+    wt = Window.partitionBy("source", "_slc").orderBy(F.desc("q"), F.asc("doc_id"))
+    wb = Window.partitionBy("source", "_slc").orderBy(F.asc("q"), F.desc("doc_id"))
+    surv = (
+        scored.withColumn("_slc", slc)
+        .select(
+            "source",
+            "_slc",
+            F.row_number().over(wt).alias("rt"),
+            F.row_number().over(wb).alias("rb"),
+        )
+        .filter((F.col("rt") <= k) | (F.col("rb") <= k))
+        .groupBy("source", "_slc")
+        .count()
+    )
+    assert surv.agg(F.max("count")).first()[0] <= 2 * k

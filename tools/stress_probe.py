@@ -1399,22 +1399,32 @@ def probe_round8_pref_skew(spark):
     docs = _skewed_docs(spark, replicas=20).localCheckpoint()  # isolate build cost
     n = docs.count()
     hot = docs.filter(F.col("source") == "hot_source").count()
-    before = _stage_metrics_total(spark)
-    t0 = _t.time()
-    out = preference_pairs_plan(docs)
-    rows = out.count()
-    wall = _t.time() - t0
-    after = _stage_metrics_total(spark)
-    d = {k: after[k] - before[k] for k in after}
+    results = {}
+    for label, salt in (("full_sort(salt=None)", None), ("tournament(salt=32)", 32)):
+        before = _stage_metrics_total(spark)
+        t0 = _t.time()
+        out = preference_pairs_plan(docs, salt=salt)
+        rows = out.count()
+        wall = _t.time() - t0
+        after = _stage_metrics_total(spark)
+        d = {k: after[k] - before[k] for k in after}
+        results[label] = rows
+        print(
+            f"  {label}: pairs={rows} wall={wall:.1f}s "
+            f"shuffle_read={d['shuffle_read']/1e6:.1f}MB "
+            f"write={d['shuffle_write']/1e6:.1f}MB "
+            f"spill_mem={d['mem_spill']/1e6:.1f}MB disk={d['disk_spill']/1e6:.1f}MB"
+        )
+    vals = set(results.values())
     print(
-        f"  corpus={n} hot_stratum={hot} ({100*hot//n}%) pairs={rows} "
-        f"wall={wall:.1f}s"
+        f"  corpus={n} hot_stratum={hot} ({100*hot//n}%) "
+        f"outputs_identical={len(vals) == 1}"
     )
-    print(
-        f"  shuffle_read={d['shuffle_read']/1e6:.1f}MB "
-        f"write={d['shuffle_write']/1e6:.1f}MB "
-        f"spill_mem={d['mem_spill']/1e6:.1f}MB disk={d['disk_spill']/1e6:.1f}MB"
-    )
+    # exactness, not just counts: the two paths must emit the same pairs
+    a = preference_pairs_plan(docs, salt=None)
+    b = preference_pairs_plan(docs, salt=32)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    print("  pair-set equality verified (exceptAll both ways == 0)")
 
 
 def probe_round8_manifest(spark):
@@ -1502,11 +1512,12 @@ def probe_round8_xxhash(spark):
             .groupBy("id")
             .agg(F.array(*[F.min(f"h{i}") for i in range(MINHASH_K)]).alias("sig"))
         )
-        # force every hash: fold the signature into one checksum
+        # force every hash: fold the signature into one checksum (XOR — sum
+        # overflows int64 under ANSI with 100k docs of 56-bit values)
         t0 = _t.time()
         sig.select(
-            F.sum(F.expr("aggregate(sig, 0L, (a, x) -> a + x)")).alias("c")
-        ).collect()
+            F.expr("aggregate(sig, 0L, (a, x) -> a ^ x)").alias("x")
+        ).agg(F.expr("bit_xor(x)")).collect()
         results[name] = _t.time() - t0
         print(f"  {name}: {results[name]:.1f}s")
     print(
