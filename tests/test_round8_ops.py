@@ -76,3 +76,22 @@ def test_tournament_local_filter_bounds_survivors(spark):
         .count()
     )
     assert surv.agg(F.max("count")).first()[0] <= 2 * k
+
+
+def test_fast_seeded_hash_range_and_independence(spark):
+    # the at-scale swap must stay drop-in: same 56-bit non-negative range
+    # as portable_hash64, deterministic, and seed-independent families
+    from mini_flink_spark.functions.hashing import HASH_MOD, fast_seeded_hash
+
+    df = spark.createDataFrame([(f"tok{i}",) for i in range(1000)], "s string")
+    out = df.select(
+        fast_seeded_hash("s", 0).alias("h0"), fast_seeded_hash("s", 1).alias("h1")
+    )
+    agg = out.agg(
+        F.min("h0"), F.max("h0"), F.count(F.when(F.col("h0") == F.col("h1"), 1))
+    ).first()
+    assert agg[0] >= 0 and agg[1] < HASH_MOD
+    assert agg[2] <= 1  # different seeds give a different family
+    a = out.orderBy("h0").collect()
+    b = out.orderBy("h0").collect()
+    assert a == b  # deterministic across evaluations
