@@ -1225,7 +1225,9 @@ GRADED_WINDOW: tuple[str, ...] = (
 )
 # Spilled to round 9 (30 candidates, 25 slots — lowest-risk event/window
 # stragglers wait, per VERDICT r7 #4): event_path_trigrams, ewma_hourly_rate,
-# full_outer_nation_activity, incremental_revenue_agg, length_outliers_iqr.
+# full_outer_nation_activity, incremental_revenue_agg, length_outliers_iqr —
+# plus the round-8 mid-round additions (c4_line_filters,
+# gopher_repetition_suite, ...), which join the round-9 rotation.
 
 
 def _ordered_names() -> list[str]:

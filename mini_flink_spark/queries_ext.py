@@ -973,6 +973,293 @@ def q_gopher_quality_flags(spark, sf_dir):
     )
 
 
+# --- line-level quality filtering (C4 / Gopher-repetition families) -------
+#
+# The fixture corpus has no newlines, so line-granularity operators would be
+# vacuous on raw text (the dedup_embedding_cosine lesson). The synthesizer
+# below derives a deterministic multi-line rendering from (doc_id, tokens) —
+# identical expression on both engines — planting every pathology the
+# filters exist to catch on a known schedule: a constant boilerplate line
+# every 4th line (duplicate-line mass), a 'lorem ipsum' plant every 17th
+# (doc_id+i), an unterminated '{' code line every 13th, and terminal
+# punctuation on ~2/3 of the rest. In production the synthesizer is replaced
+# by split(text, '\n') — everything downstream (the per-line predicates,
+# the per-doc folds) is the real operator and is unchanged.
+#
+# Evaluated over attributes named toks (array<string>), n (int line width),
+# doc_id — bind them as materialized attributes first (the higher-order-
+# lambda re-evaluation trap, SCALE_NOTES round 3).
+_SYNTH_LINES_SPARK = """
+transform(
+  sequence(0, cast(ceil(size(toks) / cast(n as double)) as int) - 1),
+  i -> CASE WHEN i % 4 = 0 THEN 'the same repeated boilerplate line.'
+       ELSE concat(
+         IF((doc_id + i) % 17 = 0, 'lorem ipsum ', ''),
+         array_join(slice(toks, i * n + 1, n), ' '),
+         CASE WHEN (doc_id + i) % 13 = 0 THEN ' {'
+              WHEN (doc_id + i) % 3 != 0 THEN '.'
+              ELSE '' END)
+       END)
+"""
+
+_SYNTH_LINES_DUCK = """
+list_transform(
+  range(0, cast(ceil(len(toks) / (n::DOUBLE)) as int)),
+  i -> CASE WHEN i % 4 = 0 THEN 'the same repeated boilerplate line.'
+       ELSE
+         (CASE WHEN (doc_id + i) % 17 = 0 THEN 'lorem ipsum ' ELSE '' END)
+         || array_to_string(list_slice(toks, i * n + 1, i * n + n), ' ')
+         || (CASE WHEN (doc_id + i) % 13 = 0 THEN ' {'
+                  WHEN (doc_id + i) % 3 != 0 THEN '.'
+                  ELSE '' END)
+       END)
+"""
+
+_DUCK_LINED = f"""
+    base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks,
+             (4 + doc_id % 5) AS n
+      FROM documents
+    ),
+    lined AS (
+      SELECT doc_id, text, toks, {_SYNTH_LINES_DUCK} AS lines FROM base
+    )
+"""
+
+
+def _lined_docs(spark, sf_dir):
+    """(doc_id, text, toks, lines) with every array bound as a materialized
+    attribute behind a Generate barrier, so no lambda re-evaluates its
+    captured child per element (SCALE_NOTES round 3)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.split("text", " ").alias("toks"),
+                    (F.lit(4) + F.pmod("doc_id", F.lit(5))).cast("int").alias("n"),
+                )
+            )
+        ).alias("_b"),
+    ).select(
+        "doc_id", "text", F.col("_b.toks").alias("toks"), F.col("_b.n").alias("n")
+    )
+    lined = base.select(
+        "doc_id",
+        "text",
+        "toks",
+        F.explode(F.array(F.expr(_SYNTH_LINES_SPARK))).alias("lines"),
+    )
+    return lined
+
+
+@register(
+    "c4_line_filters",
+    f"""
+    WITH {_DUCK_LINED},
+    kept AS (
+      SELECT doc_id,
+             len(lines)::BIGINT AS n_lines,
+             list_filter(lines, l -> ends_with(l, '.')
+                 AND len(string_split(l, ' ')) >= 5
+                 AND NOT contains(l, 'lorem ipsum')
+                 AND NOT contains(l, '{{')) AS k
+      FROM lined
+    )
+    SELECT doc_id, n_lines, len(k)::BIGINT AS n_kept,
+           substr(md5(array_to_string(k, chr(10))), 1, 8) AS kept_md5_8,
+           (len(k) >= 3) AS pass_c4
+    FROM kept
+    """,
+    ("text", "quality", "pipeline"),
+)
+def q_c4_line_filters(spark, sf_dir):
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2 — the filter
+    suite behind the Colossal Clean Crawled Corpus): keep only lines that
+    end in terminal punctuation, have >= 5 words, and contain neither
+    'lorem ipsum' nor a curly brace (the code/boilerplate tells); emit the
+    per-doc retained-line count, an md5 over the retained text (so the
+    oracle certifies WHICH lines survived, not just how many), and the
+    document-level pass flag (>= 3 retained lines — C4's sentence floor).
+    Line granularity distinguishes this from gopher_quality_flags, which is
+    doc-level: C4 REWRITES documents, Gopher accepts/rejects them.
+
+    Scale: pure per-row array work — synthesize (in production: split) the
+    lines, one list_filter with a scalar predicate, one md5 — zero shuffle,
+    zero Python, whole-stage codegen; runs inside the corpus scan. The
+    line plants are deterministic from (doc_id, line index) and identical
+    on both engines (see _SYNTH_LINES_SPARK)."""
+    lined = _lined_docs(spark, sf_dir)
+    kept = F.expr(
+        "filter(lines, l -> endswith(l, '.') AND size(split(l, ' ')) >= 5"
+        " AND NOT contains(l, 'lorem ipsum') AND NOT contains(l, '{'))"
+    )
+    return lined.select(
+        "doc_id",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.explode(F.array(kept)).alias("k"),
+    ).select(
+        "doc_id",
+        "n_lines",
+        F.size("k").cast("bigint").alias("n_kept"),
+        F.expr("substring(md5(encode(array_join(k, chr(10)), 'UTF-8')), 1, 8)").alias(
+            "kept_md5_8"
+        ),
+        (F.size("k") >= 3).alias("pass_c4"),
+    )
+
+
+_RUN_FOLD = (
+    # longest-run fold over a SORTED array: (best count, smallest gram among
+    # ties) — ascending scan + strict > keeps the first (minimal) gram,
+    # matching the oracle's ORDER BY c DESC, g ASC pick
+    "aggregate({arr},"
+    " named_struct('prev', cast(null as string), 'run', 0L,"
+    "              'bc', 0L, 'bg', cast(null as string)),"
+    " (acc, x) -> named_struct("
+    "   'prev', x,"
+    "   'run', IF(x = acc.prev, acc.run + 1L, 1L),"
+    "   'bc', IF(IF(x = acc.prev, acc.run + 1L, 1L) > acc.bc,"
+    "            IF(x = acc.prev, acc.run + 1L, 1L), acc.bc),"
+    "   'bg', IF(IF(x = acc.prev, acc.run + 1L, 1L) > acc.bc, x, acc.bg)),"
+    " acc -> named_struct('cnt', acc.bc, 'gram', acc.bg))"
+)
+
+_DUP_FOLD = (
+    # duplicate-mass fold over a SORTED array: dl = lines belonging to a
+    # value seen >= 2x (the 2nd occurrence retro-counts the 1st), dc = the
+    # same in characters — matches sum(c)/sum(c*len) FILTER (c >= 2)
+    "aggregate({arr},"
+    " named_struct('prev', cast(null as string), 'run', 0L, 'dl', 0L, 'dc', 0L),"
+    " (acc, x) -> named_struct("
+    "   'prev', x,"
+    "   'run', IF(x = acc.prev, acc.run + 1L, 1L),"
+    "   'dl', acc.dl + IF(x = acc.prev, IF(acc.run = 1L, 2L, 1L), 0L),"
+    "   'dc', acc.dc + IF(x = acc.prev,"
+    "         IF(acc.run = 1L, 2L * length(x), length(x)), 0L)),"
+    " acc -> named_struct('dl', acc.dl, 'dc', acc.dc))"
+)
+
+
+def _grams_expr(n: int) -> str:
+    """Spark: word n-grams from the toks attribute (empty when too short —
+    sequence(1, 0) would DESCEND, the dedup.py guard)."""
+    return (
+        f"IF(size(toks) >= {n},"
+        f" transform(sequence(1, size(toks) - {n - 1}),"
+        f"  i -> array_join(slice(toks, i, {n}), ' ')),"
+        f" array())"
+    )
+
+
+def _grams_sql(n: int) -> str:
+    return (
+        f"list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1),"
+        f" i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))"
+    )
+
+
+@register(
+    "gopher_repetition_suite",
+    f"""
+    WITH {_DUCK_LINED},
+    lx AS (SELECT doc_id, unnest(lines) AS line FROM lined),
+    lc AS (SELECT doc_id, line, count(*)::BIGINT AS c FROM lx GROUP BY 1, 2),
+    lm AS (
+      SELECT doc_id,
+             sum(c)::BIGINT AS n_lines,
+             coalesce(sum(c) FILTER (WHERE c >= 2), 0)::BIGINT AS dl,
+             sum(c * length(line))::BIGINT AS line_chars,
+             coalesce(sum(c * length(line)) FILTER (WHERE c >= 2), 0)::BIGINT AS dc
+      FROM lc GROUP BY 1
+    ),
+    g2 AS (SELECT doc_id, unnest({_grams_sql(2)}) AS g FROM lined),
+    g2c AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g2 GROUP BY 1, 2),
+    g2t AS (SELECT doc_id, c, g FROM (
+      SELECT doc_id, c, g,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+      FROM g2c) WHERE rn = 1),
+    g3 AS (SELECT doc_id, unnest({_grams_sql(3)}) AS g FROM lined),
+    g3c AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g3 GROUP BY 1, 2),
+    g3t AS (SELECT doc_id, c, g FROM (
+      SELECT doc_id, c, g,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+      FROM g3c) WHERE rn = 1)
+    SELECT d.doc_id, lm.n_lines,
+           round(lm.dl / lm.n_lines::DOUBLE, 4) AS dup_line_frac,
+           round(lm.dc / lm.line_chars::DOUBLE, 4) AS dup_line_char_frac,
+           round(coalesce(g2t.c * length(g2t.g), 0) / length(d.text)::DOUBLE, 4)
+             AS top2_char_frac,
+           round(coalesce(g3t.c * length(g3t.g), 0) / length(d.text)::DOUBLE, 4)
+             AS top3_char_frac
+    FROM documents d
+    JOIN lm ON d.doc_id = lm.doc_id
+    LEFT JOIN g2t ON d.doc_id = g2t.doc_id
+    LEFT JOIN g3t ON d.doc_id = g3t.doc_id
+    """,
+    ("text", "quality", "pipeline"),
+)
+def q_gopher_repetition_suite(spark, sf_dir):
+    """The Gopher repetition filter suite (Rae et al. 2021, §A1.1 — the
+    metrics Dolma/datatrove reimplement): per document, the duplicate-LINE
+    fraction (by lines and by characters) and the fraction of characters
+    taken by the single most frequent word 2-gram / 3-gram. Complements
+    repetition_score (longest equal-run of bigrams) and
+    gopher_quality_flags (doc-level lexical gates) — together they are the
+    full Gopher rule family.
+
+    Scale: the oracle's shape is an explode -> groupBy per LINE and per
+    n-gram — a corpus-sized shuffle per metric. This implementation instead
+    sorts each document's line/gram arrays IN ROW and extracts duplicate
+    mass and the modal gram with one aggregate() fold each: per-document
+    work, zero shuffles, whole-stage codegen, no Python — at 100 TB the
+    difference is four corpus-wide shuffles vs none. Modal-gram ties break
+    to the lexicographically smallest gram on BOTH engines (ascending fold
+    with strict >, ORDER BY c DESC, g ASC)."""
+    lined = _lined_docs(spark, sf_dir)
+    staged = lined.select(
+        "doc_id",
+        F.length("text").cast("double").alias("tc"),
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.expr("array_sort(lines)").alias("ls"),
+                    F.expr(f"array_sort({_grams_expr(2)})").alias("g2"),
+                    F.expr(f"array_sort({_grams_expr(3)})").alias("g3"),
+                )
+            )
+        ).alias("_s"),
+    ).select(
+        "doc_id",
+        "tc",
+        "n_lines",
+        F.col("_s.ls").alias("ls"),
+        F.col("_s.g2").alias("g2"),
+        F.col("_s.g3").alias("g3"),
+    )
+    dup = F.expr(_DUP_FOLD.format(arr="ls"))
+    t2 = F.expr(_RUN_FOLD.format(arr="g2"))
+    t3 = F.expr(_RUN_FOLD.format(arr="g3"))
+    lchars = F.expr("aggregate(ls, 0L, (a, x) -> a + length(x))")
+    return staged.select(
+        "doc_id",
+        "n_lines",
+        F.round(dup["dl"] / F.col("n_lines").cast("double"), 4).alias(
+            "dup_line_frac"
+        ),
+        F.round(dup["dc"] / lchars.cast("double"), 4).alias("dup_line_char_frac"),
+        F.round(
+            F.coalesce(t2["cnt"] * F.length(t2["gram"]), F.lit(0)) / F.col("tc"), 4
+        ).alias("top2_char_frac"),
+        F.round(
+            F.coalesce(t3["cnt"] * F.length(t3["gram"]), F.lit(0)) / F.col("tc"), 4
+        ).alias("top3_char_frac"),
+    )
+
+
 @register(
     "lm_perplexity_score",
     f"""

@@ -695,3 +695,15 @@ def test_epoch_manifest_single_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_line_filter_suite_is_scan_side(spark, sf_dir):
+    # C4 line filters and the Gopher repetition suite are per-row array
+    # work: no exchange (beyond the _spread round-robin), no Python, no
+    # join — at 100 TB they run inside the corpus scan. The oracle's shape
+    # (explode -> groupBy per line/gram) would be four corpus-wide shuffles.
+    for q in ("c4_line_filters", "gopher_repetition_suite"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "Exchange hashpartitioning" not in plan, q
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, q
+        assert "Join" not in plan, q

@@ -95,3 +95,40 @@ def test_fast_seeded_hash_range_and_independence(spark):
     a = out.orderBy("h0").collect()
     b = out.orderBy("h0").collect()
     assert a == b  # deterministic across evaluations
+
+
+def test_c4_line_filters_reject_reasons(spark):
+    # every planted pathology must actually reject lines at sf0.001:
+    # unterminated lines (no '.'), lorem plants, brace plants, short lines
+    from mini_flink_spark.queries import QUERIES
+
+    df = QUERIES["c4_line_filters"].fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert all(r.n_kept <= r.n_lines for r in rows)
+    assert any(r.n_kept < r.n_lines for r in rows)  # something was filtered
+    assert any(not r.pass_c4 for r in rows) or all(r.n_kept >= 3 for r in rows)
+
+
+def test_gopher_repetition_modal_gram_tiebreak(spark):
+    # two grams with the same max count -> the lexicographically smaller
+    # one must win on the Spark side (matches ORDER BY c DESC, g ASC)
+    from mini_flink_spark.queries_ext import _RUN_FOLD
+
+    df = spark.createDataFrame(
+        [(["b b", "a a", "b b", "a a", "c c"],)], "g2 array<string>"
+    ).select(F.expr("array_sort(g2)").alias("g2"))
+    top = df.select(F.expr(_RUN_FOLD.format(arr="g2")).alias("t")).first().t
+    assert top.cnt == 2 and top.gram == "a a"
+
+
+def test_gopher_dup_fold_counts_all_occurrences(spark):
+    # value seen c >= 2 times contributes ALL c occurrences (and c*len
+    # chars), matching sum(c) FILTER (c >= 2) on the oracle side
+    from mini_flink_spark.queries_ext import _DUP_FOLD
+
+    df = spark.createDataFrame(
+        [(["x", "y", "x", "x", "zz"],)], "ls array<string>"
+    ).select(F.expr("array_sort(ls)").alias("ls"))
+    d = df.select(F.expr(_DUP_FOLD.format(arr="ls")).alias("d")).first().d
+    assert d.dl == 3  # the three 'x' occurrences; y/zz are singletons
+    assert d.dc == 3  # 3 * len('x')
