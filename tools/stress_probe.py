@@ -1526,7 +1526,58 @@ def probe_round8_xxhash(spark):
     )
 
 
+def probe_round8_lines(spark):
+    """The line-filter family (c4_line_filters / gopher_repetition_suite) at
+    20× and 100×: both are per-row array folds, so the claim to verify is
+    exact linearity with ZERO hash-exchange bytes (the only exchange is the
+    round-robin spread; the oracle shape would shuffle the corpus per
+    metric). 500k docs ≈ 5M synthesized lines / ~30M grams."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from mini_flink_spark.queries import QUERIES
+
+    print("== round8_lines: C4 + Gopher-repetition scan scaling ==")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    for reps in (20, 100):
+        docs = (
+            base.select(
+                "*", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("rep")
+            )
+            .select(
+                (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail"), F.col("rep").cast("string"))
+                .alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            .localCheckpoint()  # isolate build cost from the measured scan
+        )
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix=f"lines{reps}x_")
+        # the queries read <sf_dir>/documents.parquet — materialize the
+        # replicated table under that exact layout
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        for q in ("c4_line_filters", "gopher_repetition_suite"):
+            before = _stage_metrics_total(spark)
+            t0 = _t.time()
+            out = QUERIES[q].fn(spark, d)
+            n = out.count()
+            wall = _t.time() - t0
+            after = _stage_metrics_total(spark)
+            delta = {k: after[k] - before[k] for k in after}
+            print(
+                f"  {reps}x {q}: rows={n} wall={wall:.1f}s "
+                f"hash_shuffle_write={delta['shuffle_write']/1e6:.1f}MB "
+                f"spill={delta['disk_spill']/1e6:.1f}MB"
+            )
+
+
 PROBES = {
+    "round8_lines": probe_round8_lines,
     "round8_pref_skew": probe_round8_pref_skew,
     "round8_manifest": probe_round8_manifest,
     "round8_xxhash": probe_round8_xxhash,
