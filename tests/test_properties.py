@@ -435,3 +435,54 @@ def test_simhash_banding_equals_bruteforce(spark, sigs, max_h):
                 a, b = min(ia, ib), max(ia, ib)
                 want.add((a, b, d))
     assert got == want
+
+
+LINES = st.lists(
+    st.sampled_from(["la", "lb", "lc", "a longer line.", "x {", "lorem ipsum y"]),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(ls=LINES)
+@PROP
+def test_dup_fold_equals_counter(spark, ls):
+    """gopher_repetition_suite's duplicate-mass fold must equal the Counter
+    definition: a value occurring c >= 2 times contributes c occurrences
+    and c*len(value) characters."""
+    from collections import Counter
+
+    import mini_flink_spark.queries  # noqa: F401 (registration order — import contract)
+    from mini_flink_spark.queries_ext import _DUP_FOLD
+
+    df = spark.createDataFrame([(ls,)], "ls array<string>").select(
+        F.expr("array_sort(ls)").alias("ls")
+    )
+    d = df.select(F.expr(_DUP_FOLD.format(arr="ls")).alias("d")).first().d
+    cnt = Counter(ls)
+    assert d.dl == sum(c for c in cnt.values() if c >= 2)
+    assert d.dc == sum(c * len(v) for v, c in cnt.items() if c >= 2)
+
+
+@given(gs=LINES)
+@PROP
+def test_run_fold_equals_modal_with_min_tiebreak(spark, gs):
+    """The modal-gram fold must pick (max count, lexicographically smallest
+    value among ties) — the exact contract the DuckDB oracle's
+    ORDER BY c DESC, g ASC expresses."""
+    from collections import Counter
+
+    import mini_flink_spark.queries  # noqa: F401 (registration order — import contract)
+    from mini_flink_spark.queries_ext import _RUN_FOLD
+
+    df = spark.createDataFrame([(gs,)], "gs array<string>").select(
+        F.expr("array_sort(gs)").alias("gs")
+    )
+    t = df.select(F.expr(_RUN_FOLD.format(arr="gs")).alias("t")).first().t
+    if not gs:
+        assert t.cnt == 0 and t.gram is None
+    else:
+        cnt = Counter(gs)
+        best = max(cnt.values())
+        assert t.cnt == best
+        assert t.gram == min(v for v, c in cnt.items() if c == best)

@@ -112,6 +112,7 @@ def test_c4_line_filters_reject_reasons(spark):
 def test_gopher_repetition_modal_gram_tiebreak(spark):
     # two grams with the same max count -> the lexicographically smaller
     # one must win on the Spark side (matches ORDER BY c DESC, g ASC)
+    import mini_flink_spark.queries  # noqa: F401 (registration order — import contract)
     from mini_flink_spark.queries_ext import _RUN_FOLD
 
     df = spark.createDataFrame(
@@ -124,6 +125,7 @@ def test_gopher_repetition_modal_gram_tiebreak(spark):
 def test_gopher_dup_fold_counts_all_occurrences(spark):
     # value seen c >= 2 times contributes ALL c occurrences (and c*len
     # chars), matching sum(c) FILTER (c >= 2) on the oracle side
+    import mini_flink_spark.queries  # noqa: F401 (registration order — import contract)
     from mini_flink_spark.queries_ext import _DUP_FOLD
 
     df = spark.createDataFrame(
