@@ -1576,7 +1576,60 @@ def probe_round8_lines(spark):
             )
 
 
+def probe_round8_sink(spark):
+    """The user-sink trade, quantified: the Python DataSource V2 JSONL sink
+    (row-at-a-time json.dumps per task — the addSink analogue) vs Spark's
+    native JVM json writer on the same 20× corpus (100k docs). The sink
+    docstring claims row-at-a-time is acceptable on the write boundary;
+    this records exactly what the claim costs, and the break-even guidance
+    (arbitrary per-record user code -> Python sink; plain serialization ->
+    native writer / foreachBatch around a JVM write)."""
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from mini_flink_spark.sources.python_sink import SINK_NAME, register_jsonl_sink
+
+    print("== round8_sink: Python V2 sink vs native json writer, 20x ==")
+    register_jsonl_sink(spark)
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    docs = (
+        base.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep")
+        )
+        .select(
+            (F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"),
+            "lang",
+            "source",
+            "text",
+        )
+        .localCheckpoint()
+    )
+    n = docs.count()
+    d = tempfile.mkdtemp(prefix="sink20x_")
+    t0 = _t.time()
+    docs.write.format(SINK_NAME).mode("overwrite").option(
+        "path", f"{d}/pysink"
+    ).save()
+    py_wall = _t.time() - t0
+    t0 = _t.time()
+    docs.write.mode("overwrite").json(f"{d}/native")
+    jvm_wall = _t.time() - t0
+    back = spark.read.schema("doc_id bigint, lang string, source string, text string")
+    n_py = back.json(f"{d}/pysink").count()
+    n_jvm = back.json(f"{d}/native").count()
+    assert n_py == n_jvm == n, (n, n_py, n_jvm)
+    print(
+        f"  rows={n}: python_v2_sink={py_wall:.1f}s "
+        f"({n/py_wall/1e3:.0f}k rows/s), native_json={jvm_wall:.1f}s "
+        f"({n/jvm_wall/1e3:.0f}k rows/s), ratio={py_wall/jvm_wall:.1f}x "
+        f"— roundtrip row counts identical"
+    )
+
+
 PROBES = {
+    "round8_sink": probe_round8_sink,
     "round8_lines": probe_round8_lines,
     "round8_pref_skew": probe_round8_pref_skew,
     "round8_manifest": probe_round8_manifest,
