@@ -234,6 +234,64 @@ def q_corpus_trigram_topk(spark, sf_dir):
     )
 
 
+def _md5_prefix_cumsum(df, val_col: str, strat_col: str = "lang", prefix_len: int = 2):
+    """EXACT distributed prefix sum over the (md5(doc_id), doc_id) total
+    order within each stratum — the classic two-phase scan, so no stratum
+    ever sorts in one task (the preference_pairs lesson, applied to the
+    cumsum family: token_budget_shards / packed_sequence_offsets walk EVERY
+    row of a stratum, so a top-k tournament cannot apply — but a prefix sum
+    decomposes).
+
+    Phase 1 slices each stratum by the md5 PREFIX (16^prefix_len ordered
+    slices; the slice key is a prefix of the order key, so slice-major order
+    IS the global (md5, doc_id) order) and runs the running sum within
+    (stratum, slice) — every sort task sees ~n/256 rows. Phase 2 computes
+    per-slice totals (a bounded 16^prefix_len × strata aggregate), turns
+    them into exclusive slice offsets with a window over the TINY totals
+    frame, and broadcasts the offsets back. cum = local running sum + slice
+    offset — bit-identical to the single-window result at every scale.
+
+    prefix_len=0 degrades to the naive single-window shape (the A/B
+    baseline tools/stress_probe.py round8_cumsum measures against).
+    Returns df's columns + `cum` (the inclusive running sum of val_col)."""
+    if prefix_len == 0:
+        w = (
+            Window.partitionBy(strat_col)
+            .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn("cum", F.sum(val_col).over(w))
+    sliced = df.withColumn("_h", F.md5(F.col("doc_id").cast("string"))).withColumn(
+        "_slc", F.substring("_h", 1, prefix_len)
+    )
+    w_local = (
+        Window.partitionBy(strat_col, "_slc")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sliced.withColumn("_lcum", F.sum(val_col).over(w_local))
+    # bounded: 16^prefix_len rows per stratum; the offsets window sorts a
+    # frame the size of the slice count, never the corpus. Both consumers
+    # of `sliced` shuffle on the same (stratum, slice) keys — ReuseExchange
+    # shares the one exchange where the planner allows it.
+    w_sl = (
+        Window.partitionBy(strat_col)
+        .orderBy("_slc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        sliced.groupBy(strat_col, "_slc")
+        .agg(F.sum(val_col).alias("_tot"))
+        .withColumn("_off", F.sum("_tot").over(w_sl) - F.col("_tot"))
+        .select(strat_col, "_slc", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), [strat_col, "_slc"])
+        .withColumn("cum", F.col("_lcum") + F.col("_off"))
+        .drop("_h", "_slc", "_lcum", "_off")
+    )
+
+
 @register(
     "token_budget_shards",
     """
@@ -256,27 +314,20 @@ def q_token_budget_shards(spark, sf_dir):
     `shard_id = floor(tokens_before_this_doc / budget)` is the
     window-function restatement of the sequential greedy packer.
 
-    Scale: one shuffle on the stratum key + per-stratum running sum — no
-    driver-side loop, no collect. Shard boundaries are reproducible for any
-    partitioning because the order key is data-derived, not arrival order.
+    Scale: the running sum is the two-phase distributed prefix scan
+    (`_md5_prefix_cumsum`) — slice-local sums + broadcast slice offsets, so
+    a 90%-hot language never sorts in one task (probed: round8_cumsum).
+    Shard boundaries are reproducible for any partitioning because the
+    order key is data-derived, not arrival order.
     """
     d = _t(spark, sf_dir, "documents")
     tok = (
         F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
     ).alias("tok")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        d.select("doc_id", "lang", tok)
-        .withColumn("cum", F.sum("tok").over(w))
-        .select(
-            "doc_id",
-            "lang",
-            F.floor((F.col("cum") - F.col("tok")) / 50000.0).alias("shard_id"),
-        )
+    return _md5_prefix_cumsum(d.select("doc_id", "lang", tok), "tok").select(
+        "doc_id",
+        "lang",
+        F.floor((F.col("cum") - F.col("tok")) / 50000.0).alias("shard_id"),
     )
 
 
@@ -806,16 +857,16 @@ def q_packed_sequence_offsets(spark, sf_dir):
     a per-stratum running sum (docs may straddle a boundary — the packed
     stream is contiguous, exactly like GPT-style pretraining corpora).
 
-    Scale: one shuffle on lang + a per-stratum window; the order key is
-    data-derived (md5), so packing is reproducible for any partitioning."""
+    Scale: the running sum is the two-phase distributed prefix scan
+    (`_md5_prefix_cumsum` — slice-local sums + broadcast slice offsets), so
+    a 90%-hot language never sorts in one task (probed: round8_cumsum); the
+    order key is data-derived (md5), so packing is reproducible for any
+    partitioning."""
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base = docs.select(
         "doc_id", "lang", T.token_count("text").cast("bigint").alias("n_tokens")
     )
-    cum = base.withColumn("cum", F.sum("n_tokens").over(w))
+    cum = _md5_prefix_cumsum(base, "n_tokens")
     off = F.col("cum") - F.col("n_tokens")
     return cum.select(
         "doc_id",

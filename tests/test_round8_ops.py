@@ -134,3 +134,30 @@ def test_gopher_dup_fold_counts_all_occurrences(spark):
     d = df.select(F.expr(_DUP_FOLD.format(arr="ls")).alias("d")).first().d
     assert d.dl == 3  # the three 'x' occurrences; y/zz are singletons
     assert d.dc == 3  # 3 * len('x')
+
+
+def test_md5_prefix_cumsum_equals_single_window(spark):
+    # the two-phase distributed prefix sum must be bit-identical to the
+    # naive single-window running sum — including md5-prefix slice
+    # boundaries and docs whose md5 shares a slice prefix
+    from mini_flink_spark.queries_pipeline import _md5_prefix_cumsum
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b", (i * 7) % 11 + 1) for i in range(500)],
+        "doc_id bigint, lang string, tok bigint",
+    )
+    naive = _md5_prefix_cumsum(df, "tok", prefix_len=0).select("doc_id", "cum")
+    two = _md5_prefix_cumsum(df, "tok", prefix_len=2).select("doc_id", "cum")
+    assert {(r.doc_id, r.cum) for r in naive.collect()} == {
+        (r.doc_id, r.cum) for r in two.collect()
+    }
+    # the per-stratum max cum must equal the stratum total (the last prefix)
+    tot = {r.lang: r.s for r in df.groupBy("lang").agg(F.sum("tok").alias("s")).collect()}
+    mx = {
+        r.lang: r.m
+        for r in _md5_prefix_cumsum(df, "tok")
+        .groupBy("lang")
+        .agg(F.max("cum").alias("m"))
+        .collect()
+    }
+    assert mx == tot

@@ -1628,7 +1628,61 @@ def probe_round8_sink(spark):
     )
 
 
+def probe_round8_cumsum(spark):
+    """The cumsum family under a 90%-hot stratum at 20× (100k docs):
+    single-window per-lang running sum (one task sorts the hot lang) vs the
+    two-phase md5-prefix scan (`_md5_prefix_cumsum`) — outputs must be
+    IDENTICAL; the win is the bounded sort shape, same as the
+    preference-pairs tournament."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from mini_flink_spark.queries_pipeline import _md5_prefix_cumsum
+
+    print("== round8_cumsum: per-stratum running sum, naive vs two-phase ==")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    docs = (
+        base.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep")
+        )
+        .select(
+            (F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"),
+            F.when(
+                F.pmod(F.xxhash64("doc_id", "rep"), F.lit(10)) < 9, F.lit("hotlang")
+            )
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+            (F.length("text") + F.col("rep")).cast("bigint").alias("tok"),
+        )
+        .localCheckpoint()
+    )
+    n = docs.count()
+    hot = docs.filter(F.col("lang") == "hotlang").count()
+    outs = {}
+    for label, plen in (("naive(1 window)", 0), ("two_phase(256 slices)", 2)):
+        before = _stage_metrics_total(spark)
+        t0 = _t.time()
+        out = _md5_prefix_cumsum(docs, "tok", prefix_len=plen)
+        chk = out.agg(
+            F.expr("bit_xor(cum)").alias("x"), F.sum("cum").alias("s")
+        ).first()
+        wall = _t.time() - t0
+        after = _stage_metrics_total(spark)
+        d = {k: after[k] - before[k] for k in after}
+        outs[label] = (chk.x, chk.s)
+        print(
+            f"  {label}: wall={wall:.1f}s checksum={chk.x} "
+            f"spill_mem={d['mem_spill']/1e6:.0f}MB disk={d['disk_spill']/1e6:.0f}MB"
+        )
+    assert outs["naive(1 window)"] == outs["two_phase(256 slices)"]
+    print(
+        f"  corpus={n} hot_stratum={hot} ({100*hot//n}%) — cum checksums identical"
+    )
+
+
 PROBES = {
+    "round8_cumsum": probe_round8_cumsum,
     "round8_sink": probe_round8_sink,
     "round8_lines": probe_round8_lines,
     "round8_pref_skew": probe_round8_pref_skew,
