@@ -785,6 +785,15 @@ def q_pivot(spark, sf_dir):
     ("relational", "window-fn"),
 )
 def q_topn_per_group(spark, sf_dir):
+    """Top-3 orders per priority. 5 priority values over the whole orders
+    table is the hot-group shape — but a bare `row_number() <= k` filter is
+    SAFE here on Spark 4: InferWindowGroupLimit plants a PARTIAL
+    WindowGroupLimit on the map side (each input split keeps its own top-k
+    per group before the exchange), so the post-shuffle sort sees <=
+    k x map_tasks rows per group, never the full stratum. Plan-pinned in
+    test_plans.test_stratified_ops_window_group_limit — a manual salted
+    tournament would double-pay for what Catalyst already does (round-8
+    finding, SCALE_NOTES)."""
     from pyspark.sql import Window
 
     o = _t(spark, sf_dir, "orders")

@@ -66,10 +66,14 @@ def q_stratified_sample(spark, sf_dir):
     runs — what a training-mix builder needs, unlike `sampleBy`'s
     Bernoulli draw which is seed- and partitioning-dependent).
 
-    Scale: one shuffle on the stratum key; the rank window cuts each
-    stratum to its quota before anything else happens downstream. For very
-    hot strata at 100 TB, pre-filter `substring(md5(doc_id),1,2) < 'xx'`
-    (see `sample_hash_deterministic`) to bound the per-stratum sort input.
+    Scale: a bare `row_number() <= 20` filter is already a distributed
+    tournament on Spark 4 — InferWindowGroupLimit plants a PARTIAL
+    WindowGroupLimit before the stratum exchange, so each input split
+    pre-cuts to its local top-20 per lang and the post-shuffle sort sees
+    <= 20 x map_tasks rows per stratum, never the whole language
+    (plan-pinned; round-8 finding, SCALE_NOTES — manual salting is only
+    needed when a second window function forces full partitions, as in
+    preference_pairs, or for prefix sums, as in _md5_prefix_cumsum).
     """
     d = _t(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy(

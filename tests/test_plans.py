@@ -197,13 +197,31 @@ def test_corpus_trigram_topk_partial_agg_and_take_ordered(spark, sf_dir):
     assert plan.count("Exchange") == 1
 
 
-def test_stratified_ops_single_stratum_shuffle(spark, sf_dir):
-    # sampling and sharding shuffle once on the stratum key; the window
-    # runs inside that single partitioning
-    for q in ("stratified_sample", "token_budget_shards"):
+def test_stratified_ops_window_group_limit(spark, sf_dir):
+    # round 8: top-k-per-stratum sampling must keep Spark 4's native
+    # tournament — a PARTIAL WindowGroupLimit on the map side (each input
+    # split pre-cuts to its local top-k per group BEFORE the stratum
+    # exchange) plus the Final one after it. If a refactor breaks the
+    # rank-filter pattern Catalyst recognizes, the Partial node disappears
+    # and a hot stratum sorts in one task again.
+    plan = plan_of(spark, sf_dir, "stratified_sample")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("Exchange hashpartitioning", 1)[1]
+    for q in ("topn_orders_per_priority",):
+        assert "WindowGroupLimit" in plan_of(spark, sf_dir, q), q
+
+
+def test_cumsum_ops_bounded_sorts(spark, sf_dir):
+    # round 8: the cumsum family (every row needs its prefix sum, so
+    # WindowGroupLimit cannot apply) uses the two-phase md5-prefix scan —
+    # the corpus-sized window partitions on (stratum, slice), bounding
+    # every sort task; only the tiny offsets frame windows on the bare
+    # stratum key. The offsets attach must be a broadcast, never an SMJ.
+    for q in ("token_budget_shards", "packed_sequence_offsets"):
         plan = plan_of(spark, sf_dir, q)
-        assert plan.count("Exchange") == 1, q
-        assert "Window" in plan, q
+        assert "_slc" in plan, q  # the slice key reached the physical plan
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, q
+        assert "BroadcastHashJoin" in plan, q
 
 
 def test_q17_single_fact_shuffle_window_decorrelation(spark, sf_dir):
