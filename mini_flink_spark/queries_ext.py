@@ -1689,17 +1689,20 @@ def q_curation_pipeline_v2(spark, sf_dir):
             F.size(F.split("clean_text", " ")).cast("bigint").alias("n_tok"),
         )
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(F.md5(F.col("keep_id").cast("string")), "keep_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return enr.select(
+    # two-phase distributed prefix scan (round 8): even over the deduped
+    # representative set, a 90%-hot language would sort in one task under a
+    # bare per-lang window — the slice-local cumsum + broadcast offsets
+    # shape is bit-identical and bounds every sort (queries_pipeline.
+    # _md5_prefix_cumsum; runtime import honors the registration order)
+    from mini_flink_spark.queries_pipeline import _md5_prefix_cumsum
+
+    cum = _md5_prefix_cumsum(enr, "n_tok", "lang", "keep_id")
+    return cum.select(
         "keep_id",
         "lang",
         "n_dups",
         "n_tok",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 20000.0)
+        F.floor((F.col("cum") - F.col("n_tok")) / 20000.0)
         .cast("bigint")
         .alias("shard_id"),
     )
@@ -1823,19 +1826,19 @@ def q_curation_pipeline_fineweb(spark, sf_dir):
             "n_dups",
         )
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(F.md5(F.col("keep_id").cast("string")), "keep_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return kept.select(
+    # two-phase distributed prefix scan — same rationale as in
+    # q_curation_pipeline_v2 above (round 8)
+    from mini_flink_spark.queries_pipeline import _md5_prefix_cumsum
+
+    cum = _md5_prefix_cumsum(kept, "n_tok", "lang", "keep_id")
+    return cum.select(
         "group_id",
         "keep_id",
         "lang",
         "quality",
         "n_tok",
         "n_dups",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 20000.0)
+        F.floor((F.col("cum") - F.col("n_tok")) / 20000.0)
         .cast("bigint")
         .alias("shard_id"),
     )

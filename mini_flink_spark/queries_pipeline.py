@@ -238,7 +238,13 @@ def q_corpus_trigram_topk(spark, sf_dir):
     )
 
 
-def _md5_prefix_cumsum(df, val_col: str, strat_col: str = "lang", prefix_len: int = 2):
+def _md5_prefix_cumsum(
+    df,
+    val_col: str,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    prefix_len: int = 2,
+):
     """EXACT distributed prefix sum over the (md5(doc_id), doc_id) total
     order within each stratum — the classic two-phase scan, so no stratum
     ever sorts in one task (the preference_pairs lesson, applied to the
@@ -261,16 +267,16 @@ def _md5_prefix_cumsum(df, val_col: str, strat_col: str = "lang", prefix_len: in
     if prefix_len == 0:
         w = (
             Window.partitionBy(strat_col)
-            .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         return df.withColumn("cum", F.sum(val_col).over(w))
-    sliced = df.withColumn("_h", F.md5(F.col("doc_id").cast("string"))).withColumn(
+    sliced = df.withColumn("_h", F.md5(F.col(id_col).cast("string"))).withColumn(
         "_slc", F.substring("_h", 1, prefix_len)
     )
     w_local = (
         Window.partitionBy(strat_col, "_slc")
-        .orderBy("_h", "doc_id")
+        .orderBy("_h", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = sliced.withColumn("_lcum", F.sum(val_col).over(w_local))
