@@ -279,19 +279,26 @@ def _md5_prefix_cumsum(
         .orderBy("_h", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = sliced.withColumn("_lcum", F.sum(val_col).over(w_local))
-    # bounded: 16^prefix_len rows per stratum; the offsets window sorts a
-    # frame the size of the slice count, never the corpus. Both consumers
-    # of `sliced` shuffle on the same (stratum, slice) keys — ReuseExchange
-    # shares the one exchange where the planner allows it.
+    # localCheckpoint(eager=False): the windowed frame has TWO consumers
+    # (the offsets aggregate and the final join) — without lineage
+    # truncation each would recompute the whole upstream plan, which for
+    # the curation pipelines means re-running gate+span-removal+dedup
+    # (measured: curation_pipeline_v2 4.4 s -> 6.3 s at sf0.1 before this
+    # line). Same pattern as preference_pairs' ranked frame.
+    local = sliced.withColumn(
+        "_lcum", F.sum(val_col).over(w_local)
+    ).localCheckpoint(eager=False)
+    # per-slice totals read off the inclusive cumsum's last value — the
+    # offsets window then sorts a frame the size of the slice count
+    # (16^prefix_len rows per stratum), never the corpus
     w_sl = (
         Window.partitionBy(strat_col)
         .orderBy("_slc")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets = (
-        sliced.groupBy(strat_col, "_slc")
-        .agg(F.sum(val_col).alias("_tot"))
+        local.groupBy(strat_col, "_slc")
+        .agg(F.max("_lcum").alias("_tot"))
         .withColumn("_off", F.sum("_tot").over(w_sl) - F.col("_tot"))
         .select(strat_col, "_slc", "_off")
     )
