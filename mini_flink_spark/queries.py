@@ -1140,14 +1140,32 @@ def q_running_total(spark, sf_dir):
 )
 def q_ntile_quartiles(spark, sf_dir):
     """ntile bucketing per partition key (quartile stats per priority).
-    Partitioned windows only — a global ntile would serialize through one
-    task at 100 TB; per-key windows shard across executors."""
-    from pyspark.sql import Window
+
+    Round 9: o_orderpriority has FIVE values, so the partitioned ntile
+    window was still a full-stratum sort (~20 TB per task at target scale)
+    — the same trap as a global window, just five-way. Replaced by the
+    range-sliced exact rank + closed-form tile arithmetic
+    (`_range_sliced_rank` / `_ntile_from_rank`, queries_pipeline.py):
+    bit-identical buckets, every sort task bounded to ~stratum/64 rows."""
+    from mini_flink_spark.queries_pipeline import (
+        _ntile_from_rank,
+        _range_sliced_rank,
+    )
 
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = _range_sliced_rank(
+        o.select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        F.col("o_totalprice"),
+        ["o_orderpriority"],
+        total_col="_n",
+    )
     return (
-        o.select("o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("bucket"))
+        ranked.select(
+            "o_orderpriority",
+            "o_totalprice",
+            _ntile_from_rank("rank", "_n", 4).alias("bucket"),
+        )
         .groupBy("o_orderpriority", "bucket")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -1160,12 +1178,14 @@ def q_ntile_quartiles(spark, sf_dir):
 # The driver grades exactly the first 50 queries in registration order, so the
 # exported dicts put a curated window first. Rotation policy (VERDICT r3 #3):
 # the 15 §2 reference-surface rows and 10 flagship LLM-pipeline anchors stay
-# pinned every round; the other 25 slots rotate each round to queries that
-# have NEVER had a driver verdict (r1∪…∪r7 graded 172 distinct names; this
-# round-8 window adds 25 more — cumulative 197 of 202 after the driver
-# grades, leaving 5 spilled names + any round-8 additions for round 9).
-# Everything else keeps registration order after the window — nothing is
-# removed, only reordered.
+# pinned every round; the other 25 slots rotate. Round 9 closes the
+# never-graded backlog (r1∪…∪r8 graded 197 distinct names; the 7 remaining
+# stragglers lead this window → cumulative 204/204 once graded), then
+# spends the rest on changed-shape regrades (the two-phase cumsum adopters
+# and every query rewritten onto the range-sliced exact rank this round),
+# the three round-9 additions, and an oldest-verdict refresh (last graded
+# r2). Everything else keeps registration order after the window — nothing
+# is removed, only reordered.
 GRADED_WINDOW: tuple[str, ...] = (
     # §2 reference surface — one row per operator (pinned forever)
     "map_project",
@@ -1195,48 +1215,46 @@ GRADED_WINDOW: tuple[str, ...] = (
     "gopher_quality_flags",
     "curation_pipeline_v2",
     "bpe_learn_merges",
-    # ---- round-8 rotation (VERDICT r7 #1/#2/#4) ----
-    # streaming_python_source first: the ONLY §2 reference-surface row
-    # (addSource, StreamSource.java:43) without a driver verdict after
-    # seven rounds — local-green since round 2.
-    "streaming_python_source",
-    # sink_roundtrip_jsonl (new r8): gives the addSink surface (§2.5,
-    # StreamSink.java:54-58) its first oracle-paired CORRECTNESS row
-    # (previously test-evidence only, VERDICT r7 #2).
-    "sink_roundtrip_jsonl",
-    # the four round-7 additions — no round-7 code ships two rounds
-    # unverified by the driver (VERDICT r7 #4)
-    "multimodal_phash_neardup",
-    "epoch_shard_manifest",
-    "compaction_small_files",
-    "preference_pairs",
-    # remaining never-graded backlog (r1∪…∪r7 set-diff), batch side
-    "bpe_encode_docs",
-    "cluster_label_purity",
-    "cluster_representatives",
-    "corpus_trigram_topk",
-    "dedup_spans_incremental",
-    "event_rate_anomaly",
-    "event_transition_matrix",
-    "item_cooccurrence_lift",
+    # ---- round-9 rotation (VERDICT r8 #1/#2/#7) ----
+    # the last 7 never-graded queries (r1∪…∪r8 set-diff) — after this
+    # round every registered query has a driver verdict at least once
+    "event_path_trigrams",
+    "ewma_hourly_rate",
+    "full_outer_nation_activity",
+    "incremental_revenue_agg",
+    "length_outliers_iqr",
+    "c4_line_filters",
+    "gopher_repetition_suite",
+    # changed-shape regrades: the round-8 two-phase cumsum adopters whose
+    # driver rows predate the surgery (VERDICT r8 #1), plus every query
+    # whose plan round 9 rewrote onto the range-sliced exact rank
+    # (bounded ntile / pure-Catalyst global rank — VERDICT r8 #2/#7 and
+    # the two additional full-stratum ntile windows the round-9 audit
+    # found: ntile_price_quartiles's 5-value priority strata and
+    # length_matched_sample's GLOBAL target-quartile window)
+    "token_budget_shards",
+    "packed_sequence_offsets",
+    "curation_pipeline_fineweb",
+    "ccnet_perplexity_buckets",
+    "curriculum_global_rank",
+    "ntile_price_quartiles",
     "length_matched_sample",
-    "mixture_weights_temperature",
-    "negative_samples",
-    "quality_filter_by_source",
-    "rerank_cross_encoder",
-    "weighted_sample_es",
-    # never-graded streaming drains (all structurally-converged)
-    "streaming_curation_gate_dedup",
-    "streaming_enrich_join",
-    "streaming_quality_filter",
-    "streaming_semantic_decontam",
-    "streaming_source_drift",
+    # round-9 additions (rank-family showcases — graded same round)
+    "length_quartiles_exact",
+    "event_value_percent_rank",
+    "median_tokens_by_lang",
+    # oldest-verdict refresh: all last graded in round 2 (set-diff of the
+    # CORRECTNESS_r* artifacts), window/agg families closest to this
+    # round's changed code
+    "running_total_per_customer",
+    "user_event_gaps",
+    "value_percentiles_by_type",
+    "pivot_user_event_counts",
+    "rollup_region_nation",
+    "grouping_sets_orders",
+    "cube_daily_events",
+    "sample_hash_deterministic",
 )
-# Spilled to round 9 (30 candidates, 25 slots — lowest-risk event/window
-# stragglers wait, per VERDICT r7 #4): event_path_trigrams, ewma_hourly_rate,
-# full_outer_nation_activity, incremental_revenue_agg, length_outliers_iqr —
-# plus the round-8 mid-round additions (c4_line_filters,
-# gopher_repetition_suite, ...), which join the round-9 rotation.
 
 
 def _ordered_names() -> list[str]:

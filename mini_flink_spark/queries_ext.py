@@ -1394,29 +1394,41 @@ def q_ccnet_perplexity_buckets(spark, sf_dir):
     """CCNet's head/middle/tail split (Wenzek et al. 2020): per language,
     documents are bucketed into perplexity tertiles under the corpus LM —
     'head' (most fluent) feeds the highest-quality training mix, 'tail' is
-    cut or down-weighted. Tertiles are assigned by ntile(3) over the exact
+    cut or down-weighted. Tertiles are assigned over the exact
     (avg_nll, doc_id) order — integer ranking, so bucket edges are
     reproducible across engines with no float-threshold compares.
 
-    Scale: the per-lang window is a global per-stratum sort; CCNet itself
-    computes cutoffs from a sample at corpus scale — swap the ntile for
-    percentile_approx thresholds + a broadcast join when langs are TB-sized.
+    Scale (round 9): this was the registry's last full-stratum window. An
+    exact ntile decomposes exactly like a prefix sum: range-slice each lang
+    on avg_nll via percentile_approx split points (boundaries need not be
+    balanced, only order-consistent, so approximate splits give EXACT
+    ranks), rank within (lang, slice), add broadcast per-slice offsets →
+    global rank, then the closed-form ntile size formula over (rank, n) —
+    a 1-row-per-lang broadcast. Bit-identical to
+    ntile(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id), with every
+    sort task seeing ~n/64 rows (`_range_sliced_rank`; oracle unchanged).
     """
-    from pyspark.sql import Window
+    from mini_flink_spark.queries_pipeline import (
+        _ntile_from_rank,
+        _range_sliced_rank,
+    )
 
     docs = _spread(_t(spark, sf_dir, "documents"))
     nll = _doc_avg_nll(docs)
-    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
-    n3 = F.ntile(3).over(w)
-    return (
-        docs.select("doc_id", "lang")
-        .join(nll, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "avg_nll",
-            F.when(n3 == 1, "head").when(n3 == 2, "middle").otherwise("tail").alias("bucket"),
-        )
+    joined = docs.select("doc_id", "lang").join(nll, "doc_id")
+    ranked = _range_sliced_rank(
+        joined,
+        [F.asc("avg_nll"), F.asc("doc_id")],
+        F.col("avg_nll"),
+        ["lang"],
+        total_col="_n",
+    )
+    t3 = _ntile_from_rank("rank", "_n", 3)
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "avg_nll",
+        F.when(t3 == 1, "head").when(t3 == 2, "middle").otherwise("tail").alias("bucket"),
     )
 
 

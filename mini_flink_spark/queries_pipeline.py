@@ -33,7 +33,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
 from mini_flink_spark.functions import bpe as B
 from mini_flink_spark.functions import clustering as C
@@ -43,9 +42,6 @@ from mini_flink_spark.functions import similarity as S
 from mini_flink_spark.functions import text as T
 from mini_flink_spark.queries import QUERIES, _t, register
 
-# one persisted sorted-corpus copy per session for curriculum_global_rank —
-# see the query body for the unpersist-on-reentry contract
-_CURRICULUM_CACHE: dict[int, object] = {}
 
 
 @register(
@@ -259,7 +255,9 @@ def _md5_prefix_cumsum(
     per-slice totals (a bounded 16^prefix_len × strata aggregate), turns
     them into exclusive slice offsets with a window over the TINY totals
     frame, and broadcasts the offsets back. cum = local running sum + slice
-    offset — bit-identical to the single-window result at every scale.
+    offset — bit-identical to the single-window result at every scale, for
+    val_col of ANY sign (slice totals are sum(val_col), not a running-sum
+    max, so negative deltas are handled exactly).
 
     prefix_len=0 degrades to the naive single-window shape (the A/B
     baseline tools/stress_probe.py round8_cumsum measures against).
@@ -288,9 +286,12 @@ def _md5_prefix_cumsum(
     local = sliced.withColumn(
         "_lcum", F.sum(val_col).over(w_local)
     ).localCheckpoint(eager=False)
-    # per-slice totals read off the inclusive cumsum's last value — the
-    # offsets window then sorts a frame the size of the slice count
-    # (16^prefix_len rows per stratum), never the corpus
+    # per-slice totals via sum(val_col) — NOT max(_lcum), which equals the
+    # slice's last running-sum value only when val_col is non-negative
+    # (ADVICE r8: a caller with negative deltas would get silently wrong
+    # offsets). Same cost: the agg runs over the identical checkpointed
+    # frame. The offsets window then sorts a frame the size of the slice
+    # count (16^prefix_len rows per stratum), never the corpus.
     w_sl = (
         Window.partitionBy(strat_col)
         .orderBy("_slc")
@@ -298,7 +299,7 @@ def _md5_prefix_cumsum(
     )
     offsets = (
         local.groupBy(strat_col, "_slc")
-        .agg(F.max("_lcum").alias("_tot"))
+        .agg(F.sum(val_col).alias("_tot"))
         .withColumn("_off", F.sum("_tot").over(w_sl) - F.col("_tot"))
         .select(strat_col, "_slc", "_off")
     )
@@ -306,6 +307,124 @@ def _md5_prefix_cumsum(
         local.join(F.broadcast(offsets), [strat_col, "_slc"])
         .withColumn("cum", F.col("_lcum") + F.col("_off"))
         .drop("_h", "_slc", "_lcum", "_off")
+    )
+
+
+def _range_sliced_rank(
+    df,
+    order_exprs,
+    slice_expr,
+    strat_cols=(),
+    n_slices: int = 64,
+    total_col: str = None,
+):
+    """EXACT per-stratum row_number() over a total order WITHOUT a
+    per-stratum global sort — the rank sibling of `_md5_prefix_cumsum`.
+    Ranks decompose exactly like prefix sums: slice each stratum into
+    order-consistent value ranges, rank locally within (stratum, slice),
+    then add broadcast exclusive offsets (per-slice row counts, prefix-
+    summed over the TINY slices frame). Every sort task sees ~n/n_slices
+    rows; the result is bit-identical to
+    ``row_number() OVER (PARTITION BY strat ORDER BY order_exprs)``.
+
+    `slice_expr` must be a non-null numeric Column that is monotone
+    NON-DECREASING along `order_exprs`' total order (for a descending
+    primary key, pass its negation). Slice boundaries come from
+    `percentile_approx` and need NOT be balanced — only order-consistent —
+    so approximate split points still yield EXACT ranks; skewed boundaries
+    cost balance, never correctness. Ties in slice_expr land in one slice
+    and are broken by the local rank's full ordering.
+
+    Returns df's columns + ``rank`` (1-based, dense within each stratum).
+    If `total_col` is given, also attaches the stratum's total row count
+    under that name — free (summed off the tiny per-slice counts frame,
+    broadcast with the offsets), and what ntile-style consumers need
+    without re-walking the ranked frame.
+    """
+    strat = list(strat_cols)
+    if n_slices < 2:
+        # degenerate single slice — the naive full-stratum window shape
+        # (the A/B baseline, mirroring _md5_prefix_cumsum's prefix_len=0)
+        w = Window.partitionBy(*strat).orderBy(*order_exprs)
+        out = df.withColumn("rank", F.row_number().over(w))
+        if total_col is not None:
+            wt = Window.partitionBy(*strat)
+            out = out.withColumn(total_col, F.count(F.lit(1)).over(wt))
+        return out
+    probs = [i / n_slices for i in range(1, n_slices)]
+    # ONE corpus-size materialization: base feeds the bounds aggregate AND
+    # the slice join — without truncation each would recompute the whole
+    # upstream plan (for ccnet that is the per-token log-prob explode).
+    # The rank window itself needs NO checkpoint: its frame has a single
+    # consumer because offsets come from pre-window slice COUNTS, not from
+    # the ranked frame (unlike _md5_prefix_cumsum, whose offsets need the
+    # windowed sums).
+    base = df.withColumn("_sv", slice_expr).localCheckpoint(eager=False)
+    if strat:
+        bounds = base.groupBy(*strat).agg(
+            F.percentile_approx("_sv", probs, 10_000).alias("_bnds")
+        )
+    else:
+        bounds = base.agg(F.percentile_approx("_sv", probs, 10_000).alias("_bnds"))
+    # bounds is strata-count tiny; checkpoint it so sliced's two consumers
+    # (offsets agg + rank window) don't each re-aggregate percentiles
+    bounds = bounds.localCheckpoint(eager=False)
+    joined = (
+        base.join(F.broadcast(bounds), strat)
+        if strat
+        else base.crossJoin(F.broadcast(bounds))
+    )
+    sliced = joined.withColumn(
+        "_slc", F.size(F.filter("_bnds", lambda b: b < F.col("_sv")))
+    ).drop("_bnds")
+    w_off = (
+        Window.partitionBy(*strat)
+        .orderBy("_slc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # exclusive offsets over the TINY (strata × n_slices) counts frame;
+    # checkpointed so the optional totals aggregate doesn't re-count
+    counts = (
+        sliced.groupBy(*strat, "_slc")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
+    )
+    offsets = counts.withColumn(
+        "_off", F.sum("_n").over(w_off) - F.col("_n")
+    ).select(*strat, "_slc", "_off")
+    w_loc = Window.partitionBy(*strat, "_slc").orderBy(*order_exprs)
+    local = sliced.withColumn("_lrank", F.row_number().over(w_loc))
+    out = (
+        local.join(F.broadcast(offsets), strat + ["_slc"])
+        .withColumn("rank", F.col("_lrank") + F.col("_off"))
+        .drop("_sv", "_slc", "_lrank", "_off")
+    )
+    if total_col is not None:
+        totals = counts.groupBy(*strat).agg(F.sum("_n").alias(total_col))
+        out = (
+            out.join(F.broadcast(totals), strat)
+            if strat
+            else out.crossJoin(F.broadcast(totals))
+        )
+    return out
+
+
+def _ntile_from_rank(rank: str, n: str, k: int):
+    """ntile(k) reproduced from (global rank, stratum row count) — the
+    closed-form tile assignment SQL engines use: the first ``n % k`` tiles
+    get ``n div k + 1`` rows, the rest ``n div k``. Bit-identical to
+    ``ntile(k) OVER (...)`` under the same ordering, so an exact bounded
+    rank (`_range_sliced_rank`) + a 1-row-per-stratum broadcast of n
+    replaces the full-stratum ntile window. Exact integer arithmetic
+    (SQL ``div``, no doubles); ``greatest(base, 1)`` keeps the dead branch
+    total when n < k (CaseWhen only evaluates the matched branch, but ANSI
+    mode rewards totality). `rank` and `n` are column names."""
+    b = f"({n} div {k})"
+    rem = f"({n} % {k})"
+    cut = f"({rem} * ({b} + 1))"
+    return F.expr(
+        f"CASE WHEN {rank} <= {cut} THEN ({rank} - 1) div ({b} + 1) + 1 "
+        f"ELSE {rem} + ({rank} - {cut} - 1) div greatest({b}, 1) + 1 END"
     )
 
 
@@ -1202,91 +1321,137 @@ def q_curriculum_global_rank(spark, sf_dir):
     """Total global ordering of the corpus (curriculum ordering: longest
     docs first, doc_id tiebreak) WITHOUT the single-partition window trap.
     A bare `row_number() OVER (ORDER BY ...)` drags the whole corpus into
-    one task; the scalable rendering is the classic two-pass rank:
+    one task; the scalable rendering is the range-sliced exact rank
+    (`_range_sliced_rank`): slice on -n_tokens via percentile_approx split
+    points (order-consistent even when unbalanced, so ranks are EXACT),
+    rank within each slice, add broadcast exclusive slice offsets. Pure
+    Catalyst — no persist, no driver-side offset collect, no mapInPandas
+    (round 9, replacing the partition-offset stamp: same answer, whole
+    plan stays in whole-stage codegen and survives AQE re-planning).
 
-      1. range-partition + sort on the full ordering key (Spark's
-         distributed sort — each partition holds a contiguous key range),
-      2. count rows per sorted partition (tiny: one long per partition),
-      3. broadcast the cumulative offsets; each partition stamps
-         rank = its offset + local row index via one Arrow pass.
-
-    Partition boundaries come from range sampling and are NOT deterministic
-    — but the stamped ranks are, because the ordering key (n_tokens desc,
-    doc_id) is total: offsets absorb whatever boundary the sampler picked.
-    At 100 TB this is the only rank that works; the single-task window is
-    the oracle's luxury."""
+    Ranks are deterministic because the ordering key (n_tokens desc,
+    doc_id) is total: offsets absorb whatever boundaries the percentile
+    sketch picked. At 100 TB this is the only rank that works; the
+    single-task window is the oracle's luxury."""
     docs = _t(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id", T.token_count("text").cast("bigint").alias("n_tokens")
     )
-    # persist() has no ContextCleaner path (unlike the localCheckpoint it
-    # replaced), so without cleanup every invocation would pin another
-    # sorted-corpus copy on executor disks for the session's lifetime.
-    # One-slot registry: entering the query unpersists the PREVIOUS call's
-    # cache (the caller of run N-1 has necessarily consumed its result by
-    # the time run N starts), bounding disk to one materialized copy.
-    # Key by applicationId, not id(spark): a stopped-and-GC'd session's id()
-    # can be reused by a NEW SparkSession, which would hand us a stale
-    # DataFrame bound to a dead SparkContext. Guard the unpersist too — the
-    # stale entry's context may already be stopped, and cleanup failure must
-    # not fail the query.
-    app_id = spark.sparkContext.applicationId
-    stale = _CURRICULUM_CACHE.pop(app_id, None)
-    if stale is not None:
-        try:
-            stale.unpersist(blocking=False)
-        except Exception:
-            pass
-    ranked = (
-        keyed.repartitionByRange(
-            keyed.sparkSession.sparkContext.defaultParallelism,
-            F.desc("n_tokens"),
-            F.asc("doc_id"),
-        )
-        .sortWithinPartitions(F.desc("n_tokens"), F.asc("doc_id"))
-        # materialize the sorted layout ONCE: the count pass and the stamp
-        # pass must see the identical partitioning (and the sort shouldn't
-        # run twice). persist(DISK_ONLY) — not localCheckpoint — so the
-        # materialization is spill-backed rather than heap-pinned: at corpus
-        # scale the sorted corpus does not fit executor memory, and DISK_ONLY
-        # is exactly the storage level the docstring's 100 TB note calls for.
-        # (Ranks stay deterministic either way: the ordering key is total, so
-        # offsets absorb whatever boundaries the range sampler picked.)
-        .persist(StorageLevel.DISK_ONLY)
+    return _range_sliced_rank(
+        keyed,
+        [F.desc("n_tokens"), F.asc("doc_id")],
+        -F.col("n_tokens"),
+    ).select("doc_id", "n_tokens", "rank")
+
+
+@register(
+    "length_quartiles_exact",
+    f"""
+    SELECT doc_id, lang, n_tokens,
+           ntile(4) OVER (PARTITION BY lang
+                          ORDER BY n_tokens, doc_id)::BIGINT AS quartile
+    FROM (
+      SELECT doc_id, lang, ({T.token_count_sql('text')})::BIGINT AS n_tokens
+      FROM documents
+    ) t
+    """,
+    ("pipeline", "ordering", "length"),
+)
+def q_length_quartiles_exact(spark, sf_dir):
+    """Per-language EXACT length quartiles (curriculum / length-balanced
+    mixing both key off them). ntile semantics, rendered scale-safe: the
+    range-sliced exact rank + closed-form tile arithmetic instead of a
+    full-stratum window sort (`_range_sliced_rank` + `_ntile_from_rank`) —
+    bit-identical to ntile(4) OVER (PARTITION BY lang ORDER BY n_tokens,
+    doc_id) with every sort task bounded to ~stratum/64 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "lang", T.token_count("text").cast("bigint").alias("n_tokens")
     )
-    _CURRICULUM_CACHE[app_id] = ranked
-    ranked.count()  # materialize before the two dependent passes
-
-    # pass 1: per-partition row counts (one long per partition)
-    sizes = (
-        ranked.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .count()
-        .collect()
+    ranked = _range_sliced_rank(
+        keyed,
+        [F.asc("n_tokens"), F.asc("doc_id")],
+        F.col("n_tokens"),
+        ["lang"],
+        total_col="_n",
     )
-    counts = {int(r.pid): int(r["count"]) for r in sizes}
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        _ntile_from_rank("rank", "_n", 4).alias("quartile"),
+    )
 
-    # pass 2: stamp rank = partition offset + local index (Arrow-batched,
-    # order-preserving within the sorted partition)
-    def _stamp(batches):
-        import pandas as pd
-        from pyspark import TaskContext
 
-        off = offsets.get(TaskContext.get().partitionId(), 0)
-        seen = 0
-        for pdf in batches:
-            n = len(pdf)
-            out = pdf.copy()
-            out["rank"] = range(off + seen + 1, off + seen + n + 1)
-            seen += n
-            yield out
+@register(
+    "event_value_percent_rank",
+    """
+    SELECT event_id, event_type,
+           round(percent_rank() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id), 6) AS pr
+    FROM events
+    """,
+    ("pipeline", "ordering", "events"),
+)
+def q_event_value_percent_rank(spark, sf_dir):
+    """Exact percent_rank of each event's value within its type — the
+    normalized score a reward-model or anomaly pipeline feeds downstream.
+    event_type has ~25 values, so a plain partitioned window is a
+    full-stratum single-task sort at corpus scale; percent_rank decomposes
+    as (rank - 1) / (n - 1) over the range-sliced exact rank + the
+    per-stratum total the helper broadcasts for free (greatest(n-1, 1)
+    guards the singleton stratum, where SQL defines percent_rank = 0)."""
+    ev = _t(spark, sf_dir, "events")
+    ranked = _range_sliced_rank(
+        ev.select("event_id", "event_type", "value"),
+        [F.asc("value"), F.asc("event_id")],
+        F.col("value"),
+        ["event_type"],
+        total_col="_n",
+    )
+    pr = (F.col("rank") - 1).cast("double") / F.greatest(
+        F.col("_n") - 1, F.lit(1)
+    ).cast("double")
+    return ranked.select(
+        "event_id", "event_type", F.round(pr, 6).alias("pr")
+    )
 
-    return ranked.mapInPandas(_stamp, "doc_id long, n_tokens long, rank long")
+
+@register(
+    "median_tokens_by_lang",
+    f"""
+    SELECT lang, round(median(({T.token_count_sql('text')})::BIGINT), 6)
+             AS med_tokens
+    FROM documents GROUP BY lang
+    """,
+    ("pipeline", "ordering", "length"),
+)
+def q_median_tokens_by_lang(spark, sf_dir):
+    """EXACT per-language median token count — no percentile_approx sketch,
+    no full-stratum sort. The range-sliced exact rank locates the middle
+    row(s) directly: with n rows the median is the mean of ranks
+    (n+1) div 2 and (n+2) div 2 (the same row when n is odd) — i.e.
+    percentile_cont(0.5) semantics, matching DuckDB's median(). An exact
+    distributed median via bounded sorts + one broadcast, where the usual
+    choices are a sketch (approximate) or a single-task stratum sort."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "lang", "doc_id", T.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    ranked = _range_sliced_rank(
+        keyed,
+        [F.asc("n_tokens"), F.asc("doc_id")],
+        F.col("n_tokens"),
+        ["lang"],
+        total_col="_n",
+    )
+    mid = ranked.filter(
+        (F.col("rank") == F.expr("(_n + 1) div 2"))
+        | (F.col("rank") == F.expr("(_n + 2) div 2"))
+    )
+    return mid.groupBy("lang").agg(
+        F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias("med_tokens")
+    )
 
 
 # Record-linkage hot-block cap: blocks above this size are dropped from
@@ -2707,14 +2872,19 @@ def q_length_matched_sample(spark, sf_dir):
     Scale: cut points + quotas are a 1-row/4-row broadcast from the target
     slice; the pool pass is bucket + per-bucket rank — one shuffle on the
     4-value bucket key (salt the rank if a bucket outgrows a task at
-    extreme scale, as stratified_sample documents)."""
+    extreme scale, as stratified_sample documents). Round 9: the target's
+    quartile assignment was the registry's one GLOBAL ntile (single-task
+    sort of the whole src0 slice); now the range-sliced exact rank +
+    closed-form tiles — bit-identical, bounded sorts."""
     from pyspark.sql.window import Window as W
 
     docs = _t(spark, sf_dir, "documents")
-    tgt = docs.where(F.col("source") == "src0").select(
-        "n_chars",
-        F.ntile(4).over(W.orderBy("n_chars", "doc_id")).alias("tile"),
-    )
+    tgt = _range_sliced_rank(
+        docs.where(F.col("source") == "src0").select("doc_id", "n_chars"),
+        [F.asc("n_chars"), F.asc("doc_id")],
+        F.col("n_chars"),
+        total_col="_n",
+    ).select("n_chars", _ntile_from_rank("rank", "_n", 4).alias("tile"))
     cuts = tgt.agg(
         F.max(F.when(F.col("tile") == 1, F.col("n_chars"))).alias("c1"),
         F.max(F.when(F.col("tile") == 2, F.col("n_chars"))).alias("c2"),

@@ -107,6 +107,13 @@ class JsonlDirSink(DataSource):
         # are removed so mode("overwrite") against a stable path is
         # idempotent — the same contract Spark's native file sinks give.
         # Only this sink's own artifacts are touched, never the directory.
+        # KNOWN WINDOW (shared with native Spark file-sink overwrite): the
+        # truncate happens at write-PLANNING time, so a job that fails after
+        # this point leaves the destination already emptied of the prior
+        # run's rows; readers between truncate and commit see an empty or
+        # partial dir. _SUCCESS absence is the incompleteness signal — a
+        # correct reader checks it. A stricter variant would sweep old files
+        # in commit() from the staged manifest instead.
         if overwrite:
             path = self.options.get("path")
             if path and os.path.isdir(path):

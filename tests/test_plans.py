@@ -206,6 +206,9 @@ def test_stratified_ops_window_group_limit(spark, sf_dir):
     # and a hot stratum sorts in one task again.
     plan = plan_of(spark, sf_dir, "stratified_sample")
     assert "WindowGroupLimit" in plan
+    # assert the exchange exists first so a missing node reads as an
+    # assertion failure, not an IndexError from the split (ADVICE r8)
+    assert "Exchange hashpartitioning" in plan
     assert "Partial" in plan.split("Exchange hashpartitioning", 1)[1]
     for q in ("topn_orders_per_priority",):
         assert "WindowGroupLimit" in plan_of(spark, sf_dir, q), q
@@ -222,6 +225,33 @@ def test_cumsum_ops_bounded_sorts(spark, sf_dir):
         assert "_slc" in plan, q  # the slice key reached the physical plan
         assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, q
         assert "BroadcastHashJoin" in plan, q
+
+
+def test_rank_ops_bounded_sorts(spark, sf_dir):
+    # round 9: the rank family (ccnet's ntile, curriculum's global
+    # row_number) uses the range-sliced exact rank — the corpus-sized
+    # window partitions on (stratum, slice); only the tiny per-slice
+    # counts frame windows on the bare stratum key. No full-stratum
+    # ntile window, no SMJ/cartesian, offsets/totals attach broadcast.
+    plan = plan_of(spark, sf_dir, "ccnet_perplexity_buckets")
+    assert "_slc" in plan
+    assert "ntile" not in plan  # the full-stratum window is gone
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the row_number window must include the slice key in its partition
+    assert "windowspecdefinition(lang" in plan and "_slc" in plan.split(
+        "windowspecdefinition(lang", 1
+    )[1][:80]
+
+    # curriculum_global_rank: pure Catalyst now — the round-8 DISK_ONLY
+    # persist + driver-collected partition offsets + mapInPandas stamp is
+    # replaced by the same range-sliced rank (global stratum)
+    plan = plan_of(spark, sf_dir, "curriculum_global_rank")
+    assert "_slc" in plan
+    assert "MapInPandas" not in plan
+    assert "InMemoryTableScan" not in plan  # no persist
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_q17_single_fact_shuffle_window_decorrelation(spark, sf_dir):

@@ -106,7 +106,12 @@ def test_c4_line_filters_reject_reasons(spark):
     rows = df.collect()
     assert all(r.n_kept <= r.n_lines for r in rows)
     assert any(r.n_kept < r.n_lines for r in rows)  # something was filtered
-    assert any(not r.pass_c4 for r in rows) or all(r.n_kept >= 3 for r in rows)
+    # concrete planted-pathology pin (ADVICE r8: the old disjunction was a
+    # tautology): the sf0.001 plants push 81/500 docs under the 3-kept-line
+    # C4 floor — assert the failure mode actually fires, with headroom.
+    n_fail = sum(1 for r in rows if not r.pass_c4)
+    assert n_fail >= 10
+    assert all(r.pass_c4 == (r.n_kept >= 3) for r in rows)
 
 
 def test_gopher_repetition_modal_gram_tiebreak(spark):
@@ -161,3 +166,28 @@ def test_md5_prefix_cumsum_equals_single_window(spark):
         .collect()
     }
     assert mx == tot
+
+
+def test_md5_prefix_cumsum_negative_values(spark):
+    # ADVICE r8: slice totals were max(_lcum), which is only the slice's
+    # last running-sum value for NON-NEGATIVE val_col — with negative
+    # deltas the max sits mid-slice and every later slice's offset is
+    # wrong. The fix (sum(val_col) per slice) must be bit-identical to the
+    # naive single window for an arbitrary-signed column.
+    from mini_flink_spark.queries_pipeline import _md5_prefix_cumsum
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b", ((i * 13) % 21) - 10) for i in range(400)],
+        "doc_id bigint, lang string, delta bigint",
+    )
+    naive = {
+        (r.doc_id, r.cum)
+        for r in _md5_prefix_cumsum(df, "delta", prefix_len=0).collect()
+    }
+    two = {
+        (r.doc_id, r.cum)
+        for r in _md5_prefix_cumsum(df, "delta", prefix_len=2).collect()
+    }
+    assert naive == two
+    # sanity: the planted deltas really do go negative mid-scan
+    assert any(c < 0 for _, c in naive)

@@ -1,0 +1,133 @@
+"""Round 9: the range-sliced exact rank family.
+
+`_range_sliced_rank` is the rank sibling of `_md5_prefix_cumsum`: ranks
+decompose exactly like prefix sums, so a per-stratum row_number (and from
+it, ntile) never needs a full-stratum sort. These tests pin bit-identity
+against the native window machinery, the closed-form ntile arithmetic
+(including the n < k degenerate tiles), and the boundary-insensitivity
+claim (approximate percentile split points still give EXACT ranks).
+"""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mini_flink_spark.queries_pipeline import _ntile_from_rank, _range_sliced_rank
+
+
+def _mkdf(spark, n=2000):
+    # ties in v on purpose: slice boundaries land ON tied values, and the
+    # doc_id tiebreak must resolve identically in both rank constructions
+    return spark.createDataFrame(
+        [(i, "a" if i % 3 else "b", float((i * 17) % 40) / 7.0) for i in range(n)],
+        "doc_id bigint, lang string, v double",
+    )
+
+
+def test_range_sliced_rank_matches_window_stratified(spark):
+    df = _mkdf(spark)
+    w = Window.partitionBy("lang").orderBy("v", "doc_id")
+    exp = {
+        (r.doc_id, r.rk)
+        for r in df.select("doc_id", F.row_number().over(w).alias("rk")).collect()
+    }
+    got = {
+        (r.doc_id, r["rank"])
+        for r in _range_sliced_rank(
+            df, [F.asc("v"), F.asc("doc_id")], F.col("v"), ["lang"], n_slices=16
+        ).collect()
+    }
+    assert exp == got
+
+
+def test_range_sliced_rank_matches_window_global_desc(spark):
+    # no stratum + descending primary: slice_expr is the negated key
+    df = _mkdf(spark)
+    w = Window.orderBy(F.desc("v"), F.asc("doc_id"))
+    exp = {
+        (r.doc_id, r.rk)
+        for r in df.select("doc_id", F.row_number().over(w).alias("rk")).collect()
+    }
+    got = {
+        (r.doc_id, r["rank"])
+        for r in _range_sliced_rank(
+            df, [F.desc("v"), F.asc("doc_id")], -F.col("v"), n_slices=16
+        ).collect()
+    }
+    assert exp == got
+
+
+def test_range_sliced_rank_exact_under_any_slice_count(spark):
+    # boundary-insensitivity: 1 slice, more slices than rows, and a prime
+    # count must all give the identical exact ranks (balance is a
+    # performance property, never a correctness one)
+    df = _mkdf(spark, n=300)
+    w = Window.partitionBy("lang").orderBy("v", "doc_id")
+    exp = {
+        (r.doc_id, r.rk)
+        for r in df.select("doc_id", F.row_number().over(w).alias("rk")).collect()
+    }
+    for ns in (1, 7, 512):
+        got = {
+            (r.doc_id, r["rank"])
+            for r in _range_sliced_rank(
+                df, [F.asc("v"), F.asc("doc_id")], F.col("v"), ["lang"], n_slices=ns
+            ).collect()
+        }
+        assert exp == got, ns
+
+
+def test_range_sliced_rank_total_col(spark):
+    df = _mkdf(spark, n=400)
+    out = _range_sliced_rank(
+        df, [F.asc("v"), F.asc("doc_id")], F.col("v"), ["lang"], total_col="_n"
+    )
+    per = {r.lang: (r.mx, r.n0) for r in out.groupBy("lang").agg(
+        F.max("rank").alias("mx"), F.min("_n").alias("n0")).collect()}
+    truth = {r.lang: r.c for r in df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    for lang, (mx, n0) in per.items():
+        assert mx == truth[lang] == n0
+
+
+@pytest.mark.parametrize("k", [2, 3, 4, 7])
+def test_ntile_from_rank_matches_native(spark, k):
+    df = _mkdf(spark, n=997)  # prime: exercises every remainder class
+    w = Window.partitionBy("lang").orderBy("v", "doc_id")
+    exp = {
+        (r.doc_id, r.t)
+        for r in df.select("doc_id", F.ntile(k).over(w).alias("t")).collect()
+    }
+    ranked = _range_sliced_rank(
+        df, [F.asc("v"), F.asc("doc_id")], F.col("v"), ["lang"], total_col="_n"
+    )
+    got = {
+        (r.doc_id, r.t)
+        for r in ranked.select(
+            "doc_id", _ntile_from_rank("rank", "_n", k).alias("t")
+        ).collect()
+    }
+    assert exp == got
+
+
+def test_ntile_from_rank_fewer_rows_than_tiles(spark):
+    # n < k: native ntile gives each row its own tile = rank; the closed
+    # form's base is 0 and the guarded else-branch must never fire
+    tiny = spark.createDataFrame(
+        [(1, "z", 0.5), (2, "z", 0.1)], "doc_id bigint, lang string, v double"
+    )
+    w = Window.partitionBy("lang").orderBy("v", "doc_id")
+    exp = {
+        (r.doc_id, r.t)
+        for r in tiny.select("doc_id", F.ntile(5).over(w).alias("t")).collect()
+    }
+    ranked = _range_sliced_rank(
+        tiny, [F.asc("v"), F.asc("doc_id")], F.col("v"), ["lang"], total_col="_n"
+    )
+    got = {
+        (r.doc_id, r.t)
+        for r in ranked.select(
+            "doc_id", _ntile_from_rank("rank", "_n", 5).alias("t")
+        ).collect()
+    }
+    assert exp == got
