@@ -1186,6 +1186,28 @@ def q_ntile_quartiles(spark, sf_dir):
 # the three round-9 additions, and an oldest-verdict refresh (last graded
 # r2). Everything else keeps registration order after the window — nothing
 # is removed, only reordered.
+# Round-9 rotation-policy amendment (VERDICT r8 #1 asks for exactly this):
+# the never-graded pool is now SMALLER than the 25 rotating slots, so two
+# further slot classes fill the window, in priority order after the
+# never-graded backlog:
+#   1. changed-shape regrades — queries whose PLAN was materially rewritten
+#      since their last green verdict (declared below with the round+reason
+#      so the policy test can audit them; an entry self-expires once the new
+#      shape has its own green driver row, i.e. remove it next rotation);
+#   2. oldest-verdict refresh — remaining slots re-certify rows whose latest
+#      verdict is the OLDEST on record, so driver evidence never goes stale.
+CHANGED_SHAPE_REGRADES: dict[str, str] = {
+    # round-8 surgery, driver rows predate it (VERDICT r8 #1)
+    "token_budget_shards": "r8: two-phase md5-prefix cumsum",
+    "packed_sequence_offsets": "r8: two-phase md5-prefix cumsum",
+    "curation_pipeline_fineweb": "r8: shard stage on _md5_prefix_cumsum",
+    # round-9 surgery: range-sliced exact rank family
+    "ccnet_perplexity_buckets": "r9: bounded exact ntile (VERDICT r8 #2)",
+    "curriculum_global_rank": "r9: pure-Catalyst rank (VERDICT r8 #7)",
+    "ntile_price_quartiles": "r9: bounded exact ntile (audit find)",
+    "length_matched_sample": "r9: bounded target quartiles (audit find)",
+}
+
 GRADED_WINDOW: tuple[str, ...] = (
     # §2 reference surface — one row per operator (pinned forever)
     "map_project",

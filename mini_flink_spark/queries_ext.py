@@ -2157,7 +2157,10 @@ def q_sink_roundtrip_jsonl(spark, sf_dir):
 
     100 TB notes: the sink is the object-store shape — task-local staging +
     idempotent publish means a retried or zombie task can never corrupt
-    published output; mode("overwrite") truncates driver-side before any
+    published output (round 9: batch publish names are deterministic
+    per-partition, so even an attempt that renamed before dying is
+    overwritten by its retry's identical row set; proven by the injected
+    mid-write-failure / zombie / abort tests in tests/test_python_sink.py); mode("overwrite") truncates driver-side before any
     task runs so re-runs against a stable path are idempotent. Row-at-a-time
     json.dumps is acceptable on the SINK boundary only because a sink is
     write-once-per-row by definition; the read-back uses Spark's native
@@ -3334,6 +3337,30 @@ def q_event_rate_anomaly(spark, sf_dir):
     )
 
 
+def transition_matrix_plan(ev):
+    """The event_transition_matrix plan on an arbitrary events frame
+    (factored out so tools/stress_probe.py can drive it on a planted
+    hot-user corpus — the round-9 skew probe)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("cur")
+    return counts.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+
 @register(
     "event_transition_matrix",
     """
@@ -3360,25 +3387,12 @@ def q_event_transition_matrix(spark, sf_dir):
     One per-user window (lead over ts with event_id tiebreak — deterministic
     total order), one count agg, and a per-current-type window over the
     25-row counts table for the row normalization. Exact integer counts +
-    one fixed-order double division keep probabilities engine-identical."""
-    from pyspark.sql import Window
+    one fixed-order double division keep probabilities engine-identical.
 
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        F.col("event_type").alias("cur"),
-        F.lead("event_type").over(w).alias("nxt"),
-    ).filter(F.col("nxt").isNotNull())
-    counts = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
-    wt = Window.partitionBy("cur")
-    return counts.select(
-        "cur",
-        "nxt",
-        "n",
-        F.round(
-            F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 6
-        ).alias("p"),
-    )
+    Skew: the per-user window serializes a single pathological user's
+    history through one task — probed at 20× with a 90%-hot user in
+    tools/stress_probe.py round9_events (SCALE_NOTES r9)."""
+    return transition_matrix_plan(_t(spark, sf_dir, "events"))
 
 
 @register(

@@ -1935,6 +1935,29 @@ def q_epoch_shard_manifest(spark, sf_dir):
     )
 
 
+def path_trigrams_plan(ev):
+    """The event_path_trigrams plan on an arbitrary events frame (factored
+    out so tools/stress_probe.py can drive it on a planted hot-user corpus
+    — the round-9 skew probe)."""
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("s")
+        )
+        .select(F.transform("s", lambda x: x["event_type"]).alias("toks"))
+    )
+    return (
+        seqs.select(F.explode(F.expr(_trigrams("toks"))).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("trigram"))
+        .limit(10)
+    )
+
+
+
 @register(
     "event_path_trigrams",
     """
@@ -1957,24 +1980,12 @@ def q_event_path_trigrams(spark, sf_dir):
 
     Scale: one shuffle on user_id (per-user sequences are
     interaction-bounded), 3-grams generated in-array, then the same
-    partial-agg + TakeOrdered(10) shape as corpus_trigram_topk."""
-    ev = _t(spark, sf_dir, "events")
-    seqs = (
-        ev.groupBy("user_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ).alias("s")
-        )
-        .select(F.transform("s", lambda x: x["event_type"]).alias("toks"))
-    )
-    return (
-        seqs.select(F.explode(F.expr(_trigrams("toks"))).alias("trigram"))
-        .groupBy("trigram")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .orderBy(F.col("n").desc(), F.col("trigram"))
-        .limit(10)
-    )
+    partial-agg + TakeOrdered(10) shape as corpus_trigram_topk. The
+    collect_list buffer is the skew exposure: a single pathological user's
+    whole history materializes in one aggregation buffer — probed at 20×
+    with a 90%-hot user in tools/stress_probe.py round9_events
+    (SCALE_NOTES r9)."""
+    return path_trigrams_plan(_t(spark, sf_dir, "events"))
 
 
 @register(

@@ -41,10 +41,18 @@ class _FileCommit(WriterCommitMessage):
     n_rows: int
 
 
-def _write_jsonl(path_dir: str, prefix: str, rows: Iterator[Row]) -> _FileCommit:
+def _write_jsonl(
+    path_dir: str, prefix: str, rows: Iterator[Row], basename: str = None
+) -> _FileCommit:
+    """Stage-then-rename publish. The STAGING name is always attempt-unique
+    (uuid) so concurrent speculative attempts never interleave writes; the
+    FINAL name is `basename` when given (deterministic publish: a retry or
+    zombie attempt renames the same row set onto the same path — atomic
+    last-writer-wins with identical content, i.e. idempotent), else a uuid
+    (callers that publish via a commit manifest instead)."""
     os.makedirs(path_dir, exist_ok=True)
-    final = os.path.join(path_dir, f"{prefix}-{uuid.uuid4().hex}.jsonl")
-    staged = final + ".staging"
+    final = os.path.join(path_dir, basename or f"{prefix}-{uuid.uuid4().hex}.jsonl")
+    staged = f"{final}.{uuid.uuid4().hex}.staging"
     n = 0
     with open(staged, "w") as f:
         for row in rows:
@@ -59,7 +67,19 @@ class _JsonlBatchWriter(DataSourceWriter):
         self.path = options.get("path")
 
     def write(self, iterator: Iterator[Row]) -> WriterCommitMessage:
-        return _write_jsonl(self.path, "part", iterator)
+        # Deterministic per-partition file name: a task retried after a
+        # mid-write failure republishes the SAME path (the failed attempt
+        # left only an ignored .staging), and a zombie attempt that already
+        # renamed simply gets overwritten by the retry's identical row set —
+        # so directory listings of *.jsonl are exactly-once without needing
+        # the commit manifest. This is the contract native file committers
+        # give via part-<partition> names; uuid names would leak a zombie's
+        # orphan file into readers.
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        return _write_jsonl(self.path, "part", iterator, basename=f"part-{pid:05d}.jsonl")
 
     def commit(self, messages: List[Optional[WriterCommitMessage]]) -> None:
         total = sum(m.n_rows for m in messages if m is not None)
@@ -118,7 +138,7 @@ class JsonlDirSink(DataSource):
             path = self.options.get("path")
             if path and os.path.isdir(path):
                 for name in os.listdir(path):
-                    if name.endswith((".jsonl", ".jsonl.staging")) or name.startswith(
+                    if name.endswith((".jsonl", ".staging")) or name.startswith(
                         ("_SUCCESS", "_COMMIT-")
                     ):
                         os.remove(os.path.join(path, name))

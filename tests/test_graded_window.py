@@ -4,8 +4,9 @@ must lead with the curated GRADED_WINDOW.
 
 Rotation policy (VERDICT r3 "Next round" #3): 25 slots are PINNED — the 15
 SURVEY §2 reference-surface rows plus 10 flagship LLM-pipeline anchors —
-and the other 25 slots ROTATE each round to queries that have never had a
-driver verdict, accumulating driver evidence across the full registry (197 queries as of round 6).
+and the other 25 slots ROTATE each round — to never-graded queries first,
+then declared changed-shape regrades, then an oldest-verdict refresh
+(round-9 amendment; 207 registered queries as of round 9).
 Every windowed query must carry a DuckDB oracle (a no-oracle row inside the
 window wastes a graded slot on a weaker rows-only check)."""
 
@@ -114,16 +115,44 @@ def test_window_covers_s2_and_flagship():
 
 
 def test_rotation_slots_are_never_graded():
-    """The 25 non-pinned slots must all be queries without a prior driver
-    verdict — that's the whole point of rotating."""
+    """The 25 non-pinned slots must be spent, in priority order, on
+    (a) queries without a prior driver verdict, (b) red/err rows awaiting a
+    fixed regrade, (c) declared changed-shape regrades (round-9 amendment:
+    VERDICT r8 #1 explicitly orders regrades of queries whose plan was
+    rewritten after their verdict — CHANGED_SHAPE_REGRADES in queries.py
+    names them with the round+reason), and (d) once the never-graded pool
+    runs dry, an oldest-verdict refresh — each refresh slot must re-certify
+    a row from the OLDEST artifact still on record, never a recent one."""
+    from mini_flink_spark.queries import CHANGED_SHAPE_REGRADES
+
     prior = _previously_graded()
     if not prior:  # artifacts absent (fresh clone) — nothing to check
         return
     rotation = [n for n in GRADED_WINDOW if n not in S2_ROWS | LLM_FLAGSHIP]
     assert len(rotation) == 25
-    regrade_ok = _regrade_allowed()
-    regraded = [n for n in rotation if n in prior and n not in regrade_ok]
-    assert not regraded, f"rotation slots wasted on already-graded: {regraded}"
+    regrade_ok = _regrade_allowed() | set(CHANGED_SHAPE_REGRADES)
+    refresh = [n for n in rotation if n in prior and n not in regrade_ok]
+    if refresh:
+        # refresh slots allowed only once never-graded names are exhausted
+        ungraded_outside = [
+            n for n in QUERIES if n not in prior and n not in GRADED_WINDOW
+        ]
+        assert not ungraded_outside, (
+            f"refresh slots used while never-graded queries wait: "
+            f"{ungraded_outside[:5]}"
+        )
+        # and each refresh row must come from the OLDEST verdicts on record
+        last_round: dict[str, int] = {}
+        for i, art in enumerate(_artifacts()):
+            for name in art:
+                last_round[name] = i
+        graded_green = [n for n in last_round if n not in regrade_ok]
+        oldest = min(last_round[n] for n in graded_green)
+        stale = [n for n in refresh if last_round[n] != oldest]
+        assert not stale, (
+            f"refresh slots must re-certify the oldest verdicts "
+            f"(round-index {oldest}); these are newer: {stale}"
+        )
 
 
 def test_window_queries_all_registered_with_oracles():

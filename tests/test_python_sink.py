@@ -69,3 +69,75 @@ def test_batch_sink_overwrite_truncates_prior_run(spark, tmp_path):
     assert sorted(r["id"] for r in rows) == list(range(50))
     assert json.load(open(os.path.join(out, "_SUCCESS")))["rows"] == 50
     assert not [n for n in os.listdir(out) if n.endswith(".staging")]
+
+
+# --- abort/retry semantics (VERDICT r8 #6): the docstring's strongest claim
+# ("a retried or zombie task can never corrupt published output") exercised
+# directly against the writer machinery. These drive _JsonlBatchWriter
+# outside a task (TaskContext absent -> partition 0), which is exactly the
+# file-contract surface: Spark's scheduler guarantees only successful
+# attempts' messages reach commit(); everything below that line is ours.
+
+
+def _row_iter(n, fail_at=None):
+    from pyspark.sql import Row
+
+    for i in range(n):
+        if fail_at is not None and i == fail_at:
+            raise RuntimeError("injected task death mid-write")
+        yield Row(id=i, v=i * 2)
+
+
+def test_midwrite_failure_never_publishes_then_retry_is_exactly_once(tmp_path):
+    from mini_flink_spark.sources.python_sink import _JsonlBatchWriter
+
+    out = str(tmp_path / "retry_out")
+    w = _JsonlBatchWriter({"path": out})
+    # attempt 0 dies mid-iteration: only an attempt-unique .staging may
+    # remain; nothing is published, so readers never see partial rows
+    try:
+        w.write(_row_iter(100, fail_at=40))
+        raise AssertionError("injected failure did not propagate")
+    except RuntimeError:
+        pass
+    assert not [n for n in os.listdir(out) if n.endswith(".jsonl")]
+    leftovers = [n for n in os.listdir(out) if n.endswith(".staging")]
+    assert leftovers, "failed attempt should leave its staging file only"
+    # attempt 1 (the retry) processes the same partition to completion
+    msg = w.write(_row_iter(100))
+    w.commit([msg])
+    rows = _read_jsonl_dir(out)
+    assert sorted(r["id"] for r in rows) == list(range(100))
+    assert len([n for n in os.listdir(out) if n.endswith(".jsonl")]) == 1
+    assert json.load(open(os.path.join(out, "_SUCCESS")))["rows"] == 100
+
+
+def test_zombie_attempt_publish_is_idempotent(tmp_path):
+    # a zombie: attempt 0 runs write() to completion (its rename landed)
+    # but the scheduler discards its commit message; the retry publishes
+    # the same row set onto the SAME deterministic part name — atomic
+    # last-writer-wins, so the directory still reads exactly-once
+    from mini_flink_spark.sources.python_sink import _JsonlBatchWriter
+
+    out = str(tmp_path / "zombie_out")
+    w = _JsonlBatchWriter({"path": out})
+    zombie_msg = w.write(_row_iter(77))  # message dropped on the floor
+    retry_msg = w.write(_row_iter(77))
+    assert zombie_msg.path == retry_msg.path  # deterministic publish path
+    w.commit([retry_msg])
+    rows = _read_jsonl_dir(out)
+    assert sorted(r["id"] for r in rows) == list(range(77))
+    assert len([n for n in os.listdir(out) if n.endswith(".jsonl")]) == 1
+    assert json.load(open(os.path.join(out, "_SUCCESS")))["rows"] == 77
+
+
+def test_job_abort_removes_published_files(tmp_path):
+    from mini_flink_spark.sources.python_sink import _JsonlBatchWriter
+
+    out = str(tmp_path / "abort_out")
+    w = _JsonlBatchWriter({"path": out})
+    msg = w.write(_row_iter(10))
+    assert os.path.exists(msg.path)
+    w.abort([msg, None])  # None: a task that never produced a message
+    assert not os.path.exists(msg.path)
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))

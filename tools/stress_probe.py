@@ -1681,7 +1681,125 @@ def probe_round8_cumsum(spark):
     )
 
 
+def _hot_user_events(spark, replicas=20, hot_frac=9, sf_dir="/root/testdata/sf0.1"):
+    """`replicas`× the sf0.1 events table with a planted hot USER: hot_frac/10
+    of all rows collapse onto user_id=0 (one pathological account — a bot or
+    an ingestion artifact), the rest shift into disjoint per-replica id
+    blocks. ts jitters by rep so the hot history is a real ordered sequence,
+    not one repeated instant. Built distributively."""
+    base = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        base.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
+        )
+        .select(
+            (F.col("event_id") * replicas + F.col("rep")).alias("event_id"),
+            (F.col("ts") + F.make_interval(secs=F.col("rep"))).alias("ts"),
+            F.when(
+                F.pmod(F.xxhash64("event_id", "rep"), F.lit(10)) < F.lit(hot_frac),
+                F.lit(0),
+            )
+            .otherwise(F.col("user_id") + F.col("rep") * 1_000_000)
+            .cast("long")
+            .alias("user_id"),
+            "event_type",
+            "value",
+        )
+    )
+
+
+def probe_round9_events(spark):
+    """event_transition_matrix / event_path_trigrams under a single 90%-hot
+    user at 20× (2M events, ~1.8M on user_id=0; VERDICT r8 #8). Two distinct
+    exposures: the transition matrix's per-user LEAD window sorts the hot
+    history in one task (CPU-bound single sort, small rows); the path
+    trigrams' collect_list materializes the hot history in ONE aggregation
+    buffer (~1.8M structs — the classic hot-key OOM shape at corpus scale).
+    The probe measures both against the same corpus with a uniform-user
+    control, so the delta attributes to skew alone."""
+    import time as _t
+
+    from mini_flink_spark.queries_ext import transition_matrix_plan
+    from mini_flink_spark.queries_pipeline import path_trigrams_plan
+
+    print("== round9_events: per-user sequence ops, 20x events, 90% one user ==")
+    for label, hot in (("uniform(control)", 0), ("hot_user(90%)", 9)):
+        ev = _hot_user_events(spark, replicas=20, hot_frac=hot).localCheckpoint()
+        n = ev.count()
+        nhot = ev.filter(F.col("user_id") == 0).count()
+        for op, plan in (
+            ("transition_matrix", transition_matrix_plan),
+            ("path_trigrams", path_trigrams_plan),
+        ):
+            before = _stage_metrics_total(spark)
+            t0 = _t.time()
+            out = plan(ev).collect()
+            wall = _t.time() - t0
+            after = _stage_metrics_total(spark)
+            d = {k: after[k] - before[k] for k in after}
+            print(
+                f"  {label} {op}: wall={wall:.1f}s rows={len(out)} "
+                f"shuffle_read={d['shuffle_read']/1e6:.1f}MB "
+                f"spill_mem={d['mem_spill']/1e6:.0f}MB "
+                f"disk={d['disk_spill']/1e6:.0f}MB "
+                f"(corpus={n}, hot_user_rows={nhot})"
+            )
+        ev.unpersist()
+
+
+def probe_round9_rank(spark):
+    """The range-sliced exact rank vs the naive full-stratum window at 20×
+    with a 90%-hot stratum (the ccnet/ntile shape; VERDICT r8 #2). Both
+    must agree bit-exactly (xor/sum checksums over rank); the two-phase
+    shape bounds every sort task to ~stratum/64 rows."""
+    import time as _t
+
+    from mini_flink_spark.queries_pipeline import _range_sliced_rank
+
+    print("== round9_rank: per-stratum exact rank, naive vs range-sliced ==")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    docs = (
+        base.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep")
+        )
+        .select(
+            (F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"),
+            F.when(
+                F.pmod(F.xxhash64("doc_id", "rep"), F.lit(10)) < 9, F.lit("hotlang")
+            )
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+            (F.length("text") + F.col("rep")).cast("double").alias("v"),
+        )
+        .localCheckpoint()
+    )
+    n = docs.count()
+    hot = docs.filter(F.col("lang") == "hotlang").count()
+    outs = {}
+    for label, ns in (("naive(1 window)", 1), ("range_sliced(64)", 64)):
+        before = _stage_metrics_total(spark)
+        t0 = _t.time()
+        ranked = _range_sliced_rank(
+            docs, [F.asc("v"), F.asc("doc_id")], F.col("v"), ["lang"], n_slices=ns
+        )
+        chk = ranked.agg(
+            F.expr("bit_xor(rank * doc_id)").alias("x"), F.sum("rank").alias("s")
+        ).first()
+        wall = _t.time() - t0
+        after = _stage_metrics_total(spark)
+        d = {k: after[k] - before[k] for k in after}
+        outs[label] = (chk.x, chk.s)
+        print(
+            f"  {label}: wall={wall:.1f}s checksum={chk.x} "
+            f"spill_mem={d['mem_spill']/1e6:.0f}MB disk={d['disk_spill']/1e6:.0f}MB"
+        )
+    assert outs["naive(1 window)"] == outs["range_sliced(64)"]
+    print(f"  corpus={n} hot_stratum={hot} ({100*hot//n}%) — rank checksums identical")
+
+
 PROBES = {
+    "round9_events": probe_round9_events,
+    "round9_rank": probe_round9_rank,
     "round8_cumsum": probe_round8_cumsum,
     "round8_sink": probe_round8_sink,
     "round8_lines": probe_round8_lines,
