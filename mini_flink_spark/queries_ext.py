@@ -3337,17 +3337,75 @@ def q_event_rate_anomaly(spark, sf_dir):
     )
 
 
-def transition_matrix_plan(ev):
-    """The event_transition_matrix plan on an arbitrary events frame
-    (factored out so tools/stress_probe.py can drive it on a planted
-    hot-user corpus — the round-9 skew probe)."""
+def transition_matrix_plan(ev, slices: int | None = 64):
+    """The event_transition_matrix plan on an arbitrary events frame.
+
+    slices=S (the default, the 100 TB shape): consecutive per-user pairs
+    WITHOUT a full per-user window sort. Slice the time axis into S uniform
+    ranges over the global [min ts, max ts] (a 1-row broadcast;
+    width_bucket is monotone in ts, so boundaries are order-consistent and
+    the pair multiset stays exact; uniform-vs-quantile boundaries only
+    affect balance, and event time is near-uniform by construction) —
+    every user's history is cut at the same instants, so per-user order =
+    slice-major order. Pairs then come from (a) a lead window within (user, slice) —
+    sort tasks see ~n/S rows even when ONE user owns the corpus — and
+    (b) one boundary pair per adjacent non-empty (user, slice), stitched
+    with a lead over the tiny per-(user, slice) first/last frame (≤ S rows
+    per user). Bit-identical to the naive plan's pair multiset.
+
+    slices=None keeps the naive per-user lead window (the A/B baseline the
+    round-9 hot-user probe measures against; a planted 90%-hot user puts
+    its whole history through one sort task there)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        F.col("event_type").alias("cur"),
-        F.lead("event_type").over(w).alias("nxt"),
-    ).filter(F.col("nxt").isNotNull())
+    if slices is None:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        ).filter(F.col("nxt").isNotNull())
+    else:
+        bounds = ev.agg(
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).cast("double").alias("_lo"),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).cast("double").alias("_hi"),
+        ).localCheckpoint(eager=False)
+        sliced = (
+            ev.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "_slc",
+                F.when(
+                    F.col("_hi") > F.col("_lo"),
+                    F.expr(
+                        f"width_bucket(cast(unix_micros(cast(ts as timestamp)) as double),"
+                        f" _lo, _hi, {int(slices)})"
+                    ),
+                ).otherwise(F.lit(1)),
+            )
+            .drop("_lo", "_hi")
+            # two consumers (within-slice pairs + boundary frame): truncate
+            # lineage so the slice assignment computes once
+            .localCheckpoint(eager=False)
+        )
+        w_in = Window.partitionBy("user_id", "_slc").orderBy("ts", "event_id")
+        within = sliced.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w_in).alias("nxt"),
+        ).filter(F.col("nxt").isNotNull())
+        # one boundary pair per adjacent non-empty (user, slice): the tiny
+        # per-slice first/last frame (≤ slices rows per user)
+        edge = F.struct("ts", "event_id")
+        ends = sliced.groupBy("user_id", "_slc").agg(
+            F.min_by("event_type", edge).alias("first_type"),
+            F.max_by("event_type", edge).alias("last_type"),
+        )
+        w_b = Window.partitionBy("user_id").orderBy("_slc")
+        boundary = (
+            ends.select(
+                F.col("last_type").alias("cur"),
+                F.lead("first_type").over(w_b).alias("nxt"),
+            )
+        ).filter(F.col("nxt").isNotNull())
+        seq = within.unionAll(boundary)
     counts = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
     wt = Window.partitionBy("cur")
     return counts.select(

@@ -315,7 +315,7 @@ def _range_sliced_rank(
     order_exprs,
     slice_expr,
     strat_cols=(),
-    n_slices: int = 64,
+    n_slices: int = 256,
     total_col: str = None,
 ):
     """EXACT per-stratum row_number() over a total order WITHOUT a
@@ -329,11 +329,21 @@ def _range_sliced_rank(
 
     `slice_expr` must be a non-null numeric Column that is monotone
     NON-DECREASING along `order_exprs`' total order (for a descending
-    primary key, pass its negation). Slice boundaries come from
-    `percentile_approx` and need NOT be balanced — only order-consistent —
-    so approximate split points still yield EXACT ranks; skewed boundaries
-    cost balance, never correctness. Ties in slice_expr land in one slice
-    and are broken by the local rank's full ordering.
+    primary key, pass its negation). Slices are `width_bucket` uniform
+    value ranges over the per-stratum [min, max] — boundaries need NOT be
+    balanced, only ORDER-CONSISTENT, so any monotone bucketing yields
+    EXACT ranks; skew in the value distribution costs balance, never
+    correctness, and since the per-row cost is O(1) regardless of slice
+    count (plain codegen arithmetic), n_slices defaults high. (Round-9
+    profiling: the first cut used percentile_approx boundaries + a
+    size(filter(...)) lookup — the interpreted higher-order function cost
+    12 s per 5M rows, 2× the naive window it replaced; width_bucket is
+    ~free and the sliced sort then wins outright.) Ties in slice_expr land
+    in one slice and are broken by the local rank's full ordering — a
+    stratum whose values are ALL equal degrades to one slice (no
+    value-range boundary can split ties; if that's your shape, slice by a
+    hash prefix of the tiebreak column instead, as _md5_prefix_cumsum
+    does).
 
     Returns df's columns + ``rank`` (1-based, dense within each stratum).
     If `total_col` is given, also attaches the stratum's total row count
@@ -351,32 +361,39 @@ def _range_sliced_rank(
             wt = Window.partitionBy(*strat)
             out = out.withColumn(total_col, F.count(F.lit(1)).over(wt))
         return out
-    probs = [i / n_slices for i in range(1, n_slices)]
-    # ONE corpus-size materialization: base feeds the bounds aggregate AND
+    # ONE corpus-size materialization: base feeds the min/max aggregate AND
     # the slice join — without truncation each would recompute the whole
     # upstream plan (for ccnet that is the per-token log-prob explode).
     # The rank window itself needs NO checkpoint: its frame has a single
     # consumer because offsets come from pre-window slice COUNTS, not from
     # the ranked frame (unlike _md5_prefix_cumsum, whose offsets need the
     # windowed sums).
-    base = df.withColumn("_sv", slice_expr).localCheckpoint(eager=False)
+    base = df.withColumn("_sv", slice_expr.cast("double")).localCheckpoint(
+        eager=False
+    )
     if strat:
         bounds = base.groupBy(*strat).agg(
-            F.percentile_approx("_sv", probs, 10_000).alias("_bnds")
+            F.min("_sv").alias("_lo"), F.max("_sv").alias("_hi")
         )
     else:
-        bounds = base.agg(F.percentile_approx("_sv", probs, 10_000).alias("_bnds"))
+        bounds = base.agg(F.min("_sv").alias("_lo"), F.max("_sv").alias("_hi"))
     # bounds is strata-count tiny; checkpoint it so sliced's two consumers
-    # (offsets agg + rank window) don't each re-aggregate percentiles
+    # (offsets agg + rank window) don't each re-aggregate min/max
     bounds = bounds.localCheckpoint(eager=False)
     joined = (
         base.join(F.broadcast(bounds), strat)
         if strat
         else base.crossJoin(F.broadcast(bounds))
     )
+    # width_bucket is monotone in _sv → order-consistent; the _hi == _lo
+    # guard covers the constant stratum (one slice, and ANSI-safe)
     sliced = joined.withColumn(
-        "_slc", F.size(F.filter("_bnds", lambda b: b < F.col("_sv")))
-    ).drop("_bnds")
+        "_slc",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.expr(f"width_bucket(_sv, _lo, _hi, {int(n_slices)})"),
+        ).otherwise(F.lit(1)),
+    ).drop("_lo", "_hi")
     w_off = (
         Window.partitionBy(*strat)
         .orderBy("_slc")
@@ -1935,22 +1952,105 @@ def q_epoch_shard_manifest(spark, sf_dir):
     )
 
 
-def path_trigrams_plan(ev):
-    """The event_path_trigrams plan on an arbitrary events frame (factored
-    out so tools/stress_probe.py can drive it on a planted hot-user corpus
-    — the round-9 skew probe)."""
-    seqs = (
-        ev.groupBy("user_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ).alias("s")
+def path_trigrams_plan(ev, slices: int | None = 64):
+    """The event_path_trigrams plan on an arbitrary events frame.
+
+    slices=S (the default, the 100 TB shape): per-user sliding 3-grams
+    WITHOUT materializing any user's whole history in one aggregation
+    buffer (the naive collect_list is the classic hot-key OOM: a bot
+    account's 10^9 events become one array). Exact decomposition:
+
+      1. slice the time axis into S uniform ranges over the global
+         [min ts, max ts] (1-row broadcast; width_bucket is monotone in
+         ts, so boundaries are order-consistent and positions stay exact),
+      2. per-user POSITION = row_number within (user, slice) + per-(user,
+         slice) exclusive offsets — the offsets frame is ≤ S rows per user
+         and joins back on (user, slice) as a plain shuffle join (NOT a
+         broadcast: it scales with user cardinality),
+      3. trigram = two self-equi-joins on (user_id, pos±1/2) — hash
+         partitioning on (user, pos) spreads a hot user across the
+         cluster, so no task ever sees more than a balanced share.
+
+    Two extra shuffles vs the collect_list shape — the deliberate price of
+    hot-user immunity (same trade as preference_pairs' tournament).
+    slices=None keeps the naive collect_list shape (the A/B baseline the
+    round-9 probe measures against)."""
+    if slices is None:
+        seqs = (
+            ev.groupBy("user_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ).alias("s")
+            )
+            .select(F.transform("s", lambda x: x["event_type"]).alias("toks"))
         )
-        .select(F.transform("s", lambda x: x["event_type"]).alias("toks"))
-    )
+        tri = seqs.select(F.explode(F.expr(_trigrams("toks"))).alias("trigram"))
+    else:
+        bounds = ev.agg(
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).cast("double").alias("_lo"),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).cast("double").alias("_hi"),
+        ).localCheckpoint(eager=False)
+        sliced = (
+            ev.select("user_id", "ts", "event_id", "event_type")
+            .crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "_slc",
+                F.when(
+                    F.col("_hi") > F.col("_lo"),
+                    F.expr(
+                        f"width_bucket(cast(unix_micros(cast(ts as timestamp)) as double),"
+                        f" _lo, _hi, {int(slices)})"
+                    ),
+                ).otherwise(F.lit(1)),
+            )
+            .drop("_lo", "_hi")
+            # two consumers (position window + per-slice counts)
+            .localCheckpoint(eager=False)
+        )
+        w_in = Window.partitionBy("user_id", "_slc").orderBy("ts", "event_id")
+        local = sliced.withColumn("_lr", F.row_number().over(w_in))
+        w_off = (
+            Window.partitionBy("user_id")
+            .orderBy("_slc")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        offsets = (
+            sliced.groupBy("user_id", "_slc")
+            .agg(F.count(F.lit(1)).alias("_cn"))
+            .withColumn("_off", F.sum("_cn").over(w_off) - F.col("_cn"))
+            .select("user_id", "_slc", "_off")
+        )
+        pos = (
+            local.join(offsets, ["user_id", "_slc"])
+            .select(
+                "user_id",
+                (F.col("_lr") + F.col("_off")).alias("pos"),
+                "event_type",
+            )
+            # three join consumers below — compute positions once
+            .localCheckpoint(eager=False)
+        )
+        tri = (
+            pos.select("user_id", "pos", F.col("event_type").alias("_a"))
+            .join(
+                pos.select(
+                    "user_id", (F.col("pos") - 1).alias("pos"),
+                    F.col("event_type").alias("_b"),
+                ),
+                ["user_id", "pos"],
+            )
+            .join(
+                pos.select(
+                    "user_id", (F.col("pos") - 2).alias("pos"),
+                    F.col("event_type").alias("_c"),
+                ),
+                ["user_id", "pos"],
+            )
+            .select(F.concat_ws(" ", "_a", "_b", "_c").alias("trigram"))
+        )
     return (
-        seqs.select(F.explode(F.expr(_trigrams("toks"))).alias("trigram"))
-        .groupBy("trigram")
+        tri.groupBy("trigram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy(F.col("n").desc(), F.col("trigram"))
         .limit(10)

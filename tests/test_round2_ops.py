@@ -320,16 +320,20 @@ def test_global_rank_is_dense_total_permutation(spark):
     by_key = sorted(out, key=lambda r: (-r.n_tokens, r.doc_id))
     assert [r.rank for r in by_key] == list(range(1, 3001))
 
-    # round-4 (VERDICT r3 #6): the sorted-layout materialization must be
-    # spill-backed persist(DISK_ONLY) — not a heap-pinned localCheckpoint —
-    # per the query's own 100 TB note. Assert the observed storage level.
-    jlevels = [
-        rdd.getStorageLevel()
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values()
-    ]
-    assert any(
-        lvl.useDisk() and not lvl.useMemory() for lvl in jlevels
-    ), f"no DISK_ONLY persisted RDD found; levels={[str(l) for l in jlevels]}"
+    # round 9 (VERDICT r8 #7): the two-pass persist(DISK_ONLY) +
+    # driver-collected offsets + mapInPandas stamp is gone — the rank is
+    # the pure-Catalyst range-sliced construction. Pin the new contract:
+    # no Python eval node and no driver-side offset collection in the plan
+    # (the bounded-sort shape itself is pinned in test_plans).
+    plan = (
+        QUERIES["curriculum_global_rank"]
+        .fn(spark, d)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" not in plan
+    assert "InMemoryTableScan" not in plan  # no persist in the new shape
 
 
 def test_histogram_quantiles_error_bounded_by_bin_width(spark):

@@ -1719,6 +1719,7 @@ def probe_round9_events(spark):
     control, so the delta attributes to skew alone."""
     import time as _t
 
+    import mini_flink_spark.queries  # noqa: F401 (registry import contract)
     from mini_flink_spark.queries_ext import transition_matrix_plan
     from mini_flink_spark.queries_pipeline import path_trigrams_plan
 
@@ -1731,19 +1732,23 @@ def probe_round9_events(spark):
             ("transition_matrix", transition_matrix_plan),
             ("path_trigrams", path_trigrams_plan),
         ):
-            before = _stage_metrics_total(spark)
-            t0 = _t.time()
-            out = plan(ev).collect()
-            wall = _t.time() - t0
-            after = _stage_metrics_total(spark)
-            d = {k: after[k] - before[k] for k in after}
-            print(
-                f"  {label} {op}: wall={wall:.1f}s rows={len(out)} "
-                f"shuffle_read={d['shuffle_read']/1e6:.1f}MB "
-                f"spill_mem={d['mem_spill']/1e6:.0f}MB "
-                f"disk={d['disk_spill']/1e6:.0f}MB "
-                f"(corpus={n}, hot_user_rows={nhot})"
-            )
+            outs = {}
+            for shape, slices in (("naive", None), ("sliced64", 64)):
+                before = _stage_metrics_total(spark)
+                t0 = _t.time()
+                out = plan(ev, slices=slices).collect()
+                wall = _t.time() - t0
+                after = _stage_metrics_total(spark)
+                d = {k: after[k] - before[k] for k in after}
+                outs[shape] = sorted(map(tuple, out))
+                print(
+                    f"  {label} {op}[{shape}]: wall={wall:.1f}s rows={len(out)} "
+                    f"shuffle_read={d['shuffle_read']/1e6:.1f}MB "
+                    f"spill_mem={d['mem_spill']/1e6:.0f}MB "
+                    f"disk={d['disk_spill']/1e6:.0f}MB "
+                    f"(corpus={n}, hot_user_rows={nhot})"
+                )
+            assert outs["naive"] == outs["sliced64"], f"{label}/{op} diverged"
         ev.unpersist()
 
 
@@ -1758,43 +1763,48 @@ def probe_round9_rank(spark):
 
     print("== round9_rank: per-stratum exact rank, naive vs range-sliced ==")
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    docs = (
-        base.select(
-            "*", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep")
-        )
-        .select(
-            (F.col("doc_id") * 20 + F.col("rep")).alias("doc_id"),
-            F.when(
-                F.pmod(F.xxhash64("doc_id", "rep"), F.lit(10)) < 9, F.lit("hotlang")
+    for reps in (20, 200, 1000):
+        docs = (
+            base.select(
+                "*", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("rep")
             )
-            .otherwise(F.col("lang"))
-            .alias("lang"),
-            (F.length("text") + F.col("rep")).cast("double").alias("v"),
+            .select(
+                (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"),
+                F.when(
+                    F.pmod(F.xxhash64("doc_id", "rep"), F.lit(10)) < 9,
+                    F.lit("hotlang"),
+                )
+                .otherwise(F.col("lang"))
+                .alias("lang"),
+                (F.length("text") + F.col("rep")).cast("double").alias("v"),
+            )
+            .localCheckpoint()
         )
-        .localCheckpoint()
-    )
-    n = docs.count()
-    hot = docs.filter(F.col("lang") == "hotlang").count()
-    outs = {}
-    for label, ns in (("naive(1 window)", 1), ("range_sliced(64)", 64)):
-        before = _stage_metrics_total(spark)
-        t0 = _t.time()
-        ranked = _range_sliced_rank(
-            docs, [F.asc("v"), F.asc("doc_id")], F.col("v"), ["lang"], n_slices=ns
-        )
-        chk = ranked.agg(
-            F.expr("bit_xor(rank * doc_id)").alias("x"), F.sum("rank").alias("s")
-        ).first()
-        wall = _t.time() - t0
-        after = _stage_metrics_total(spark)
-        d = {k: after[k] - before[k] for k in after}
-        outs[label] = (chk.x, chk.s)
+        n = docs.count()
+        hot = docs.filter(F.col("lang") == "hotlang").count()
+        outs = {}
+        for label, ns in (("naive(1 window)", 1), ("range_sliced(256)", 256)):
+            before = _stage_metrics_total(spark)
+            t0 = _t.time()
+            ranked = _range_sliced_rank(
+                docs, [F.asc("v"), F.asc("doc_id")], F.col("v"), ["lang"], n_slices=ns
+            )
+            chk = ranked.agg(
+                F.expr("bit_xor(rank * doc_id)").alias("x"), F.sum("rank").alias("s")
+            ).first()
+            wall = _t.time() - t0
+            after = _stage_metrics_total(spark)
+            d = {k: after[k] - before[k] for k in after}
+            outs[label] = (chk.x, chk.s)
+            print(
+                f"  {reps}x {label}: wall={wall:.1f}s checksum={chk.x} "
+                f"spill_mem={d['mem_spill']/1e6:.0f}MB disk={d['disk_spill']/1e6:.0f}MB"
+            )
+        assert outs["naive(1 window)"] == outs["range_sliced(256)"]
         print(
-            f"  {label}: wall={wall:.1f}s checksum={chk.x} "
-            f"spill_mem={d['mem_spill']/1e6:.0f}MB disk={d['disk_spill']/1e6:.0f}MB"
+            f"  {reps}x corpus={n} hot_stratum={hot} ({100*hot//n}%) — checksums identical"
         )
-    assert outs["naive(1 window)"] == outs["range_sliced(64)"]
-    print(f"  corpus={n} hot_stratum={hot} ({100*hot//n}%) — rank checksums identical")
+        docs.unpersist()
 
 
 PROBES = {
