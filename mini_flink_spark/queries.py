@@ -840,12 +840,33 @@ def q_user_gaps(spark, sf_dir):
     ("relational", "percentile"),
 )
 def q_percentiles(spark, sf_dir):
-    """Exact interpolated percentiles (sort-based — deterministic, unlike
-    float-sum aggregates)."""
+    """Exact interpolated percentiles (percentile_cont semantics —
+    deterministic, unlike float-sum aggregates).
+
+    Round 9: Spark's exact `percentile()` aggregate buffers every
+    (value, count) pair of a group in ONE hash map — with a 25-value
+    stratum key that is the hot-stratum OOM shape at corpus scale. The
+    rank-based rendering is bounded everywhere: range-sliced exact rank
+    per stratum (`_range_sliced_rank`), then percentile_cont's
+    interpolation read off the rows at ranks floor/ceil(p*(n-1)+1) — a
+    per-row CASE plus one ordinary sum aggregate. Bit-identical to
+    percentile()/quantile_cont (oracle unchanged)."""
+    from mini_flink_spark.queries_pipeline import (
+        _percentile_cont_contrib,
+        _range_sliced_rank,
+    )
+
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    ranked = _range_sliced_rank(
+        ev.select("event_type", "value", "event_id"),
+        [F.asc("value"), F.asc("event_id")],
+        F.col("value"),
+        ["event_type"],
+        total_col="_n",
+    )
+    return ranked.groupBy("event_type").agg(
+        F.round(F.sum(_percentile_cont_contrib(0.5)), 6).alias("p50"),
+        F.round(F.sum(_percentile_cont_contrib(0.95)), 6).alias("p95"),
     )
 
 
@@ -1202,6 +1223,7 @@ CHANGED_SHAPE_REGRADES: dict[str, str] = {
     "packed_sequence_offsets": "r8: two-phase md5-prefix cumsum",
     "curation_pipeline_fineweb": "r8: shard stage on _md5_prefix_cumsum",
     # round-9 surgery: range-sliced exact rank family
+    "value_percentiles_by_type": "r9: bounded exact percentile_cont",
     "ccnet_perplexity_buckets": "r9: bounded exact ntile (VERDICT r8 #2)",
     "curriculum_global_rank": "r9: pure-Catalyst rank (VERDICT r8 #7)",
     "ntile_price_quartiles": "r9: bounded exact ntile (audit find)",

@@ -2001,16 +2001,32 @@ def q_ivf_recall_eval(spark, sf_dir):
 def q_quality_filter_by_source(spark, sf_dir):
     """Per-domain curation cut: keep documents scoring above their source's
     median quality. Sources are low-cardinality, so the per-source median is
-    a tiny agg broadcast back over the corpus — no corpus shuffle. At 100 TB
-    swap the exact percentile for percentile_approx (mergeable GK sketch);
-    the join stays broadcast either way. Scores round to 6 dp on both engines
-    so the threshold compare is reproducible."""
+    a tiny frame broadcast back over the corpus — no corpus shuffle. Scores
+    round to 6 dp on both engines so the threshold compare is reproducible.
+
+    Scale (round 9): the exact-percentile AGGREGATE held every distinct
+    (value, count) of a source in one buffer (hot-stratum OOM); the median
+    now reads off the range-sliced exact rank (`_percentile_cont_contrib`)
+    — bounded sorts, still exact, no percentile_approx compromise.
+    Driver regrade queued for round 10 (this round's window is full)."""
+    from mini_flink_spark.queries_pipeline import (
+        _percentile_cont_contrib,
+        _range_sliced_rank,
+    )
+
     docs = _spread(_t(spark, sf_dir, "documents"))
     scored = docs.select(
         "doc_id", "source", F.round(T.quality_score("text"), 6).alias("q")
     )
-    med = scored.groupBy("source").agg(
-        F.round(F.percentile("q", 0.5), 6).alias("med_q")
+    ranked = _range_sliced_rank(
+        scored.select("source", "doc_id", "q"),
+        [F.asc("q"), F.asc("doc_id")],
+        F.col("q"),
+        ["source"],
+        total_col="_n",
+    )
+    med = ranked.groupBy("source").agg(
+        F.round(F.sum(_percentile_cont_contrib(0.5, "q")), 6).alias("med_q")
     )
     return (
         scored.join(F.broadcast(med), "source")

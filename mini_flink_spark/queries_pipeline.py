@@ -426,6 +426,31 @@ def _range_sliced_rank(
     return out
 
 
+def _percentile_cont_contrib(
+    p: float, value_col: str = "value", n_col: str = "_n", rank_col: str = "rank"
+):
+    """Per-row contribution of percentile_cont(p) read off an exact ranked
+    frame (`_range_sliced_rank` with total_col): the rows at ranks
+    floor/ceil(p*(n-1)+1) carry (1-frac)/frac weights — the
+    (1-g)·a + g·b definition Spark's percentile() and DuckDB's
+    quantile_cont share — and every other row contributes exactly 0.0
+    (adding 0.0 is exact in IEEE, so the per-stratum sum is deterministic
+    under any partitioning). Replaces the exact-percentile AGGREGATE, whose
+    buffer holds every distinct (value, count) of a stratum in one hash map
+    — the hot-stratum OOM shape the rank decomposition exists to avoid."""
+    pos = F.lit(p) * (F.col(n_col) - 1) + 1  # 1-based continuous position
+    lo = F.floor(pos).cast("bigint")
+    hi = F.ceil(pos).cast("bigint")
+    frac = pos - lo.cast("double")
+    v = F.col(value_col)
+    return (
+        F.when((lo == hi) & (F.col(rank_col) == lo), v)
+        .when(F.col(rank_col) == lo, v * (F.lit(1.0) - frac))
+        .when(F.col(rank_col) == hi, v * frac)
+        .otherwise(F.lit(0.0))
+    )
+
+
 def _ntile_from_rank(rank: str, n: str, k: int):
     """ntile(k) reproduced from (global rank, stratum row count) — the
     closed-form tile assignment SQL engines use: the first ``n % k`` tiles
@@ -1054,20 +1079,30 @@ def q_length_outliers_iqr(spark, sf_dir):
     """Robust per-source length outlier flag (Tukey 1.5-IQR fences on token
     counts) — the distribution-aware cousin of fixed length cutoffs: a
     source of tweets and a source of articles get different fences without
-    per-source config. Exact interpolated quartiles (Spark `percentile` and
-    DuckDB `quantile_cont` share the (1-g)a + gb definition), rounded to 6dp
-    before the fence compare on both engines.
+    per-source config. Exact interpolated quartiles (the (1-g)a + gb
+    definition Spark `percentile` and DuckDB `quantile_cont` share),
+    rounded to 6dp before the fence compare on both engines.
 
-    Scale: quartiles are a per-source agg (num_sources rows) broadcast back
-    over the corpus — no corpus shuffle; swap in percentile_approx when a
-    single source's exact sort-based percentile no longer fits."""
+    Scale (round 9): the exact-percentile AGGREGATE buffers every distinct
+    (value, count) of a stratum in one hash map — the hot-stratum OOM. The
+    quartiles now read off the range-sliced exact rank
+    (`_percentile_cont_contrib`): bounded sorts + one ordinary sum, still
+    EXACT (no percentile_approx compromise), still a tiny broadcast back
+    over the corpus."""
     docs = _t(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id", "source", T.token_count("text").cast("bigint").alias("n_tokens")
     )
-    q = w.groupBy("source").agg(
-        F.round(F.percentile("n_tokens", 0.25), 6).alias("q1"),
-        F.round(F.percentile("n_tokens", 0.75), 6).alias("q3"),
+    ranked = _range_sliced_rank(
+        w.select("source", "doc_id", F.col("n_tokens").cast("double").alias("v")),
+        [F.asc("v"), F.asc("doc_id")],
+        F.col("v"),
+        ["source"],
+        total_col="_n",
+    )
+    q = ranked.groupBy("source").agg(
+        F.round(F.sum(_percentile_cont_contrib(0.25, "v")), 6).alias("q1"),
+        F.round(F.sum(_percentile_cont_contrib(0.75, "v")), 6).alias("q3"),
     )
     iqr = F.col("q3") - F.col("q1")
     return w.join(F.broadcast(q), "source").select(
