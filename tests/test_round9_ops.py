@@ -2,10 +2,11 @@
 
 `_range_sliced_rank` is the rank sibling of `_md5_prefix_cumsum`: ranks
 decompose exactly like prefix sums, so a per-stratum row_number (and from
-it, ntile) never needs a full-stratum sort. These tests pin bit-identity
-against the native window machinery, the closed-form ntile arithmetic
-(including the n < k degenerate tiles), and the boundary-insensitivity
-claim (approximate percentile split points still give EXACT ranks).
+it, ntile and percentile_cont) never needs a full-stratum sort. These
+tests pin bit-identity against the native window/aggregate machinery, the
+closed-form ntile arithmetic (including the n < k degenerate tiles), the
+percentile interpolation weights, and the boundary-insensitivity claim
+(any monotone bucketing — width_bucket here — still gives EXACT ranks).
 """
 
 import pytest
@@ -131,3 +132,36 @@ def test_ntile_from_rank_fewer_rows_than_tiles(spark):
         ).collect()
     }
     assert exp == got
+
+
+def test_percentile_cont_contrib_matches_percentile_aggregate(spark):
+    # the rank-decomposed percentile must reproduce Spark's exact
+    # percentile() aggregate across interpolation cases: p hitting a row
+    # exactly, p between rows, tiny strata (n=1, n=2), duplicate values
+    from mini_flink_spark.queries_pipeline import (
+        _percentile_cont_contrib,
+        _range_sliced_rank,
+    )
+
+    rows = []
+    # stratum a: 997 rows with duplicates; b: n=2; c: n=1
+    rows += [(i, "a", float((i * 13) % 97)) for i in range(997)]
+    rows += [(2001, "b", 10.0), (2002, "b", 20.0), (3001, "c", 42.0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, g string, v double")
+    ranked = _range_sliced_rank(
+        df, [F.asc("v"), F.asc("doc_id")], F.col("v"), ["g"], total_col="_n"
+    )
+    for p in (0.0, 0.25, 0.5, 0.75, 0.9, 0.95, 1.0):
+        exp = {
+            r.g: r.e
+            for r in df.groupBy("g")
+            .agg(F.round(F.expr(f"percentile(v, {p})"), 6).alias("e"))
+            .collect()
+        }
+        got = {
+            r.g: r.e
+            for r in ranked.groupBy("g")
+            .agg(F.round(F.sum(_percentile_cont_contrib(p, "v")), 6).alias("e"))
+            .collect()
+        }
+        assert exp == got, (p, exp, got)
