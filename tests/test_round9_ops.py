@@ -165,3 +165,45 @@ def test_percentile_cont_contrib_matches_percentile_aggregate(spark):
             .collect()
         }
         assert exp == got, (p, exp, got)
+
+
+def test_event_sequence_plans_sliced_equals_naive(spark):
+    # the time-sliced skew-immune defaults must reproduce the naive plans'
+    # result multisets exactly — including the edge cases the boundary
+    # stitching must survive: duplicate timestamps (event_id tiebreak),
+    # single-event users (no pairs, no trigrams), a hot user spanning many
+    # slices, and slice counts exceeding the distinct-ts count
+    import datetime
+
+    import mini_flink_spark.queries  # noqa: F401 (registry import contract)
+    from mini_flink_spark.queries_ext import transition_matrix_plan
+    from mini_flink_spark.queries_pipeline import path_trigrams_plan
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # hot user 0: 400 events, heavy ts duplication (4 events per second)
+    for i in range(400):
+        rows.append((eid, 0, base + datetime.timedelta(seconds=i // 4),
+                     ["view", "click", "purchase", "cart"][i % 4], 1.0))
+        eid += 1
+    # normal users 1..30: 3 events each, some sharing timestamps
+    for u in range(1, 31):
+        for j in range(3):
+            rows.append((eid, u, base + datetime.timedelta(seconds=u + j),
+                         ["view", "click", "purchase"][j], 1.0))
+            eid += 1
+    # single-event users (contribute nothing to pairs/trigrams)
+    for u in range(31, 36):
+        rows.append((eid, u, base, "view", 1.0))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+    )
+    for slices in (4, 64, 10_000):
+        a = sorted(map(tuple, transition_matrix_plan(ev, slices=None).collect()))
+        b = sorted(map(tuple, transition_matrix_plan(ev, slices=slices).collect()))
+        assert a == b, f"transition_matrix diverged at slices={slices}"
+        a = sorted(map(tuple, path_trigrams_plan(ev, slices=None).collect()))
+        b = sorted(map(tuple, path_trigrams_plan(ev, slices=slices).collect()))
+        assert a == b, f"path_trigrams diverged at slices={slices}"
