@@ -1299,6 +1299,10 @@ GRADED_WINDOW: tuple[str, ...] = (
     "cube_daily_events",
     "sample_hash_deterministic",
 )
+# Round-10 rotation backlog: regrade quality_filter_by_source (its shape
+# changed to the rank-based median AFTER this window was full — see
+# CHANGED_SHAPE_REGRADES policy); the oldest-refresh pool advances to the
+# r3-graded rows (set-diff the CORRECTNESS_r* artifacts as this round did).
 
 
 def _ordered_names() -> list[str]:
