@@ -327,9 +327,11 @@ def _range_sliced_rank(
     rows; the result is bit-identical to
     ``row_number() OVER (PARTITION BY strat ORDER BY order_exprs)``.
 
-    `slice_expr` must be a non-null numeric Column that is monotone
-    NON-DECREASING along `order_exprs`' total order (for a descending
-    primary key, pass its negation). Slices are `width_bucket` uniform
+    `slice_expr` must be a non-null, NaN-free numeric Column that is
+    monotone NON-DECREASING along `order_exprs`' total order (for a
+    descending primary key, pass its negation; NaN would break value-range
+    bucketing silently — every registry caller keys on counts, prices, or
+    rounded scores, none of which produce NaN). Slices are `width_bucket` uniform
     value ranges over the per-stratum [min, max] — boundaries need NOT be
     balanced, only ORDER-CONSISTENT, so any monotone bucketing yields
     EXACT ranks; skew in the value distribution costs balance, never

@@ -207,3 +207,42 @@ def test_event_sequence_plans_sliced_equals_naive(spark):
         a = sorted(map(tuple, path_trigrams_plan(ev, slices=None).collect()))
         b = sorted(map(tuple, path_trigrams_plan(ev, slices=slices).collect()))
         assert a == b, f"path_trigrams diverged at slices={slices}"
+
+
+def test_range_sliced_rank_random_frames_property(spark):
+    # randomized pin (fixed seeds — deterministic in CI): arbitrary value
+    # distributions including negatives, heavy duplication, and skewed
+    # strata must all rank bit-identically to the native window
+    import random
+
+    for seed in (7, 1234, 999331):
+        rng = random.Random(seed)
+        n = rng.randint(50, 1500)
+        langs = ["x", "y", "z"][: rng.randint(1, 3)]
+        rows = [
+            (
+                i,
+                # skew: most rows land in the first stratum
+                langs[0] if rng.random() < 0.8 else rng.choice(langs),
+                # negatives + duplicates: values drawn from a small grid
+                float(rng.randint(-50, 50)) / rng.choice([1, 2, 4]),
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, lang string, v double")
+        w = Window.partitionBy("lang").orderBy("v", "doc_id")
+        exp = {
+            (r.doc_id, r.rk)
+            for r in df.select("doc_id", F.row_number().over(w).alias("rk")).collect()
+        }
+        got = {
+            (r.doc_id, r["rank"])
+            for r in _range_sliced_rank(
+                df,
+                [F.asc("v"), F.asc("doc_id")],
+                F.col("v"),
+                ["lang"],
+                n_slices=rng.choice([2, 16, 256]),
+            ).collect()
+        }
+        assert exp == got, seed
