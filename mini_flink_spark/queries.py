@@ -1199,14 +1199,12 @@ def q_ntile_quartiles(spark, sf_dir):
 # The driver grades exactly the first 50 queries in registration order, so the
 # exported dicts put a curated window first. Rotation policy (VERDICT r3 #3):
 # the 15 §2 reference-surface rows and 10 flagship LLM-pipeline anchors stay
-# pinned every round; the other 25 slots rotate. Round 9 closes the
-# never-graded backlog (r1∪…∪r8 graded 197 distinct names; the 7 remaining
-# stragglers lead this window → cumulative 204/204 once graded), then
-# spends the rest on changed-shape regrades (the two-phase cumsum adopters
-# and every query rewritten onto the range-sliced exact rank this round),
-# the three round-9 additions, and an oldest-verdict refresh (last graded
-# r2). Everything else keeps registration order after the window — nothing
-# is removed, only reordered.
+# pinned every round; the other 25 slots rotate. Round 10's rotation: the
+# four round-10 additions (never-graded leads the priority order), six
+# changed-shape regrades (see the dict below), and the 15 remaining
+# r2-graded rows — clearing the r2 refresh pool entirely. Everything else
+# keeps registration order after the window — nothing is removed, only
+# reordered.
 # Round-9 rotation-policy amendment (VERDICT r8 #1 asks for exactly this):
 # the never-graded pool is now SMALLER than the 25 rotating slots, so two
 # further slot classes fill the window, in priority order after the
@@ -1218,16 +1216,31 @@ def q_ntile_quartiles(spark, sf_dir):
 #   2. oldest-verdict refresh — remaining slots re-certify rows whose latest
 #      verdict is the OLDEST on record, so driver evidence never goes stale.
 CHANGED_SHAPE_REGRADES: dict[str, str] = {
-    # round-8 surgery, driver rows predate it (VERDICT r8 #1)
-    "token_budget_shards": "r8: two-phase md5-prefix cumsum",
-    "packed_sequence_offsets": "r8: two-phase md5-prefix cumsum",
-    "curation_pipeline_fineweb": "r8: shard stage on _md5_prefix_cumsum",
-    # round-9 surgery: range-sliced exact rank family
-    "value_percentiles_by_type": "r9: bounded exact percentile_cont",
-    "ccnet_perplexity_buckets": "r9: bounded exact ntile (VERDICT r8 #2)",
-    "curriculum_global_rank": "r9: pure-Catalyst rank (VERDICT r8 #7)",
-    "ntile_price_quartiles": "r9: bounded exact ntile (audit find)",
-    "length_matched_sample": "r9: bounded target quartiles (audit find)",
+    # (round-8/9 entries expired: every one of them got its green driver
+    # row on the new shape in CORRECTNESS_r09 — the dict's self-expiry
+    # rule in action)
+    # round-9 reshapes whose driver rows predate them
+    "quality_filter_by_source": (
+        "r9 rank-based median (reshaped after the r9 window was pinned) "
+        "+ r10 oracle-exact percentile positions"
+    ),
+    "event_transition_matrix": (
+        "r9 sliced default — omitted from this dict in r9, VERDICT r9 #2"
+    ),
+    # round-10 surgery
+    "funnel_view_click_purchase": (
+        "r10: bounded min-after-min chain replaces the collect_list fold "
+        "(VERDICT r9 #1)"
+    ),
+    "item_cooccurrence_lift": (
+        "r10: MAX_BASKET bot cap + streamed pair generation (VERDICT r9 #1)"
+    ),
+    "value_percentiles_by_type": (
+        "r10: oracle-exact percentile position arithmetic (ADVICE r9)"
+    ),
+    "length_outliers_iqr": (
+        "r10: oracle-exact percentile position arithmetic (ADVICE r9)"
+    ),
 }
 
 GRADED_WINDOW: tuple[str, ...] = (
@@ -1259,50 +1272,47 @@ GRADED_WINDOW: tuple[str, ...] = (
     "gopher_quality_flags",
     "curation_pipeline_v2",
     "bpe_learn_merges",
-    # ---- round-9 rotation (VERDICT r8 #1/#2/#7) ----
-    # the last 7 never-graded queries (r1∪…∪r8 set-diff) — after this
-    # round every registered query has a driver verdict at least once
-    "event_path_trigrams",
-    "ewma_hourly_rate",
-    "full_outer_nation_activity",
-    "incremental_revenue_agg",
-    "length_outliers_iqr",
-    "c4_line_filters",
-    "gopher_repetition_suite",
-    # changed-shape regrades: the round-8 two-phase cumsum adopters whose
-    # driver rows predate the surgery (VERDICT r8 #1), plus every query
-    # whose plan round 9 rewrote onto the range-sliced exact rank
-    # (bounded ntile / pure-Catalyst global rank — VERDICT r8 #2/#7 and
-    # the two additional full-stratum ntile windows the round-9 audit
-    # found: ntile_price_quartiles's 5-value priority strata and
-    # length_matched_sample's GLOBAL target-quartile window)
-    "token_budget_shards",
-    "packed_sequence_offsets",
-    "curation_pipeline_fineweb",
-    "ccnet_perplexity_buckets",
-    "curriculum_global_rank",
-    "ntile_price_quartiles",
-    "length_matched_sample",
-    # round-9 additions (rank-family showcases — graded same round)
-    "length_quartiles_exact",
-    "event_value_percent_rank",
-    "median_tokens_by_lang",
-    # oldest-verdict refresh: all last graded in round 2 (set-diff of the
-    # CORRECTNESS_r* artifacts), window/agg families closest to this
-    # round's changed code
-    "running_total_per_customer",
-    "user_event_gaps",
+    # ---- round-10 rotation (VERDICT r9 #1/#2/#4) ----
+    # round-10 additions (never-graded — graded the round they land)
+    "doc_chunk_offsets",
+    "vocab_coverage_top100",
+    "funnel_conversion_rates",
+    "rfm_segment_counts",
+    # changed-shape regrades (CHANGED_SHAPE_REGRADES above): the two r9
+    # reshapes whose driver rows predate them, the two r10 hot-key-buffer
+    # eliminations, and the two adopters of the r10 percentile-position fix
+    "quality_filter_by_source",
+    "event_transition_matrix",
+    "funnel_view_click_purchase",
+    "item_cooccurrence_lift",
     "value_percentiles_by_type",
-    "pivot_user_event_counts",
-    "rollup_region_nation",
-    "grouping_sets_orders",
-    "cube_daily_events",
-    "sample_hash_deterministic",
+    "length_outliers_iqr",
+    # oldest-verdict refresh: the REMAINING 15 rows whose latest verdict is
+    # round 2 (set-diff of the CORRECTNESS_r* artifacts — round 9 refreshed
+    # 8 of the r2 pool; these clear it entirely, advancing the oldest pool
+    # to the r3 rows for round 11)
+    "anti_join_parts_never_ordered",
+    "datetime_battery",
+    "distinct_event_types",
+    "distinct_users_per_type",
+    "embedding_norms",
+    "events_json_extract",
+    "join_customer_nation_region",
+    "parts_above_avg_price",
+    "returned_item_revenue",
+    "semi_join_customers_with_orders",
+    "set_except_late_orders",
+    "set_intersect_nation_keys",
+    "set_union_nation_keys",
+    "string_battery",
+    "text_fingerprint",
 )
-# Round-10 rotation backlog: regrade quality_filter_by_source (its shape
-# changed to the rank-based median AFTER this window was full — see
-# CHANGED_SHAPE_REGRADES policy); the oldest-refresh pool advances to the
-# r3-graded rows (set-diff the CORRECTNESS_r* artifacts as this round did).
+# Round-11 rotation backlog: the oldest-refresh pool advances to the 25
+# r3-graded rows (ann_recall_eval, ann_topk_bruteforce, kmeans_clusters,
+# pii_redaction, text_search_bm25, topn_orders_per_priority, ... — set-diff
+# the CORRECTNESS_r* artifacts as rounds 9/10 did); prioritize
+# kmeans_clusters (BENCH watch item, VERDICT r9 #7) and the window/agg
+# families nearest any round-11 code changes.
 
 
 def _ordered_names() -> list[str]:

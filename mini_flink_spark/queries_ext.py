@@ -3233,62 +3233,113 @@ def q_sketch_value_percentiles(spark, sf_dir):
 )
 def q_funnel(spark, sf_dir):
     """Funnel analysis — users reaching view → click-after-view →
-    purchase-after-click, counted per deepest stage.
+    purchase-after-click, counted per deepest stage."""
+    return _funnel_stages(_t(spark, sf_dir, "events"))
 
-    Spark rendering: ONE shuffle. Per user, collect the (ts, event_id, type)
-    triples of the three funnel event kinds, array_sort for a deterministic
-    timeline, then a single in-array fold walks the timeline once carrying
-    (first_view, first_click_after, first_purchase_after). The oracle takes
-    the classic three-join rendering (min-after-min chains) — different plan,
-    same answer, which is exactly what an oracle is for. At 100 TB the fold
-    shape wins: 3 sequential self-join+agg rounds vs one groupBy whose value
-    payload is only the funnel-relevant events."""
-    ev = _t(spark, sf_dir, "events")
-    step = F.when(
-        F.col("event_type").isin("view", "click", "purchase"),
-        F.struct("ts", "event_id", "event_type"),
-    )
-    seq = ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_list(step)).alias("seq")
-    )
-    ts_null = F.lit(None).cast("timestamp")
-    state0 = F.struct(
-        ts_null.alias("tv"), ts_null.alias("tc"), ts_null.alias("tp")
-    )
-    folded = seq.withColumn(
-        "f",
-        F.aggregate(
-            "seq",
-            state0,
-            lambda acc, x: F.struct(
-                F.when(
-                    acc.tv.isNull() & (x.event_type == "view"), x.ts
-                ).otherwise(acc.tv).alias("tv"),
-                F.when(
-                    acc.tc.isNull()
-                    & acc.tv.isNotNull()
-                    & (x.event_type == "click")
-                    & (x.ts > acc.tv),
-                    x.ts,
-                ).otherwise(acc.tc).alias("tc"),
-                F.when(
-                    acc.tp.isNull()
-                    & acc.tc.isNotNull()
-                    & (x.event_type == "purchase")
-                    & (x.ts > acc.tc),
-                    x.ts,
-                ).otherwise(acc.tp).alias("tp"),
+
+def _funnel_stages(ev, naive: bool = False):
+    """Two renderings of the same funnel, equal row-for-row (pinned in
+    tests/test_round10_ops.py):
+
+    DEFAULT (round 10): the min-after-min CHAIN — tv = min view ts per user,
+    tc = min click ts > tv, tp = min purchase ts > tc, each a user-keyed
+    aggregate with a SCALAR buffer. Three sequential shuffle rounds, but
+    each round shuffles only (user_id, ts) of ONE event type (the type
+    filter pushes to the scan), every aggregation buffer is a single
+    timestamp, and a join of events against a 1-row-per-user aggregate
+    cannot explode — so a 10⁷-event bot user costs exactly its row count,
+    streamed. The per-user aggregates come out hash-partitioned on user_id,
+    so the chain's joins and the final stage assembly reuse that
+    partitioning rather than re-exchanging.
+
+    naive=True (the A/B baseline, the shape VERDICT r9 #1 retired from the
+    default): ONE shuffle collecting each user's funnel-event timeline into
+    an array and folding it in-place. Fewer exchanges, but the collect_list
+    buffer is bounded only by a business quantity — the same hot-key task
+    OOM the sliced event-sequence ops eliminated for trigrams; a bot user
+    breaks it. Kept for plan comparison, not for production."""
+    if naive:
+        step = F.when(
+            F.col("event_type").isin("view", "click", "purchase"),
+            F.struct("ts", "event_id", "event_type"),
+        )
+        seq = ev.groupBy("user_id").agg(
+            F.array_sort(F.collect_list(step)).alias("seq")
+        )
+        ts_null = F.lit(None).cast("timestamp")
+        state0 = F.struct(
+            ts_null.alias("tv"), ts_null.alias("tc"), ts_null.alias("tp")
+        )
+        folded = seq.withColumn(
+            "f",
+            F.aggregate(
+                "seq",
+                state0,
+                lambda acc, x: F.struct(
+                    F.when(
+                        acc.tv.isNull() & (x.event_type == "view"), x.ts
+                    ).otherwise(acc.tv).alias("tv"),
+                    F.when(
+                        acc.tc.isNull()
+                        & acc.tv.isNotNull()
+                        & (x.event_type == "click")
+                        & (x.ts > acc.tv),
+                        x.ts,
+                    ).otherwise(acc.tc).alias("tc"),
+                    F.when(
+                        acc.tp.isNull()
+                        & acc.tc.isNotNull()
+                        & (x.event_type == "purchase")
+                        & (x.ts > acc.tc),
+                        x.ts,
+                    ).otherwise(acc.tp).alias("tp"),
+                ),
             ),
-        ),
+        )
+        stage = (
+            F.when(F.col("f.tp").isNotNull(), 3)
+            .when(F.col("f.tc").isNotNull(), 2)
+            .when(F.col("f.tv").isNotNull(), 1)
+            .otherwise(0)
+        )
+        return (
+            folded.select(stage.alias("stage"))
+            .groupBy("stage")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+        )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
     )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", "ts")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    u = ev.select("user_id").distinct()
     stage = (
-        F.when(F.col("f.tp").isNotNull(), 3)
-        .when(F.col("f.tc").isNotNull(), 2)
-        .when(F.col("f.tv").isNotNull(), 1)
+        F.when(F.col("tp").isNotNull(), 3)
+        .when(F.col("tc").isNotNull(), 2)
+        .when(F.col("tv").isNotNull(), 1)
         .otherwise(0)
     )
     return (
-        folded.select(stage.alias("stage"))
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(stage.alias("stage"))
         .groupBy("stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
@@ -4058,3 +4109,155 @@ def q_stats_moments_battery(spark, sf_dir):
             6,
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+# =========================================================================
+# Round-10 additions: funnel conversion rates + RFM segmentation
+# =========================================================================
+
+
+@register(
+    "funnel_conversion_rates",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1),
+    agg AS (
+      SELECT (SELECT count(*) FROM v)::BIGINT AS r1,
+             (SELECT count(*) FROM c)::BIGINT AS r2,
+             (SELECT count(*) FROM p)::BIGINT AS r3
+    )
+    SELECT '1_view' AS step, r1 AS n_reached, 1000000::BIGINT AS conv_from_prev_micros FROM agg
+    UNION ALL
+    SELECT '2_click', r2, round(r2::DOUBLE * 1e6 / nullif(r1, 0))::BIGINT FROM agg
+    UNION ALL
+    SELECT '3_purchase', r3, round(r3::DOUBLE * 1e6 / nullif(r2, 0))::BIGINT FROM agg
+    """,
+    ("events", "funnel", "analytics"),
+)
+def q_funnel_conversion_rates(spark, sf_dir):
+    """Stage-to-stage funnel conversion: how many users reach each stage of
+    view → click-after-view → purchase-after-click, and what fraction of
+    the previous stage converted (exact integer micro-units). The companion
+    readout to `funnel_view_click_purchase`'s deepest-stage histogram.
+
+    Scale: rides the round-10 bounded min-after-min chain (_funnel_stages —
+    scalar aggregation buffers, type-filtered scans, user-keyed joins that
+    cannot explode); the conversion arithmetic is a 1-row aggregate over
+    the 4-row stage histogram."""
+    ev = _t(spark, sf_dir, "events")
+    stages = _funnel_stages(ev)
+    agg = stages.agg(
+        F.sum(F.when(F.col("stage") >= 1, F.col("n_users")).otherwise(0))
+        .cast("bigint")
+        .alias("r1"),
+        F.sum(F.when(F.col("stage") >= 2, F.col("n_users")).otherwise(0))
+        .cast("bigint")
+        .alias("r2"),
+        F.sum(F.when(F.col("stage") >= 3, F.col("n_users")).otherwise(0))
+        .cast("bigint")
+        .alias("r3"),
+    )
+    row = F.explode(
+        F.array(
+            F.struct(
+                F.lit("1_view").alias("step"),
+                F.col("r1").alias("n_reached"),
+                F.lit(1000000).cast("bigint").alias("conv_from_prev_micros"),
+            ),
+            F.struct(
+                F.lit("2_click").alias("step"),
+                F.col("r2").alias("n_reached"),
+                F.round(
+                    F.col("r2").cast("double") * 1e6
+                    / F.nullif(F.col("r1"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("conv_from_prev_micros"),
+            ),
+            F.struct(
+                F.lit("3_purchase").alias("step"),
+                F.col("r3").alias("n_reached"),
+                F.round(
+                    F.col("r3").cast("double") * 1e6
+                    / F.nullif(F.col("r2"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("conv_from_prev_micros"),
+            ),
+        )
+    ).alias("s")
+    return agg.select(row).select("s.*")
+
+
+@register(
+    "rfm_segment_counts",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS r,
+             count(*)::BIGINT AS f,
+             sum(o_totalprice)::DOUBLE AS m
+      FROM orders GROUP BY 1
+    ),
+    q AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY r, o_custkey) AS r_q,
+             ntile(4) OVER (ORDER BY f, o_custkey) AS f_q,
+             ntile(4) OVER (ORDER BY m, o_custkey) AS m_q
+      FROM cust
+    )
+    SELECT r_q::BIGINT AS r_q, f_q::BIGINT AS f_q, m_q::BIGINT AS m_q,
+           count(*)::BIGINT AS n_customers
+    FROM q GROUP BY 1, 2, 3
+    """,
+    ("orders", "segmentation", "analytics"),
+)
+def q_rfm_segment_counts(spark, sf_dir):
+    """RFM segmentation — the classic marketing cut: quartile-code every
+    customer by Recency (last order date), Frequency (order count), and
+    Monetary (total spend), then count customers per (R,F,M) cell (≤ 64
+    rows out). Ties broken by custkey so the tiling is deterministic.
+
+    Scale: three GLOBAL ntile(4)s over the per-customer frame — exactly the
+    full-frame window sort the range-sliced rank family exists to avoid.
+    Each quartile code comes from `_range_sliced_rank` (slice on the metric
+    itself — monotone along its own order; dates slice on epoch-day) +
+    `_ntile_from_rank`'s closed form, so every sort task sees ~n/256 rows
+    of the customer frame and no single task ever holds all customers."""
+    from mini_flink_spark.queries_pipeline import (
+        _ntile_from_rank,
+        _range_sliced_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("r"),
+        F.count(F.lit(1)).cast("bigint").alias("f"),
+        F.sum("o_totalprice").cast("double").alias("m"),
+    )
+    # epoch-day integer for the date metric: same total order as the date,
+    # castable to the double slice key
+    cust = cust.withColumn("rd", F.datediff("r", F.lit("1970-01-01")))
+    out = cust
+    for code, order_col, slice_col in (
+        ("r_q", "rd", "rd"),
+        ("f_q", "f", "f"),
+        ("m_q", "m", "m"),
+    ):
+        ranked = _range_sliced_rank(
+            out,
+            [F.asc(order_col), F.asc("o_custkey")],
+            F.col(slice_col),
+            [],
+            total_col="_n",
+        )
+        out = ranked.withColumn(
+            code, _ntile_from_rank("rank", "_n", 4).cast("bigint")
+        ).drop("rank", "_n")
+    return out.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )

@@ -2544,13 +2544,30 @@ def q_cluster_label_purity(spark, sf_dir):
     )
 
 
+# Market-basket hot-key cap: users with more distinct purchased items than
+# this are DROPPED from the co-occurrence analysis on BOTH engines — the
+# same O(b²) guard-rail class as MAX_BAND_BUCKET (MinHash) and
+# MAX_LINKAGE_BLOCK (record linkage). Pair fan-out is Σ|basket|²/2: at the
+# cap that is 5e7 streamed pairs for ONE user (seconds on a cluster, and
+# streamed through a generator, never materialized); a 10⁷-item scraper
+# account would be 5e13 — the quadratic explosion plus an un-spillable
+# collect_list buffer this cap exists to refuse. 10k distinct purchased
+# items is far past any human buyer; a dropped user is a bot signal, not a
+# lost customer.
+MAX_BASKET = 10_000
+
+
 @register(
     "item_cooccurrence_lift",
-    """
-    WITH pur AS (
+    f"""
+    WITH pur0 AS (
       SELECT DISTINCT user_id, json_extract(props, '$.k')::BIGINT AS item
       FROM events WHERE event_type = 'purchase'
     ),
+    ok AS (
+      SELECT user_id FROM pur0 GROUP BY 1 HAVING count(*) <= {MAX_BASKET}
+    ),
+    pur AS (SELECT pur0.* FROM pur0 JOIN ok USING (user_id)),
     ic AS (SELECT item, count(*)::BIGINT AS n_u FROM pur GROUP BY 1),
     u AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM pur),
     co AS (
@@ -2573,44 +2590,60 @@ def q_item_cooccurrence_lift(spark, sf_dir):
     """'Users who bought X also bought Y': top-50 item pairs by co-purchase
     count with lift = P(a,b) / (P(a)·P(b)) in exact integer micro-units —
     the co-occurrence primitive behind association rules and item-item
-    recommenders.
+    recommenders. Users with > MAX_BASKET distinct purchased items are
+    dropped on BOTH engines (bot guard — see the constant's rationale).
 
-    Scale: ONE user-key shuffle builds per-user baskets; pair generation is
-    an in-array fold (Σ |basket|²/2 pairs emitted, never a row-level
-    self-join), item counts and the user total come from the same
-    checkpointed basket table, map-side partials absorb the hot pairs and
-    TakeOrdered bounds the output — 8 exchanges collapsed to ~4."""
-    ev = _t(spark, sf_dir, "events")
-    # ONE user-key shuffle builds the per-user basket; distinct items, pair
-    # generation, and the user count all come from the basket array in-array
-    # (no row-level self-join, no second distinct shuffle — the funnel
-    # query's fold trick applied to market baskets)
-    baskets = (
+    Scale (round 10, VERDICT r9 #1): the basket build is now bounded at
+    every step. (1) distinct (user, item) pairs via a spillable hash
+    aggregate — no array buffer; (2) oversized users identified off a
+    scalar count and removed with a BROADCAST anti-join (the bot list is
+    tiny by construction); (3) collect_list then assembles baskets that are
+    ≤ MAX_BASKET by construction — the buffer bound is structural, not a
+    hope about the data; (4) pair generation is STREAMED through
+    posexplode + slice + explode (per-row memory O(|basket|), never the old
+    flatten(transform(...)) which materialized the |b|²/2 pair array in one
+    allocation — 800 MB for a single at-cap row). Three shuffles of deduped
+    16-byte rows instead of one shuffle of raw events buys the hard bound;
+    map-side partials absorb hot pairs and TakeOrdered bounds the output."""
+    return _cooccurrence_lift(_t(spark, sf_dir, "events"))
+
+
+def _cooccurrence_lift(ev, max_basket: int = MAX_BASKET):
+    """Body of item_cooccurrence_lift with the cap injectable so the
+    planted-bot unit test can exercise the guard at toy scale."""
+    pur = (
         ev.where(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(
-            F.array_sort(
-                F.collect_set(F.get_json_object("props", "$.k").cast("bigint"))
-            ).alias("items")
+        .select(
+            "user_id", F.get_json_object("props", "$.k").cast("bigint").alias("item")
         )
+        .distinct()
+    )
+    bots = (
+        pur.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n_items"))
+        .where(F.col("_n_items") > max_basket)
+        .select("user_id")
+    )
+    kept = pur.join(F.broadcast(bots), "user_id", "left_anti")
+    baskets = (
+        kept.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("item")).alias("items"))
         .localCheckpoint(eager=True)  # three consumers: pairs, counts, total
     )
     ic = baskets.select(F.explode("items").alias("item")).groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_u")
     )
     u = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda x, i: F.transform(
-                F.slice(F.col("items"), i + 2, F.size("items")),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
-        )
-    )
     co = (
-        baskets.select(F.explode(pair_arr).alias("p"))
-        .select("p.item_a", "p.item_b")
+        baskets.select(
+            F.posexplode("items").alias("i", "item_a"), F.col("items")
+        )
+        .select(
+            "item_a",
+            F.explode(
+                F.slice(F.col("items"), F.col("i") + 2, F.size("items"))
+            ).alias("item_b"),
+        )
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
     )
@@ -3559,3 +3592,126 @@ def q_curation_pipeline_safety(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return run_pipeline(docs, SAFETY_SPEC)
+
+
+# =========================================================================
+# Round-10 additions: stride chunking + vocabulary concentration
+# =========================================================================
+
+# Training-chunk geometry: CHUNK tokens per training example, STRIDE tokens
+# between chunk starts (CHUNK - STRIDE = overlap carried for context). The
+# classic 512/384 long-document split.
+CHUNK_TOKENS = 512
+CHUNK_STRIDE = 384
+
+
+@register(
+    "doc_chunk_offsets",
+    f"""
+    SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+           (chunk_id * {CHUNK_STRIDE})::BIGINT AS start_tok,
+           least(chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n_tok)::BIGINT AS end_tok
+    FROM (
+      SELECT doc_id, n_tok,
+             unnest(generate_series(0, (n_tok - 1) // {CHUNK_STRIDE})) AS chunk_id
+      FROM (SELECT doc_id, len({{tok}}) AS n_tok FROM documents)
+      WHERE n_tok > 0
+    )
+    """.replace("{tok}", "list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '), x -> x != '')"),
+    ("pipeline", "chunking", "documents"),
+)
+def q_doc_chunk_offsets(spark, sf_dir):
+    """Stride chunking — the complement of `packed_sequence_offsets`:
+    packing concatenates SHORT docs into fixed windows, chunking splits
+    LONG docs into overlapping fixed windows (CHUNK=512 tokens every
+    STRIDE=384, i.e. 128 tokens of carried context — the standard
+    long-document training split). Emits (doc_id, chunk_id, start_tok,
+    end_tok) with the final chunk clipped to the document length; a doc of
+    n tokens yields ceil(n/STRIDE) chunks starting at every stride multiple
+    below n.
+
+    Scale: ZERO shuffle — per-row integer arithmetic and a sequence()
+    explode, entirely scan-side whole-stage codegen. Chunk counts are
+    n/STRIDE per doc, so output size is corpus_tokens/STRIDE rows: the
+    explode streams, nothing buffers a document's chunk list."""
+    d = _t(spark, sf_dir, "documents")
+    n = T.token_count("text").cast("bigint").alias("n_tok")
+    base = d.select("doc_id", n).where(F.col("n_tok") > 0)
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                # integer div, not double-divide-then-cast: exact at any n
+                F.expr(f"(n_tok - 1) div {CHUNK_STRIDE}"),
+            )
+        ).alias("chunk_id"),
+        "n_tok",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * CHUNK_STRIDE).cast("bigint").alias("start_tok"),
+        F.least(
+            F.col("chunk_id") * CHUNK_STRIDE + CHUNK_TOKENS, F.col("n_tok")
+        ).cast("bigint").alias("end_tok"),
+    )
+
+
+@register(
+    "vocab_coverage_top100",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest({{tok}}) AS tok FROM documents
+    ),
+    cnt AS (SELECT lang, tok, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+    rk AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS r
+      FROM cnt
+    )
+    SELECT lang,
+           count(*)::BIGINT AS vocab_size,
+           sum(c)::BIGINT AS total_tokens,
+           round(sum(CASE WHEN r <= 100 THEN c ELSE 0 END)::DOUBLE * 1e6
+                 / sum(c))::BIGINT AS top100_coverage_micros
+    FROM rk GROUP BY lang
+    """.replace("{tok}", "list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '), x -> x != '')"),
+    ("pipeline", "text", "vocabulary"),
+)
+def q_vocab_coverage_top100(spark, sf_dir):
+    """Vocabulary concentration per language: what fraction of all token
+    occurrences do the 100 most frequent tokens cover? The Zipf-mass
+    diagnostic behind tokenizer budgeting and stopword-list sizing (a lang
+    whose top-100 covers 80% is boilerplate-heavy; one at 30% is diverse).
+
+    Scale: the (lang, token) count table is vocabulary-sized, not
+    corpus-sized, after the map-side-combined explode+count. The top-100
+    cut uses the range-sliced exact rank on DESCENDING count (slice on
+    -count — monotone along the order), so no full-vocabulary sort in one
+    task even for a language with a 10⁸-type vocabulary; coverage is then
+    one ordinary aggregate over the ranked frame."""
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.select("lang", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ranked = _range_sliced_rank(
+        cnt,
+        [F.desc("c"), F.asc("tok")],
+        -F.col("c"),
+        ["lang"],
+        n_slices=64,
+    )
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum(F.when(F.col("rank") <= 100, F.col("c")).otherwise(0))
+            .cast("double")
+            * 1e6
+            / F.sum("c")
+        )
+        .cast("bigint")
+        .alias("top100_coverage_micros"),
+    )

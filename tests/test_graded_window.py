@@ -6,7 +6,7 @@ Rotation policy (VERDICT r3 "Next round" #3): 25 slots are PINNED — the 15
 SURVEY §2 reference-surface rows plus 10 flagship LLM-pipeline anchors —
 and the other 25 slots ROTATE each round — to never-graded queries first,
 then declared changed-shape regrades, then an oldest-verdict refresh
-(round-9 amendment; 207 registered queries as of round 9).
+(round-9 amendment; 211 registered queries as of round 10).
 Every windowed query must carry a DuckDB oracle (a no-oracle row inside the
 window wastes a graded slot on a weaker rows-only check)."""
 

@@ -291,14 +291,19 @@ def test_pii_redaction_pure_projection(spark, sf_dir):
     assert "HashAggregate" not in plan
 
 
-def test_funnel_single_user_shuffle_no_joins(spark, sf_dir):
-    # the in-array fold rendering: ONE user-key exchange + the stage-count
-    # agg exchange — no self-joins (the oracle's 3-join rendering would show
-    # join nodes and more exchanges)
+def test_funnel_chain_scalar_buffers_no_collect(spark, sf_dir):
+    # round-10 default (VERDICT r9 #1): the min-after-min CHAIN — every
+    # aggregation buffer is a single min(ts), so no collect_list
+    # ObjectHashAggregate appears anywhere in the plan (the retired fold
+    # rendering's unbounded per-user buffer). The user-keyed joins against
+    # 1-row-per-user aggregates are the skew-immune shape; nothing
+    # broadcasts a user-sized frame and nothing goes cartesian.
     plan = plan_of(spark, sf_dir, "funnel_view_click_purchase")
-    assert plan.count("Exchange") == 2
-    assert "Join" not in plan
+    assert "collect_list" not in plan
+    assert "ObjectHashAggregate" not in plan
     assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_new_analytics_avoid_sort_merge_joins(spark, sf_dir):
