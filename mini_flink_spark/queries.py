@@ -848,9 +848,11 @@ def q_percentiles(spark, sf_dir):
     stratum key that is the hot-stratum OOM shape at corpus scale. The
     rank-based rendering is bounded everywhere: range-sliced exact rank
     per stratum (`_range_sliced_rank`), then percentile_cont's
-    interpolation read off the rows at ranks floor/ceil(p*(n-1)+1) — a
-    per-row CASE plus one ordinary sum aggregate. Bit-identical to
-    percentile()/quantile_cont (oracle unchanged)."""
+    interpolation read off the rows at ranks floor(p*(n-1))+1 and +2
+    (r10: the floor is taken on p*(n-1) itself, matching the oracle's
+    double arithmetic exactly — ADVICE r9) — a per-row CASE plus one
+    ordinary sum aggregate. Bit-identical to percentile()/quantile_cont
+    (oracle unchanged)."""
     from mini_flink_spark.queries_pipeline import (
         _percentile_cont_contrib,
         _range_sliced_rank,

@@ -1807,7 +1807,310 @@ def probe_round9_rank(spark):
         docs.unpersist()
 
 
+def probe_round10_funnel(spark):
+    """Funnel chain (round-10 default) vs the retired collect_list fold
+    under a single 90%-hot user at 20x (2M events, ~1.8M on user_id=0 —
+    VERDICT r9 #1). The fold materializes the hot user's whole funnel
+    timeline in ONE aggregation buffer; the chain's buffers are a single
+    min(ts) each, so its hot-user cost is streaming row count only. Both
+    must agree exactly."""
+    import time as _t
+
+    import mini_flink_spark.queries  # noqa: F401 (registry import contract)
+    from mini_flink_spark.queries_ext import _funnel_stages
+
+    print("== round10_funnel: chain vs fold, 20x events, 90% one user ==")
+    for label, hot in (("uniform(control)", 0), ("hot_user(90%)", 9)):
+        ev = _hot_user_events(spark, replicas=20, hot_frac=hot).localCheckpoint()
+        n = ev.count()
+        nhot = ev.filter(F.col("user_id") == 0).count()
+        outs = {}
+        for shape, naive in (("chain", False), ("fold(naive)", True)):
+            before = _stage_metrics_total(spark)
+            t0 = _t.time()
+            out = {r["stage"]: r["n_users"] for r in _funnel_stages(ev, naive=naive).collect()}
+            wall = _t.time() - t0
+            after = _stage_metrics_total(spark)
+            d = {k: after[k] - before[k] for k in after}
+            outs[shape] = out
+            print(
+                f"  {label} {shape}: wall={wall:.1f}s stages={out} "
+                f"shuffle_read={d['shuffle_read']/1e6:.1f}MB "
+                f"spill_mem={d['mem_spill']/1e6:.0f}MB "
+                f"disk={d['disk_spill']/1e6:.0f}MB "
+                f"(corpus={n}, hot_user_rows={nhot})"
+            )
+        assert outs["chain"] == outs["fold(naive)"], f"{label} diverged"
+        ev.unpersist()
+
+
+def probe_round10_baskets(spark):
+    """MAX_BASKET guard engagement (VERDICT r9 #1): a planted bot account
+    with 50k distinct purchased items among 100k normal ~10-item users.
+    Uncapped, the bot alone contributes |b|^2/2 = 1.25e9 pairs (two orders
+    of magnitude more than the whole rest of the corpus); with the cap the
+    broadcast anti-join drops it before any basket is collected, so wall
+    time tracks the bot-free control and the bot's items never appear."""
+    import time as _t
+
+    import mini_flink_spark.queries  # noqa: F401 (registry import contract)
+    from mini_flink_spark.queries_pipeline import _cooccurrence_lift
+
+    print("== round10_baskets: co-occurrence bot guard, 100k users + 50k-item bot ==")
+    users, per_user, bot_items = 100_000, 10, 50_000
+    normal = spark.range(users * per_user).selectExpr(
+        f"cast(id div {per_user} + 1 as string) AS user_id",
+        "'purchase' AS event_type",
+        # ~2k-item catalogue, per-user items pseudo-random but deterministic
+        """concat('{"k": ', cast(pmod(xxhash64(id), 2000) as string), '}') AS props""",
+    )
+    bot = spark.range(bot_items).selectExpr(
+        "'0' AS user_id",
+        "'purchase' AS event_type",
+        """concat('{"k": ', cast(id + 10000 as string), '}') AS props""",
+    )
+    walls = {}
+    for label, ev in (("control(no bot)", normal), ("bot planted", normal.unionAll(bot))):
+        t0 = _t.time()
+        out = _cooccurrence_lift(ev).collect()
+        walls[label] = _t.time() - t0
+        top = [(r["item_a"], r["item_b"]) for r in out]
+        bot_leak = [p for p in top if p[0] >= 10_000 or p[1] >= 10_000]
+        print(
+            f"  {label}: wall={walls[label]:.1f}s pairs_out={len(out)} "
+            f"bot_items_in_output={len(bot_leak)} "
+            f"(bot would add {bot_items * (bot_items - 1) // 2:.2e} pairs uncapped)"
+        )
+        assert not bot_leak
+    assert walls["bot planted"] < 3 * walls["control(no bot)"] + 10, walls
+
+
+def probe_round10_nslices(spark):
+    """n_slices sensitivity for the range-sliced rank at the 4.5M-row hot
+    stratum (VERDICT r9 #6): the per-row slice cost is O(1) codegen
+    arithmetic (width_bucket), so 64 / 256 / 1024 should be within noise of
+    each other — the knob trades nothing on this axis and only bounds the
+    per-task sort at n/k. Checksums must agree across all three."""
+    import time as _t
+
+    from mini_flink_spark.queries_pipeline import _range_sliced_rank
+
+    print("== round10_nslices: 1000x docs, 90% hot stratum, n_slices sweep ==")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    reps = 1000
+    docs = (
+        base.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("rep")
+        )
+        .select(
+            (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"),
+            F.when(
+                F.pmod(F.xxhash64("doc_id", "rep"), F.lit(10)) < 9,
+                F.lit("hotlang"),
+            )
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+            (F.length("text") + F.col("rep")).cast("double").alias("v"),
+        )
+        .localCheckpoint()
+    )
+    n, hot = docs.count(), docs.filter(F.col("lang") == "hotlang").count()
+    chks = {}
+    for ns in (64, 256, 1024):
+        before = _stage_metrics_total(spark)
+        t0 = _t.time()
+        ranked = _range_sliced_rank(
+            docs, [F.asc("v"), F.asc("doc_id")], F.col("v"), ["lang"], n_slices=ns
+        )
+        chk = ranked.agg(
+            F.expr("bit_xor(rank * doc_id)").alias("x"), F.sum("rank").alias("s")
+        ).first()
+        wall = _t.time() - t0
+        after = _stage_metrics_total(spark)
+        d = {k: after[k] - before[k] for k in after}
+        chks[ns] = (chk.x, chk.s)
+        print(
+            f"  n_slices={ns}: wall={wall:.1f}s "
+            f"spill_mem={d['mem_spill']/1e6:.0f}MB disk={d['disk_spill']/1e6:.0f}MB "
+            f"(corpus={n}, hot_stratum={hot})"
+        )
+    assert len(set(chks.values())) == 1, chks
+    docs.unpersist()
+
+
+def probe_round10_stream_hot(spark):
+    """Streaming state under a 90%-HOT key at ~20x the r3 probe volume
+    (VERDICT r9 #5) — the streaming twin of the batch skew probes. Two
+    stateful shapes, RocksDB provider, per-batch numRowsTotal recorded:
+
+    - session windows: the hot user's flood of events must MERGE into one
+      open session per wave (state scales with distinct open sessions, not
+      rows), and watermark expiry must keep the per-batch state flat;
+    - stream-stream interval join: buffered state is time-bounded rows, so
+      the hot key inflates MATCH OUTPUT (quadratic in its per-wave rows —
+      inherent to the query's semantics) but state must still evict to ~a
+      wave or two, never ratcheting toward the full input."""
+    import datetime
+    import os
+    import tempfile
+
+    for k, v in __import__(
+        "mini_flink_spark.session", fromlist=["rocksdb_state_conf"]
+    ).rocksdb_state_conf().items():
+        spark.conf.set(k, v)
+
+    waves, per_wave, hot_frac = 10, 40_000, 0.9
+    hot_rows = int(per_wave * hot_frac)
+    src = tempfile.mkdtemp(prefix="probe_r10_hot_src_")
+    base = datetime.datetime(2026, 1, 1)
+    stamped: set[str] = set()
+    for i in range(waves):
+        ts = base + datetime.timedelta(minutes=20 * i)
+        (
+            spark.range(per_wave)
+            .selectExpr(
+                # 90% of each wave's rows collapse onto user 0
+                f"CASE WHEN id < {hot_rows} THEN 0 ELSE id + {i} * {per_wave} END AS user_id",
+                # events spread over 4 minutes inside the wave (gap < 5 min
+                # -> the hot user's wave merges into ONE session)
+                f"timestamp'{ts:%Y-%m-%d %H:%M:%S}' + make_interval(0,0,0,0,0,0, id % 240) AS ts",
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in stamped:
+                os.utime(os.path.join(src, f), (1_000_000 + i, 1_000_000 + i))
+                stamped.add(f)
+
+    # -- shape 1: session windows --------------------------------------
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    sess = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="probe_r10_sess_ckpt_")
+    q = (
+        sess.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    sess_state = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    q.stop()
+    uniq_per_wave = per_wave - hot_rows + 1
+    print(
+        f"  session_windows hot90: input={waves * per_wave} "
+        f"open_sessions_per_wave~{uniq_per_wave} state_rows_per_batch={sess_state}",
+        flush=True,
+    )
+    peak = max(sess_state)
+    # state must track open sessions (~2 waves of distinct users while the
+    # watermark lags), NEVER per-row volume: the hot user's 36k rows/wave
+    # must be ONE session row
+    assert peak <= 3 * uniq_per_wave, (
+        f"session state grew to {peak} rows (~rows, not sessions) — "
+        f"the hot user's events are not merging/evicting"
+    )
+
+    # -- shape 2: stream-stream interval join under the hot key ---------
+    # smaller waves: the hot key's matches are quadratic BY SEMANTICS
+    # (hot_clicks x hot_purchases within the interval); the probe sizes
+    # that to ~1M output while keeping per-batch state observable
+    jwaves, jper, jhot = 6, 1_000, 400
+    jsrc = tempfile.mkdtemp(prefix="probe_r10_join_src_")
+    stamped = set()
+    for i in range(jwaves):
+        ts = base + datetime.timedelta(minutes=20 * i)
+        (
+            spark.range(jper)
+            .selectExpr(
+                f"CASE WHEN id < {jhot} THEN 0 ELSE id + {i} * {jper} END AS user_id",
+                f"timestamp'{ts:%Y-%m-%d %H:%M:%S}' AS c_ts",
+                f"timestamp'{ts:%Y-%m-%d %H:%M:%S}' + interval 2 minutes AS p_ts",
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(jsrc)
+        )
+        for f in os.listdir(jsrc):
+            if f.endswith(".parquet") and f not in stamped:
+                os.utime(os.path.join(jsrc, f), (1_000_000 + i, 1_000_000 + i))
+                stamped.add(f)
+
+    schema = "user_id bigint, c_ts timestamp, p_ts timestamp"
+
+    def reader():
+        return (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(jsrc)
+        )
+
+    clicks = (
+        reader().select("user_id", "c_ts").withWatermark("c_ts", "10 minutes").alias("c")
+    )
+    purchases = (
+        reader().select("user_id", "p_ts").withWatermark("p_ts", "10 minutes").alias("p")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c.user_id = p.user_id AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 5 minutes"
+        ),
+    )
+    ckpt = tempfile.mkdtemp(prefix="probe_r10_join_ckpt_")
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    join_state = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    out_rows = sum(
+        p.get("sink", {}).get("numOutputRows", 0) or 0 for p in q.recentProgress
+    )
+    q.stop()
+    expect_matches = jwaves * (jhot * jhot + (jper - jhot))
+    print(
+        f"  stream_join hot90ish: input={jwaves * jper * 2} matches={out_rows} "
+        f"(semantic quadratic: expected {expect_matches}) "
+        f"state_rows_per_batch={join_state}",
+        flush=True,
+    )
+    assert out_rows == expect_matches, (out_rows, expect_matches)
+    peak = max(join_state)
+    # both sides of ~2 waves resident before the watermark crosses; the hot
+    # key must not keep state from evicting
+    assert peak <= 6 * jper, (
+        f"join state grew to {peak} rows under the hot key — eviction broken"
+    )
+
+
 PROBES = {
+    "round10_funnel": probe_round10_funnel,
+    "round10_baskets": probe_round10_baskets,
+    "round10_nslices": probe_round10_nslices,
+    "round10_stream_hot": probe_round10_stream_hot,
     "round9_events": probe_round9_events,
     "round9_rank": probe_round9_rank,
     "round8_cumsum": probe_round8_cumsum,
