@@ -371,7 +371,16 @@ def _range_sliced_rank(
     # consumer because offsets come from pre-window slice COUNTS, not from
     # the ranked frame (unlike _md5_prefix_cumsum, whose offsets need the
     # windowed sums).
-    sv = slice_expr.cast("double")
+    # Evaluate slice_expr exactly ONCE, into the checkpointed column — the
+    # guard below then reads the MATERIALIZED value. Wrapping slice_expr
+    # itself in when(isnull|isnan, ...).otherwise(...) would re-evaluate it
+    # three times per row BEFORE the checkpoint (Catalyst substitutes, it
+    # does not CSE across branches) — measured 10.5x on
+    # ccnet_perplexity_buckets, whose slice value is an interpreted
+    # per-token fold (BENCH_DIFF r10).
+    base = df.withColumn("_sv", slice_expr.cast("double")).localCheckpoint(
+        eager=False
+    )
     # Loud-error guard (ADVICE r9 / VERDICT r9 #3): a NULL or NaN slice
     # value makes width_bucket return NULL, and the inner join on
     # (strat, _slc) would then silently DROP those rows — wrong answers,
@@ -379,16 +388,18 @@ def _range_sliced_rank(
     # NULL/NaN (no position in the value order), so misuse fails loudly:
     # a caller ranking a nullable/NaN-able column must coalesce/nanvl it
     # into a real value consistent with its order_exprs' null ordering
-    # first. Plain codegen arithmetic — no measurable per-row cost.
-    guarded = F.when(
-        sv.isNull() | F.isnan(sv),
-        F.expr(
-            "raise_error('_range_sliced_rank: slice_expr must be non-null "
-            "and NaN-free; coalesce/nanvl it to a value consistent with "
-            "the order expressions')"
-        ).cast("double"),
-    ).otherwise(sv)
-    base = df.withColumn("_sv", guarded).localCheckpoint(eager=False)
+    # first. Applied to the materialized column: O(1) per row.
+    base = base.withColumn(
+        "_sv",
+        F.when(
+            F.col("_sv").isNull() | F.isnan("_sv"),
+            F.expr(
+                "raise_error('_range_sliced_rank: slice_expr must be "
+                "non-null and NaN-free; coalesce/nanvl it to a value "
+                "consistent with the order expressions')"
+            ).cast("double"),
+        ).otherwise(F.col("_sv")),
+    )
     if strat:
         bounds = base.groupBy(*strat).agg(
             F.min("_sv").alias("_lo"), F.max("_sv").alias("_hi")
