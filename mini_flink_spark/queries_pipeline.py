@@ -3632,11 +3632,14 @@ CHUNK_STRIDE = 384
     ("pipeline", "chunking", "documents"),
 )
 def q_doc_chunk_offsets(spark, sf_dir):
-    """Stride chunking — the complement of `packed_sequence_offsets`:
-    packing concatenates SHORT docs into fixed windows, chunking splits
-    LONG docs into overlapping fixed windows (CHUNK=512 tokens every
-    STRIDE=384, i.e. 128 tokens of carried context — the standard
-    long-document training split). Emits (doc_id, chunk_id, start_tok,
+    """Stride chunking in TOKEN units — the complement of
+    `packed_sequence_offsets` (packing concatenates SHORT docs; chunking
+    splits LONG docs) and the token-unit sibling of `doc_chunking` (which
+    windows by CHARACTER and materializes the substrings; this one emits
+    OFFSETS only, the shape a downstream tokenizer consumes without
+    shipping text through the shuffle). CHUNK=512 tokens every STRIDE=384,
+    i.e. 128 tokens of carried context — the standard long-document
+    training split. Emits (doc_id, chunk_id, start_tok,
     end_tok) with the final chunk clipped to the document length; a doc of
     n tokens yields ceil(n/STRIDE) chunks starting at every stride multiple
     below n.
@@ -3694,6 +3697,10 @@ def q_vocab_coverage_top100(spark, sf_dir):
     occurrences do the 100 most frequent tokens cover? The Zipf-mass
     diagnostic behind tokenizer budgeting and stopword-list sizing (a lang
     whose top-100 covers 80% is boilerplate-heavy; one at 30% is diverse).
+    Distinct from `vocab_oov_rate`, which scores coverage against a FIXED
+    external vocabulary — this one derives the vocabulary from the data
+    itself via an exact frequency rank, so it needs the rank machinery
+    rather than a broadcast word list.
 
     Scale: the (lang, token) count table is vocabulary-sized, not
     corpus-sized, after the map-side-combined explode+count. The top-100
