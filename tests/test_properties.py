@@ -486,3 +486,67 @@ def test_run_fold_equals_modal_with_min_tiebreak(spark, gs):
         best = max(cnt.values())
         assert t.cnt == best
         assert t.gram == min(v for v, c in cnt.items() if c == best)
+
+
+# --- funnel chain/fold equivalence (round 10) -----------------------------
+
+FUNNEL_EVENTS = st.lists(
+    st.tuples(
+        st.integers(0, 3),                      # user
+        st.sampled_from(["view", "click", "purchase", "scroll"]),
+        st.integers(0, 20),                     # ts seconds (ties likely)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _funnel_reference(data):
+    """Pure-Python min-after-min chain — order-independent by definition,
+    so it is THE semantics both Spark shapes must reproduce."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, t, s in data:
+        by_user[u].append((t, s))
+    hist = defaultdict(int)
+    for u, evs in by_user.items():
+        tv = min((s for t, s in evs if t == "view"), default=None)
+        tc = (
+            min((s for t, s in evs if t == "click" and s > tv), default=None)
+            if tv is not None
+            else None
+        )
+        tp = (
+            min((s for t, s in evs if t == "purchase" and s > tc), default=None)
+            if tc is not None
+            else None
+        )
+        stage = 3 if tp is not None else 2 if tc is not None else 1 if tv is not None else 0
+        hist[stage] += 1
+    return dict(hist)
+
+
+@PROP
+@given(data=FUNNEL_EVENTS)
+def test_funnel_chain_and_fold_match_reference(spark, data):
+    import mini_flink_spark.queries  # noqa: F401 (registration import contract)
+    from mini_flink_spark.queries_ext import _funnel_stages
+
+    ev = spark.createDataFrame(
+        [
+            (str(u), t, f"e{i}", float(s))
+            for i, (u, t, s) in enumerate(data)
+        ],
+        "user_id string, event_type string, event_id string, sec double",
+    ).select(
+        "user_id", "event_type", "event_id",
+        F.timestamp_seconds("sec").alias("ts"),
+    )
+    want = _funnel_reference(data)
+    for naive in (False, True):
+        got = {
+            r["stage"]: r["n_users"]
+            for r in _funnel_stages(ev, naive=naive).collect()
+        }
+        assert got == want, (naive, got, want, data)
