@@ -1243,6 +1243,11 @@ CHANGED_SHAPE_REGRADES: dict[str, str] = {
     "length_outliers_iqr": (
         "r10: oracle-exact percentile position arithmetic (ADVICE r9)"
     ),
+    "pagerank_item_graph": (
+        "r10 audit find: the same unbounded basket + full |b|^2 pair-array "
+        "shape item_cooccurrence_lift was capped for — MAX_BASKET anti-join "
+        "+ streamed edge generation, cap mirrored in the oracle"
+    ),
 }
 
 GRADED_WINDOW: tuple[str, ...] = (
@@ -1289,10 +1294,11 @@ GRADED_WINDOW: tuple[str, ...] = (
     "item_cooccurrence_lift",
     "value_percentiles_by_type",
     "length_outliers_iqr",
-    # oldest-verdict refresh: the REMAINING 15 rows whose latest verdict is
-    # round 2 (set-diff of the CORRECTNESS_r* artifacts — round 9 refreshed
-    # 8 of the r2 pool; these clear it entirely, advancing the oldest pool
-    # to the r3 rows for round 11)
+    "pagerank_item_graph",
+    # oldest-verdict refresh: 14 of the 15 remaining rows whose latest
+    # verdict is round 2 (set-diff of the CORRECTNESS_r* artifacts;
+    # string_battery — the one row farthest from any round-10 code change —
+    # defers to round 11 to make room for the pagerank audit-find regrade)
     "anti_join_parts_never_ordered",
     "datetime_battery",
     "distinct_event_types",
@@ -1306,11 +1312,10 @@ GRADED_WINDOW: tuple[str, ...] = (
     "set_except_late_orders",
     "set_intersect_nation_keys",
     "set_union_nation_keys",
-    "string_battery",
     "text_fingerprint",
 )
-# Round-11 rotation backlog: the oldest-refresh pool advances to the 25
-# r3-graded rows (ann_recall_eval, ann_topk_bruteforce, kmeans_clusters,
+# Round-11 rotation backlog: string_battery (the deferred r2 row) leads the
+# oldest-refresh slots, then the pool advances to the 25 r3-graded rows (ann_recall_eval, ann_topk_bruteforce, kmeans_clusters,
 # pii_redaction, text_search_bm25, topn_orders_per_priority, ... — set-diff
 # the CORRECTNESS_r* artifacts as rounds 9/10 did); prioritize
 # kmeans_clusters (BENCH watch item, VERDICT r9 #7) and the window/agg

@@ -2840,9 +2840,13 @@ def _pagerank_sql(iters: int = 3) -> str:
     so no float ever crosses an exchange — the summation-order trap that
     breaks naive distributed PageRank determinism."""
     ctes = [
-        """pur AS MATERIALIZED (
+        """pur0 AS MATERIALIZED (
   SELECT DISTINCT user_id, json_extract(props, '$.k')::BIGINT AS item
   FROM events WHERE event_type = 'purchase')""",
+        f"""ok AS MATERIALIZED (
+  SELECT user_id FROM pur0 GROUP BY 1 HAVING count(*) <= {MAX_BASKET})""",
+        """pur AS MATERIALIZED (
+  SELECT pur0.* FROM pur0 JOIN ok USING (user_id))""",
         """edges AS MATERIALIZED (
   SELECT a.item AS src, b.item AS dst
   FROM pur a JOIN pur b ON a.user_id = b.user_id AND a.item != b.item
@@ -2884,36 +2888,38 @@ def q_pagerank_item_graph(spark, sf_dir):
     perturb the result — the determinism trick that makes distributed
     PageRank oracle-checkable (floats across an exchange are not).
 
-    Scale: edges/degrees build once from per-user baskets (in-array cross
-    fold, one user-key shuffle — same shape as item_cooccurrence_lift) and
-    are pre-partitioned by src + checkpointed so every round's join reuses
-    the layout; each round is ONE join + partial-agg shuffle on the edge
-    key; no driver state beyond the node count — the rank table never
-    leaves the cluster."""
+    Scale (r10 audit find — this query had the SAME unbounded basket shape
+    item_cooccurrence_lift was capped for, plus a FULL |b|² pair-array
+    materialization): edges/degrees now build from MAX_BASKET-capped
+    baskets (broadcast anti-join of oversized users, identical cap in the
+    oracle) with pair generation STREAMED through posexplode+explode —
+    per-row memory O(|basket|), nothing materializes the cross array. The
+    edge table is pre-partitioned by src + checkpointed so every round's
+    join reuses the layout; each round is ONE join + partial-agg shuffle on
+    the edge key; no driver state beyond the node count — the rank table
+    never leaves the cluster."""
     ev = _t(spark, sf_dir, "events")
-    # baskets on ONE user-key shuffle; directed edges via an in-array cross
-    # fold (no row-level self-join), then distinct + pre-partition by src so
-    # every iteration's join reuses the same layout
-    baskets = (
+    pur = (
         ev.where(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(
-            F.array_sort(
-                F.collect_set(F.get_json_object("props", "$.k").cast("bigint"))
-            ).alias("items")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
         )
+        .distinct()
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda x: F.transform(
-                F.col("items"), lambda y: F.struct(x.alias("src"), y.alias("dst"))
-            ),
-        )
+    bots = (
+        pur.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n_items"))
+        .where(F.col("_n_items") > MAX_BASKET)
+        .select("user_id")
+    )
+    kept = pur.join(F.broadcast(bots), "user_id", "left_anti")
+    baskets = kept.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("item")).alias("items")
     )
     edges = (
-        baskets.select(F.explode(pair_arr).alias("p"))
-        .select("p.src", "p.dst")
+        baskets.select(F.explode("items").alias("src"), "items")
+        .select("src", F.explode("items").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
         .repartition("src")
