@@ -2875,6 +2875,42 @@ def _pagerank_sql(iters: int = 3) -> str:
     )
 
 
+def _item_copurchase_edges(ev, max_basket: int = MAX_BASKET):
+    """Directed co-purchase edges under the MAX_BASKET guard (injectable so
+    the planted-bot unit test can engage it at toy scale): distinct
+    (user, item) via a spillable hash aggregate, oversized users removed
+    with a broadcast anti-join BEFORE any collection, baskets bounded by
+    construction, edges streamed through posexplode+explode (per-row memory
+    O(|basket|), never the |b|² cross array). Pre-partitioned by src and
+    checkpointed — every PageRank round's join reuses the layout."""
+    pur = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .distinct()
+    )
+    bots = (
+        pur.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n_items"))
+        .where(F.col("_n_items") > max_basket)
+        .select("user_id")
+    )
+    kept = pur.join(F.broadcast(bots), "user_id", "left_anti")
+    baskets = kept.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("item")).alias("items")
+    )
+    return (
+        baskets.select(F.explode("items").alias("src"), "items")
+        .select("src", F.explode("items").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition("src")
+        .localCheckpoint(eager=True)  # consumed every iteration
+    )
+
+
 @register(
     "pagerank_item_graph",
     _pagerank_sql(iters=3),
@@ -2898,33 +2934,7 @@ def q_pagerank_item_graph(spark, sf_dir):
     join reuses the layout; each round is ONE join + partial-agg shuffle on
     the edge key; no driver state beyond the node count — the rank table
     never leaves the cluster."""
-    ev = _t(spark, sf_dir, "events")
-    pur = (
-        ev.where(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
-        )
-        .distinct()
-    )
-    bots = (
-        pur.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("_n_items"))
-        .where(F.col("_n_items") > MAX_BASKET)
-        .select("user_id")
-    )
-    kept = pur.join(F.broadcast(bots), "user_id", "left_anti")
-    baskets = kept.groupBy("user_id").agg(
-        F.array_sort(F.collect_list("item")).alias("items")
-    )
-    edges = (
-        baskets.select(F.explode("items").alias("src"), "items")
-        .select("src", F.explode("items").alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .repartition("src")
-        .localCheckpoint(eager=True)  # consumed every iteration
-    )
+    edges = _item_copurchase_edges(_t(spark, sf_dir, "events"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     n_nodes = deg.count()  # scalar driver state: ONE int (graph size)
     ranks = deg.select(

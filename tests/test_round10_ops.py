@@ -337,3 +337,27 @@ def test_funnel_conversion_rates_monotone(spark, sf_dir):
         >= rows["2_click"]["n_reached"]
         >= rows["3_purchase"]["n_reached"]
     )
+
+
+def test_pagerank_edges_cap_drops_bot_user(spark):
+    """The r10 audit find: pagerank's edge build shares the MAX_BASKET
+    guard. Planted bot above an injected cap contributes NO edges; normal
+    users' edge sets are unaffected."""
+    rows = []
+    for u, items in (
+        ("a", [1, 2]),
+        ("b", [2, 3]),
+        ("bot", [1, 2, 3, 4, 5, 6]),
+    ):
+        for it in items:
+            rows.append((u, "purchase", '{"k": %d}' % it))
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_type string, props string"
+    )
+    from mini_flink_spark.queries_pipeline import _item_copurchase_edges
+
+    got = {
+        (r["src"], r["dst"])
+        for r in _item_copurchase_edges(ev, max_basket=4).collect()
+    }
+    assert got == {(1, 2), (2, 1), (2, 3), (3, 2)}
