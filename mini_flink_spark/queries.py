@@ -1315,6 +1315,8 @@ GRADED_WINDOW: tuple[str, ...] = (
     "text_fingerprint",
 )
 # Round-11 rotation backlog: string_battery (the deferred r2 row) leads the
+# refresh; event_path_trigrams picked up the r10 NULL-ts guard (a value-
+# preserving projection, not a reshape — refresh it early if slots allow);
 # oldest-refresh slots, then the pool advances to the 25 r3-graded rows (ann_recall_eval, ann_topk_bruteforce, kmeans_clusters,
 # pii_redaction, text_search_bm25, topn_orders_per_priority, ... — set-diff
 # the CORRECTNESS_r* artifacts as rounds 9/10 did); prioritize

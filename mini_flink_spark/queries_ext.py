@@ -3448,6 +3448,21 @@ def transition_matrix_plan(ev, slices: int | None = 64):
                     ),
                 ).otherwise(F.lit(1)),
             )
+            # NULL ts -> NULL slice, which would form its own window
+            # partition and silently diverge from the naive baseline's
+            # ordering (the _range_sliced_rank guard's sibling, r10):
+            # malformed timeline input fails loudly instead
+            .withColumn(
+                "_slc",
+                F.when(
+                    F.col("_slc").isNull(),
+                    F.expr(
+                        "raise_error('event transition matrix: NULL ts "
+                        "cannot be placed on the time axis — filter or "
+                        "impute event timestamps first')"
+                    ).cast("bigint"),
+                ).otherwise(F.col("_slc")),
+            )
             .drop("_lo", "_hi")
             # two consumers (within-slice pairs + boundary frame): truncate
             # lineage so the slice assignment computes once

@@ -2076,6 +2076,22 @@ def path_trigrams_plan(ev, slices: int | None = 64):
                     ),
                 ).otherwise(F.lit(1)),
             )
+            # A NULL ts yields a NULL slice, and the position join below
+            # would silently DROP the row where the naive baseline keeps it
+            # (the _range_sliced_rank guard's sibling, r10): malformed
+            # timeline input fails loudly instead. Guard reads ts/_slc —
+            # plain columns, no expensive re-evaluation.
+            .withColumn(
+                "_slc",
+                F.when(
+                    F.col("_slc").isNull(),
+                    F.expr(
+                        "raise_error('event path trigrams: NULL ts cannot "
+                        "be placed on the time axis — filter or impute "
+                        "event timestamps first')"
+                    ).cast("bigint"),
+                ).otherwise(F.col("_slc")),
+            )
             .drop("_lo", "_hi")
             # two consumers (position window + per-slice counts)
             .localCheckpoint(eager=False)

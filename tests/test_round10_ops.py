@@ -361,3 +361,24 @@ def test_pagerank_edges_cap_drops_bot_user(spark):
         for r in _item_copurchase_edges(ev, max_basket=4).collect()
     }
     assert got == {(1, 2), (2, 1), (2, 3), (3, 2)}
+
+
+def test_sliced_event_ops_null_ts_raises(spark):
+    """The _range_sliced_rank guard's siblings: the time-sliced event ops
+    must fail loudly on NULL ts instead of silently dropping (trigrams) or
+    re-ordering (transition matrix) the malformed rows."""
+    import mini_flink_spark.queries  # noqa: F401 (registration import contract)
+    from mini_flink_spark.queries_ext import transition_matrix_plan
+    from mini_flink_spark.queries_pipeline import path_trigrams_plan
+
+    ev = spark.createDataFrame(
+        [("u1", "view", "e1", 1.0), ("u1", "click", "e2", None),
+         ("u1", "purchase", "e3", 3.0)],
+        "user_id string, event_type string, event_id string, sec double",
+    ).select(
+        "user_id", "event_type", "event_id",
+        F.timestamp_seconds("sec").alias("ts"),
+    )
+    for plan in (transition_matrix_plan, path_trigrams_plan):
+        with pytest.raises(Exception, match="NULL ts"):
+            plan(ev, slices=8).collect()
