@@ -1315,8 +1315,13 @@ GRADED_WINDOW: tuple[str, ...] = (
     "text_fingerprint",
 )
 # Round-11 rotation backlog: string_battery (the deferred r2 row) leads the
-# refresh; event_path_trigrams picked up the r10 NULL-ts guard (a value-
-# preserving projection, not a reshape — refresh it early if slots allow);
+# refresh; event_path_trigrams picked up the r10 NULL-ts guard and the
+# r9-graded rank/cumsum adopters (ccnet_perplexity_buckets,
+# curriculum_global_rank, ntile_price_quartiles, length_matched_sample,
+# median_tokens_by_lang, length_quartiles_exact, event_value_percent_rank,
+# token_budget_shards, packed_sequence_offsets, curation_pipeline_fineweb)
+# picked up r10's null-safe internal joins — value-preserving on non-null
+# keys (16-query sf0.01 re-grade green) but worth early refresh slots;
 # oldest-refresh slots, then the pool advances to the 25 r3-graded rows (ann_recall_eval, ann_topk_bruteforce, kmeans_clusters,
 # pii_redaction, text_search_bm25, topn_orders_per_priority, ... — set-diff
 # the CORRECTNESS_r* artifacts as rounds 9/10 did); prioritize

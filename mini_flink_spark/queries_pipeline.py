@@ -234,6 +234,27 @@ def q_corpus_trigram_topk(spark, sf_dir):
     )
 
 
+def _nullsafe_join(left, right, keys, broadcast_right: bool = True):
+    """Inner equi-join that treats NULL keys as EQUAL (`<=>`), matching
+    GROUP BY / window-partition semantics — a NULL stratum is a legitimate
+    group, and a plain equi-join would silently DROP its rows (the r10
+    audit's second silent-loss class, sibling of the NaN slice guard).
+    Right-side key columns are renamed before the join and dropped after,
+    so the output carries exactly left's columns + right's payload. Still
+    a hash join: `<=>` is an equi-predicate."""
+    cond = None
+    renamed = []
+    for k in keys:
+        rk = f"_r_{k}"
+        right = right.withColumnRenamed(k, rk)
+        renamed.append(rk)
+        c = F.col(k).eqNullSafe(F.col(rk))
+        cond = c if cond is None else cond & c
+    if broadcast_right:
+        right = F.broadcast(right)
+    return left.join(right, cond).drop(*renamed)
+
+
 def _md5_prefix_cumsum(
     df,
     val_col: str,
@@ -303,8 +324,10 @@ def _md5_prefix_cumsum(
         .withColumn("_off", F.sum("_tot").over(w_sl) - F.col("_tot"))
         .select(strat_col, "_slc", "_off")
     )
+    # null-safe: a NULL stratum (or the NULL slice a NULL id produces) is
+    # its own group in the naive window; the plain equi-join dropped it
     return (
-        local.join(F.broadcast(offsets), [strat_col, "_slc"])
+        _nullsafe_join(local, offsets, [strat_col, "_slc"])
         .withColumn("cum", F.col("_lcum") + F.col("_off"))
         .drop("_h", "_slc", "_lcum", "_off")
     )
@@ -332,7 +355,9 @@ def _range_sliced_rank(
     descending primary key, pass its negation). The non-null/NaN-free
     precondition is ENFORCED with a per-row raise_error (round 10): a
     violation used to silently drop rows at the slice join, now it fails
-    the job with a named message. Slices are `width_bucket` uniform
+    the job with a named message. NULL values in `strat_cols` are FINE —
+    a NULL stratum is its own group, exactly as in the window rendering
+    (the internal joins are null-safe, r10). Slices are `width_bucket` uniform
     value ranges over the per-stratum [min, max] — boundaries need NOT be
     balanced, only ORDER-CONSISTENT, so any monotone bucketing yields
     EXACT ranks; skew in the value distribution costs balance, never
@@ -409,8 +434,9 @@ def _range_sliced_rank(
     # bounds is strata-count tiny; checkpoint it so sliced's two consumers
     # (offsets agg + rank window) don't each re-aggregate min/max
     bounds = bounds.localCheckpoint(eager=False)
+    # null-safe on strat: a NULL stratum is a legitimate window partition
     joined = (
-        base.join(F.broadcast(bounds), strat)
+        _nullsafe_join(base, bounds, strat)
         if strat
         else base.crossJoin(F.broadcast(bounds))
     )
@@ -441,14 +467,14 @@ def _range_sliced_rank(
     w_loc = Window.partitionBy(*strat, "_slc").orderBy(*order_exprs)
     local = sliced.withColumn("_lrank", F.row_number().over(w_loc))
     out = (
-        local.join(F.broadcast(offsets), strat + ["_slc"])
+        _nullsafe_join(local, offsets, strat + ["_slc"])
         .withColumn("rank", F.col("_lrank") + F.col("_off"))
         .drop("_sv", "_slc", "_lrank", "_off")
     )
     if total_col is not None:
         totals = counts.groupBy(*strat).agg(F.sum("_n").alias(total_col))
         out = (
-            out.join(F.broadcast(totals), strat)
+            _nullsafe_join(out, totals, strat)
             if strat
             else out.crossJoin(F.broadcast(totals))
         )

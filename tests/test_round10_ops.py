@@ -382,3 +382,45 @@ def test_sliced_event_ops_null_ts_raises(spark):
     for plan in (transition_matrix_plan, path_trigrams_plan):
         with pytest.raises(Exception, match="NULL ts"):
             plan(ev, slices=8).collect()
+
+
+def test_null_stratum_ranks_exactly_like_the_window(spark):
+    """A NULL stratum is a legitimate window partition; the decomposed rank
+    must keep it (r10: the internal joins are null-safe — a plain equi-join
+    silently dropped the whole NULL group)."""
+    from pyspark.sql.window import Window as W
+
+    rows = [("a", 1, 3.0), ("a", 2, 1.0), (None, 3, 2.0), (None, 4, 1.0),
+            ("b", 5, 9.0), (None, 6, 5.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {
+        r["id"]: (r["rank"], r["_n"])
+        for r in _range_sliced_rank(
+            df, [F.asc("v"), F.asc("id")], F.col("v"), ["g"], n_slices=4,
+            total_col="_n",
+        ).collect()
+    }
+    w = W.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    exp = {
+        r["id"]: (r["rank"], r["_n"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(W.partitionBy("g")))
+        .collect()
+    }
+    assert got == exp and len(got) == len(rows)
+
+
+def test_null_stratum_cumsum_exactly_like_the_window(spark):
+    from mini_flink_spark.queries_pipeline import _md5_prefix_cumsum
+
+    rows = [("a", 1, 10), ("a", 2, 20), (None, 3, 5), (None, 4, 7), ("b", 5, 1)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, v long")
+    got = {
+        r["doc_id"]: r["cum"]
+        for r in _md5_prefix_cumsum(df, "v", "lang", "doc_id", prefix_len=1).collect()
+    }
+    exp = {
+        r["doc_id"]: r["cum"]
+        for r in _md5_prefix_cumsum(df, "v", "lang", "doc_id", prefix_len=0).collect()
+    }
+    assert got == exp and len(got) == len(rows)
