@@ -2135,8 +2135,11 @@ def path_trigrams_plan(ev, slices: int | None = 64):
             .withColumn("_off", F.sum("_cn").over(w_off) - F.col("_cn"))
             .select("user_id", "_slc", "_off")
         )
+        # null-safe joins throughout (r10): a NULL user_id is ONE pseudo-
+        # user in the oracle's GROUP BY (and in the naive collect_list
+        # shape); plain equi-joins would silently drop its rows/trigrams
         pos = (
-            local.join(offsets, ["user_id", "_slc"])
+            _nullsafe_join(local, offsets, ["user_id", "_slc"], broadcast_right=False)
             .select(
                 "user_id",
                 (F.col("_lr") + F.col("_off")).alias("pos"),
@@ -2146,20 +2149,22 @@ def path_trigrams_plan(ev, slices: int | None = 64):
             .localCheckpoint(eager=False)
         )
         tri = (
-            pos.select("user_id", "pos", F.col("event_type").alias("_a"))
-            .join(
-                pos.select(
-                    "user_id", (F.col("pos") - 1).alias("pos"),
-                    F.col("event_type").alias("_b"),
+            _nullsafe_join(
+                _nullsafe_join(
+                    pos.select("user_id", "pos", F.col("event_type").alias("_a")),
+                    pos.select(
+                        "user_id", (F.col("pos") - 1).alias("pos"),
+                        F.col("event_type").alias("_b"),
+                    ),
+                    ["user_id", "pos"],
+                    broadcast_right=False,
                 ),
-                ["user_id", "pos"],
-            )
-            .join(
                 pos.select(
                     "user_id", (F.col("pos") - 2).alias("pos"),
                     F.col("event_type").alias("_c"),
                 ),
                 ["user_id", "pos"],
+                broadcast_right=False,
             )
             .select(F.concat_ws(" ", "_a", "_b", "_c").alias("trigram"))
         )

@@ -424,3 +424,26 @@ def test_null_stratum_cumsum_exactly_like_the_window(spark):
         for r in _md5_prefix_cumsum(df, "v", "lang", "doc_id", prefix_len=0).collect()
     }
     assert got == exp and len(got) == len(rows)
+
+
+def test_trigrams_null_user_kept_like_naive(spark):
+    """A NULL user_id is one pseudo-user in GROUP BY semantics; the sliced
+    positional joins must keep its trigrams (r10 null-safe joins), matching
+    the naive collect_list shape exactly."""
+    import mini_flink_spark.queries  # noqa: F401 (registration import contract)
+    from mini_flink_spark.queries_pipeline import path_trigrams_plan
+
+    rows = [(None, t, f"e{i}", float(i)) for i, t in
+            enumerate(["view", "click", "purchase", "view", "click"])]
+    rows += [("u1", t, f"f{i}", float(i)) for i, t in
+             enumerate(["view", "view", "view"])]
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_type string, event_id string, sec double"
+    ).select(
+        "user_id", "event_type", "event_id",
+        F.timestamp_seconds("sec").alias("ts"),
+    )
+    naive = {(r["trigram"], r["n"]) for r in path_trigrams_plan(ev, slices=None).collect()}
+    sliced = {(r["trigram"], r["n"]) for r in path_trigrams_plan(ev, slices=8).collect()}
+    assert naive == sliced
+    assert any("view click purchase" == t for t, _ in sliced)
