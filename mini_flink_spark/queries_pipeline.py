@@ -2625,7 +2625,8 @@ MAX_BASKET = 10_000
     ok AS (
       SELECT user_id FROM pur0 GROUP BY 1 HAVING count(*) <= {MAX_BASKET}
     ),
-    pur AS (SELECT pur0.* FROM pur0 JOIN ok USING (user_id)),
+    pur AS (SELECT pur0.* FROM pur0
+            JOIN ok ON pur0.user_id IS NOT DISTINCT FROM ok.user_id),
     ic AS (SELECT item, count(*)::BIGINT AS n_u FROM pur GROUP BY 1),
     u AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM pur),
     co AS (
@@ -2682,7 +2683,15 @@ def _cooccurrence_lift(ev, max_basket: int = MAX_BASKET):
         .where(F.col("_n_items") > max_basket)
         .select("user_id")
     )
-    kept = pur.join(F.broadcast(bots), "user_id", "left_anti")
+    # null-safe anti-join: a NULL pseudo-user that exceeds the cap must be
+    # dropped too — a plain anti-join's NULL key never matches, so an
+    # oversized NULL-user basket would evade the guard (oracle mirrors via
+    # IS NOT DISTINCT FROM)
+    kept = pur.join(
+        F.broadcast(bots.select(F.col("user_id").alias("_bot_uid"))),
+        F.col("user_id").eqNullSafe(F.col("_bot_uid")),
+        "left_anti",
+    )
     baskets = (
         kept.groupBy("user_id")
         .agg(F.array_sort(F.collect_list("item")).alias("items"))
@@ -2893,7 +2902,8 @@ def _pagerank_sql(iters: int = 3) -> str:
         f"""ok AS MATERIALIZED (
   SELECT user_id FROM pur0 GROUP BY 1 HAVING count(*) <= {MAX_BASKET})""",
         """pur AS MATERIALIZED (
-  SELECT pur0.* FROM pur0 JOIN ok USING (user_id))""",
+  SELECT pur0.* FROM pur0
+  JOIN ok ON pur0.user_id IS NOT DISTINCT FROM ok.user_id)""",
         """edges AS MATERIALIZED (
   SELECT a.item AS src, b.item AS dst
   FROM pur a JOIN pur b ON a.user_id = b.user_id AND a.item != b.item
@@ -2944,7 +2954,15 @@ def _item_copurchase_edges(ev, max_basket: int = MAX_BASKET):
         .where(F.col("_n_items") > max_basket)
         .select("user_id")
     )
-    kept = pur.join(F.broadcast(bots), "user_id", "left_anti")
+    # null-safe anti-join: a NULL pseudo-user that exceeds the cap must be
+    # dropped too — a plain anti-join's NULL key never matches, so an
+    # oversized NULL-user basket would evade the guard (oracle mirrors via
+    # IS NOT DISTINCT FROM)
+    kept = pur.join(
+        F.broadcast(bots.select(F.col("user_id").alias("_bot_uid"))),
+        F.col("user_id").eqNullSafe(F.col("_bot_uid")),
+        "left_anti",
+    )
     baskets = kept.groupBy("user_id").agg(
         F.array_sort(F.collect_list("item")).alias("items")
     )

@@ -447,3 +447,23 @@ def test_trigrams_null_user_kept_like_naive(spark):
     sliced = {(r["trigram"], r["n"]) for r in path_trigrams_plan(ev, slices=8).collect()}
     assert naive == sliced
     assert any("view click purchase" == t for t, _ in sliced)
+
+
+def test_basket_guard_drops_oversized_null_pseudo_user(spark):
+    """A NULL user_id whose pseudo-basket exceeds the cap must be dropped
+    like any bot — the plain anti-join's NULL key never matches, so before
+    the null-safe fix an oversized NULL-user basket evaded the guard."""
+    rows = [("a", "purchase", '{"k": 1}'), ("a", "purchase", '{"k": 2}')]
+    rows += [(None, "purchase", '{"k": %d}' % i) for i in range(10)]
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_type string, props string"
+    )
+    from mini_flink_spark.queries_pipeline import (
+        _cooccurrence_lift,
+        _item_copurchase_edges,
+    )
+
+    pairs = _cooccurrence_lift(ev, max_basket=5).collect()
+    assert [(r["item_a"], r["item_b"]) for r in pairs] == [(1, 2)]
+    edges = {(r["src"], r["dst"]) for r in _item_copurchase_edges(ev, max_basket=5).collect()}
+    assert edges == {(1, 2), (2, 1)}
