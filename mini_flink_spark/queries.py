@@ -1201,12 +1201,11 @@ def q_ntile_quartiles(spark, sf_dir):
 # The driver grades exactly the first 50 queries in registration order, so the
 # exported dicts put a curated window first. Rotation policy (VERDICT r3 #3):
 # the 15 §2 reference-surface rows and 10 flagship LLM-pipeline anchors stay
-# pinned every round; the other 25 slots rotate. Round 10's rotation: the
-# four round-10 additions (never-graded leads the priority order), six
-# changed-shape regrades (see the dict below), and the 15 remaining
-# r2-graded rows — clearing the r2 refresh pool entirely. Everything else
-# keeps registration order after the window — nothing is removed, only
-# reordered.
+# pinned every round; the other 25 slots rotate. Round 11's rotation: the
+# eight changed-shape regrades from the VERDICT-r10/ADVICE-r10 surgery (see
+# the dict below) and a 17-slot oldest-first refresh — the deferred r2
+# straggler plus 16 of the 25 r3-era rows. Everything else keeps
+# registration order after the window — nothing is removed, only reordered.
 # Round-9 rotation-policy amendment (VERDICT r8 #1 asks for exactly this):
 # the never-graded pool is now SMALLER than the 25 rotating slots, so two
 # further slot classes fill the window, in priority order after the
@@ -1218,36 +1217,42 @@ def q_ntile_quartiles(spark, sf_dir):
 #   2. oldest-verdict refresh — remaining slots re-certify rows whose latest
 #      verdict is the OLDEST on record, so driver evidence never goes stale.
 CHANGED_SHAPE_REGRADES: dict[str, str] = {
-    # (round-8/9 entries expired: every one of them got its green driver
-    # row on the new shape in CORRECTNESS_r09 — the dict's self-expiry
-    # rule in action)
-    # round-9 reshapes whose driver rows predate them
-    "quality_filter_by_source": (
-        "r9 rank-based median (reshaped after the r9 window was pinned) "
-        "+ r10 oracle-exact percentile positions"
-    ),
-    "event_transition_matrix": (
-        "r9 sliced default — omitted from this dict in r9, VERDICT r9 #2"
-    ),
-    # round-10 surgery
-    "funnel_view_click_purchase": (
-        "r10: bounded min-after-min chain replaces the collect_list fold "
-        "(VERDICT r9 #1)"
+    # (round-9/10 entries expired: every one of them got its green driver
+    # row on the new shape in CORRECTNESS_r10 — the dict's self-expiry
+    # rule in action, VERDICT r10 residual #2)
+    # round-11 surgery — VERDICT r10 #1 + the four ADVICE r10 findings
+    "pagerank_item_graph": (
+        "r11: out-degree folded into the checkpointed src-partitioned edge "
+        "build — per-iteration node-sized broadcast(deg) eliminated "
+        "(VERDICT r10 #1); NULL-user purchases filtered on both engines "
+        "(ADVICE r10)"
     ),
     "item_cooccurrence_lift": (
-        "r10: MAX_BASKET bot cap + streamed pair generation (VERDICT r9 #1)"
+        "r11: NULL-user purchases filtered on both engines — GROUP BY's "
+        "NULL pseudo-basket vs the oracle's no-match equi-join pairs "
+        "(ADVICE r10)"
+    ),
+    "funnel_conversion_rates": (
+        "r11: oracle's v CTE now excludes NULL user_id, matching the "
+        "chain's join semantics where an anonymous view never reaches r1 "
+        "(ADVICE r10, medium)"
+    ),
+    "event_transition_matrix": (
+        "r11: NULL-ts guard raises on ts IS NULL directly — the degenerate "
+        "single-timestamp branch could assign slice 1 to NULL-ts rows "
+        "before the inferred _slc check (ADVICE r10)"
+    ),
+    "event_path_trigrams": (
+        "r11: same direct NULL-ts raise as event_transition_matrix "
+        "(ADVICE r10)"
     ),
     "value_percentiles_by_type": (
-        "r10: oracle-exact percentile position arithmetic (ADVICE r9)"
+        "r11: percentile hi-branch gated on frac > 0 — NaN/Inf at the "
+        "neighbor rank no longer poisons an integral-position stratum "
+        "(ADVICE r10)"
     ),
-    "length_outliers_iqr": (
-        "r10: oracle-exact percentile position arithmetic (ADVICE r9)"
-    ),
-    "pagerank_item_graph": (
-        "r10 audit find: the same unbounded basket + full |b|^2 pair-array "
-        "shape item_cooccurrence_lift was capped for — MAX_BASKET anti-join "
-        "+ streamed edge generation, cap mirrored in the oracle"
-    ),
+    "quality_filter_by_source": "r11: percentile frac > 0 gate (ADVICE r10)",
+    "length_outliers_iqr": "r11: percentile frac > 0 gate (ADVICE r10)",
 }
 
 GRADED_WINDOW: tuple[str, ...] = (
@@ -1279,54 +1284,56 @@ GRADED_WINDOW: tuple[str, ...] = (
     "gopher_quality_flags",
     "curation_pipeline_v2",
     "bpe_learn_merges",
-    # ---- round-10 rotation (VERDICT r9 #1/#2/#4) ----
-    # round-10 additions (never-graded — graded the round they land)
-    "doc_chunk_offsets",
-    "vocab_coverage_top100",
-    "funnel_conversion_rates",
-    "rfm_segment_counts",
-    # changed-shape regrades (CHANGED_SHAPE_REGRADES above): the two r9
-    # reshapes whose driver rows predate them, the two r10 hot-key-buffer
-    # eliminations, and the two adopters of the r10 percentile-position fix
-    "quality_filter_by_source",
-    "event_transition_matrix",
-    "funnel_view_click_purchase",
-    "item_cooccurrence_lift",
-    "value_percentiles_by_type",
-    "length_outliers_iqr",
+    # ---- round-11 rotation (VERDICT r10 #1/#2/#3 + the ADVICE r10 set) ----
+    # changed-shape regrades (CHANGED_SHAPE_REGRADES above): the pagerank
+    # degree fold, the three NULL-semantics consistency fixes, the two
+    # direct NULL-ts guards, and the three percentile frac-gate adopters
     "pagerank_item_graph",
-    # oldest-verdict refresh: 14 of the 15 remaining rows whose latest
-    # verdict is round 2 (set-diff of the CORRECTNESS_r* artifacts;
-    # string_battery — the one row farthest from any round-10 code change —
-    # defers to round 11 to make room for the pagerank audit-find regrade)
-    "anti_join_parts_never_ordered",
-    "datetime_battery",
-    "distinct_event_types",
-    "distinct_users_per_type",
-    "embedding_norms",
-    "events_json_extract",
-    "join_customer_nation_region",
-    "parts_above_avg_price",
-    "returned_item_revenue",
-    "semi_join_customers_with_orders",
-    "set_except_late_orders",
-    "set_intersect_nation_keys",
-    "set_union_nation_keys",
-    "text_fingerprint",
+    "item_cooccurrence_lift",
+    "funnel_conversion_rates",
+    "event_transition_matrix",
+    "event_path_trigrams",
+    "value_percentiles_by_type",
+    "quality_filter_by_source",
+    "length_outliers_iqr",
+    # oldest-verdict refresh, drained OLDEST-FIRST (VERDICT r10 #2): the
+    # deferred r2 straggler, then 16 of the 25 r3-era rows — prioritized by
+    # (a) VERDICT r10's named list (kmeans_clusters, pii_redaction,
+    # pricing_summary, asof_click_attribution, interval_join_click_purchase,
+    # text_search_bm25, topn_orders_per_priority, the ann/semdedup/simhash
+    # family) and (b) proximity to round-11 code changes. The remaining 9
+    # r3 rows (top_orders, join_revenue_by_segment, salted_keyed_agg,
+    # shipping_priority, text_token_count, text_quality, text_langid,
+    # decontamination_check, mixture_weights) take round 12's slots.
+    "string_battery",
+    "kmeans_clusters",
+    "pii_redaction",
+    "pricing_summary",
+    "asof_click_attribution",
+    "interval_join_click_purchase",
+    "text_search_bm25",
+    "topn_orders_per_priority",
+    "ann_recall_eval",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "pq_adc_topk",
+    "dedup_semantic_semdedup",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_incremental",
+    "dedup_components",
 )
-# Round-11 rotation backlog: string_battery (the deferred r2 row) leads the
-# refresh; event_path_trigrams picked up the r10 NULL-ts guard and the
-# r9-graded rank/cumsum adopters (ccnet_perplexity_buckets,
-# curriculum_global_rank, ntile_price_quartiles, length_matched_sample,
-# median_tokens_by_lang, length_quartiles_exact, event_value_percent_rank,
-# token_budget_shards, packed_sequence_offsets, curation_pipeline_fineweb)
-# picked up r10's null-safe internal joins — value-preserving on non-null
-# keys (16-query sf0.01 re-grade green) but worth early refresh slots;
-# oldest-refresh slots, then the pool advances to the 25 r3-graded rows (ann_recall_eval, ann_topk_bruteforce, kmeans_clusters,
-# pii_redaction, text_search_bm25, topn_orders_per_priority, ... — set-diff
-# the CORRECTNESS_r* artifacts as rounds 9/10 did); prioritize
-# kmeans_clusters (BENCH watch item, VERDICT r9 #7) and the window/agg
-# families nearest any round-11 code changes.
+# Round-12 rotation backlog: first the 9 r3-era rows left after round 11's
+# oldest-first drain (top_orders, join_revenue_by_segment, salted_keyed_agg,
+# shipping_priority, text_token_count, text_quality, text_langid,
+# decontamination_check, mixture_weights — set-diff the CORRECTNESS_r*
+# artifacts as rounds 9-11 did), then the pool advances to the r4-era
+# verdicts. The r9-graded rank/cumsum adopters of r10's null-safe joins
+# (ccnet_perplexity_buckets, curriculum_global_rank, ntile_price_quartiles,
+# length_matched_sample, median_tokens_by_lang, length_quartiles_exact,
+# event_value_percent_rank, token_budget_shards, packed_sequence_offsets,
+# curation_pipeline_fineweb) stay value-preserving on non-null keys
+# (16-query sf0.01 re-grade green in r10) and queue behind the oldest pool.
 
 
 def _ordered_names() -> list[str]:

@@ -3445,30 +3445,35 @@ def transition_matrix_plan(ev, slices: int | None = 64):
         ).localCheckpoint(eager=False)
         sliced = (
             ev.crossJoin(F.broadcast(bounds))
+            # NULL ts cannot be placed on the time axis; it would form its
+            # own window partition and silently diverge from the naive
+            # baseline's ordering. Raise on ts IS NULL DIRECTLY, as the
+            # FIRST branch — the r10 cut inferred malformedness from a NULL
+            # _slc after the fact, and the degenerate `otherwise(lit(1))`
+            # branch (single distinct timestamp → _hi > _lo is false/NULL)
+            # assigned slice 1 to NULL-ts rows before that check could see
+            # them (ADVICE r10). ts is a plain scan column, so the guard
+            # costs one null check (no expression re-evaluation — the r10
+            # CSE lesson), and width_bucket now appears ONCE in the plan
+            # instead of condition + otherwise.
             .withColumn(
                 "_slc",
                 F.when(
-                    F.col("_hi") > F.col("_lo"),
-                    F.expr(
-                        f"width_bucket(cast(unix_micros(cast(ts as timestamp)) as double),"
-                        f" _lo, _hi, {int(slices)})"
-                    ),
-                ).otherwise(F.lit(1)),
-            )
-            # NULL ts -> NULL slice, which would form its own window
-            # partition and silently diverge from the naive baseline's
-            # ordering (the _range_sliced_rank guard's sibling, r10):
-            # malformed timeline input fails loudly instead
-            .withColumn(
-                "_slc",
-                F.when(
-                    F.col("_slc").isNull(),
+                    F.col("ts").isNull(),
                     F.expr(
                         "raise_error('event transition matrix: NULL ts "
                         "cannot be placed on the time axis — filter or "
                         "impute event timestamps first')"
                     ).cast("bigint"),
-                ).otherwise(F.col("_slc")),
+                )
+                .when(
+                    F.col("_hi") > F.col("_lo"),
+                    F.expr(
+                        f"width_bucket(cast(unix_micros(cast(ts as timestamp)) as double),"
+                        f" _lo, _hi, {int(slices)})"
+                    ),
+                )
+                .otherwise(F.lit(1)),
             )
             .drop("_lo", "_hi")
             # two consumers (within-slice pairs + boundary frame): truncate
@@ -4140,9 +4145,17 @@ def q_stats_moments_battery(spark, sf_dir):
 
 @register(
     "funnel_conversion_rates",
+    # v filters NULL user_id explicitly: a funnel counts USERS, and a NULL
+    # user_id is the absence of an identity, not a participant. The chain's
+    # join semantics already enforce this downstream (a NULL key never
+    # matches, so NULL-user rows land at stage 0 and r2/r3 exclude them),
+    # but this oracle reads r1 as count(*) of v, where GROUP BY would keep
+    # one NULL pseudo-group — a silent, partial engine/oracle divergence on
+    # any corpus with an anonymous 'view' event (ADVICE r10). The filter
+    # pins both engines to the same users-only contract.
     """
     WITH v AS (SELECT user_id, min(ts) AS tv FROM events
-               WHERE event_type = 'view' GROUP BY 1),
+               WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
     c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN v USING (user_id)
           WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
     p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN c USING (user_id)
@@ -4170,7 +4183,13 @@ def q_funnel_conversion_rates(spark, sf_dir):
     scalar aggregation buffers, type-filtered scans, user-keyed joins that
     cannot explode); the conversion arithmetic is a 1-row aggregate over
     the 4-row stage histogram."""
-    ev = _t(spark, sf_dir, "events")
+    return funnel_conversion_plan(_t(spark, sf_dir, "events"))
+
+
+def funnel_conversion_plan(ev):
+    """Body of funnel_conversion_rates with the event frame injectable so
+    the planted-NULL-user unit test can run engine-vs-oracle on toy data
+    (ADVICE r10: the NULL-user contract is exactly what that test pins)."""
     stages = _funnel_stages(ev)
     agg = stages.agg(
         F.sum(F.when(F.col("stage") >= 1, F.col("n_users")).otherwise(0))

@@ -505,11 +505,16 @@ def _percentile_cont_contrib(
     lo = idx + F.lit(1).cast("bigint")  # integer add AFTER the floor
     hi = lo + F.lit(1).cast("bigint")
     v = F.col(value_col)
-    # frac == 0.0 → the hi branch multiplies by exactly 0.0, so lo alone
-    # carries the full weight; no separate integer-position case needed
+    # The hi branch is GATED on frac > 0, not left to multiply by 0.0: when
+    # the position is integral (p=0, p=1, any p with p*(n-1) integral) the
+    # exact answer is the single order statistic at lo, and engines
+    # (Spark percentile(), DuckDB quantile_cont) never touch the neighbor —
+    # so neither may we, or a NaN/Inf value sitting at rank lo+1 turns
+    # v * 0.0 into NaN and poisons the stratum sum (ADVICE r10). For
+    # finite values the gate is bit-identical: adding v * 0.0 == adding 0.0.
     return (
         F.when(F.col(rank_col) == lo, v * (F.lit(1.0) - frac))
-        .when(F.col(rank_col) == hi, v * frac)
+        .when((F.col(rank_col) == hi) & (frac > F.lit(0.0)), v * frac)
         .otherwise(F.lit(0.0))
     )
 
@@ -2092,31 +2097,34 @@ def path_trigrams_plan(ev, slices: int | None = 64):
         sliced = (
             ev.select("user_id", "ts", "event_id", "event_type")
             .crossJoin(F.broadcast(bounds))
+            # A NULL ts cannot be placed on the time axis, and the position
+            # join below would silently DROP the row where the naive
+            # baseline keeps it. Raise on ts IS NULL DIRECTLY, as the FIRST
+            # branch — the r10 cut inferred malformedness from a NULL _slc
+            # after the fact, and the degenerate `otherwise(lit(1))` branch
+            # (single distinct timestamp → _hi > _lo false/NULL) assigned
+            # slice 1 to NULL-ts rows before that check could see them
+            # (ADVICE r10). ts is a plain scan column — one null check, no
+            # expression re-evaluation (the r10 CSE lesson), and
+            # width_bucket appears ONCE in the plan instead of twice.
             .withColumn(
                 "_slc",
                 F.when(
-                    F.col("_hi") > F.col("_lo"),
-                    F.expr(
-                        f"width_bucket(cast(unix_micros(cast(ts as timestamp)) as double),"
-                        f" _lo, _hi, {int(slices)})"
-                    ),
-                ).otherwise(F.lit(1)),
-            )
-            # A NULL ts yields a NULL slice, and the position join below
-            # would silently DROP the row where the naive baseline keeps it
-            # (the _range_sliced_rank guard's sibling, r10): malformed
-            # timeline input fails loudly instead. Guard reads ts/_slc —
-            # plain columns, no expensive re-evaluation.
-            .withColumn(
-                "_slc",
-                F.when(
-                    F.col("_slc").isNull(),
+                    F.col("ts").isNull(),
                     F.expr(
                         "raise_error('event path trigrams: NULL ts cannot "
                         "be placed on the time axis — filter or impute "
                         "event timestamps first')"
                     ).cast("bigint"),
-                ).otherwise(F.col("_slc")),
+                )
+                .when(
+                    F.col("_hi") > F.col("_lo"),
+                    F.expr(
+                        f"width_bucket(cast(unix_micros(cast(ts as timestamp)) as double),"
+                        f" _lo, _hi, {int(slices)})"
+                    ),
+                )
+                .otherwise(F.lit(1)),
             )
             .drop("_lo", "_hi")
             # two consumers (position window + per-slice counts)
@@ -2620,7 +2628,7 @@ MAX_BASKET = 10_000
     f"""
     WITH pur0 AS (
       SELECT DISTINCT user_id, json_extract(props, '$.k')::BIGINT AS item
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
     ),
     ok AS (
       SELECT user_id FROM pur0 GROUP BY 1 HAVING count(*) <= {MAX_BASKET}
@@ -2669,9 +2677,18 @@ def q_item_cooccurrence_lift(spark, sf_dir):
 
 def _cooccurrence_lift(ev, max_basket: int = MAX_BASKET):
     """Body of item_cooccurrence_lift with the cap injectable so the
-    planted-bot unit test can exercise the guard at toy scale."""
+    planted-bot unit test can exercise the guard at toy scale.
+
+    NULL user_id is filtered OUT, on both engines (ADVICE r10): basket
+    semantics require a user identity — GROUP BY would fuse every anonymous
+    purchase in the corpus into ONE fake basket whose co-occurrences are
+    noise, while the oracle's equi-join pair generation would silently emit
+    no pairs for it and exclude it from n_users. Dropping it is both the
+    correct signal and the only reading the two engines can agree on."""
     pur = (
-        ev.where(F.col("event_type") == "purchase")
+        ev.where(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
         .select(
             "user_id", F.get_json_object("props", "$.k").cast("bigint").alias("item")
         )
@@ -2683,10 +2700,12 @@ def _cooccurrence_lift(ev, max_basket: int = MAX_BASKET):
         .where(F.col("_n_items") > max_basket)
         .select("user_id")
     )
-    # null-safe anti-join: a NULL pseudo-user that exceeds the cap must be
-    # dropped too — a plain anti-join's NULL key never matches, so an
-    # oversized NULL-user basket would evade the guard (oracle mirrors via
-    # IS NOT DISTINCT FROM)
+    # null-safe anti-join, kept as belt-and-braces although pur is now
+    # NULL-free by construction: if the upstream filter ever loosens, a
+    # plain anti-join's NULL key would never match and an oversized
+    # NULL-user basket would evade the guard (oracle mirrors via
+    # IS NOT DISTINCT FROM; BHJ extracts null-safe equi keys, so the
+    # operator choice is unchanged — r10 PLANS evidence)
     kept = pur.join(
         F.broadcast(bots.select(F.col("user_id").alias("_bot_uid"))),
         F.col("user_id").eqNullSafe(F.col("_bot_uid")),
@@ -2898,7 +2917,7 @@ def _pagerank_sql(iters: int = 3) -> str:
     ctes = [
         """pur0 AS MATERIALIZED (
   SELECT DISTINCT user_id, json_extract(props, '$.k')::BIGINT AS item
-  FROM events WHERE event_type = 'purchase')""",
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL)""",
         f"""ok AS MATERIALIZED (
   SELECT user_id FROM pur0 GROUP BY 1 HAVING count(*) <= {MAX_BASKET})""",
         """pur AS MATERIALIZED (
@@ -2938,10 +2957,25 @@ def _item_copurchase_edges(ev, max_basket: int = MAX_BASKET):
     (user, item) via a spillable hash aggregate, oversized users removed
     with a broadcast anti-join BEFORE any collection, baskets bounded by
     construction, edges streamed through posexplode+explode (per-row memory
-    O(|basket|), never the |b|² cross array). Pre-partitioned by src and
-    checkpointed — every PageRank round's join reuses the layout."""
+    O(|basket|), never the |b|² cross array). NULL user_id is filtered out
+    on both engines (ADVICE r10 — see `_cooccurrence_lift`): GROUP BY would
+    fuse all anonymous purchases into one fake basket and emit its edges,
+    while the oracle's equi-join emits none.
+
+    The out-degree `d` rides ALONG as an edge column (r11, VERDICT r10 #1):
+    a count window over the src partitioning the frame already has — a
+    local sort, no exchange, no separate `deg` frame. Each PageRank round
+    is then ONE join against this frame instead of join + node-sized
+    `broadcast(deg)`: at 10⁸ items that broadcast is a multi-GB
+    driver-built array, three times per run — the last driver-side scale
+    bound in the registry. Pre-partitioned by src and checkpointed — every
+    round's join reuses the layout."""
+    from pyspark.sql.window import Window as W
+
     pur = (
-        ev.where(F.col("event_type") == "purchase")
+        ev.where(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
         .select(
             "user_id",
             F.get_json_object("props", "$.k").cast("bigint").alias("item"),
@@ -2954,10 +2988,12 @@ def _item_copurchase_edges(ev, max_basket: int = MAX_BASKET):
         .where(F.col("_n_items") > max_basket)
         .select("user_id")
     )
-    # null-safe anti-join: a NULL pseudo-user that exceeds the cap must be
-    # dropped too — a plain anti-join's NULL key never matches, so an
-    # oversized NULL-user basket would evade the guard (oracle mirrors via
-    # IS NOT DISTINCT FROM)
+    # null-safe anti-join, kept as belt-and-braces although pur is now
+    # NULL-free by construction: if the upstream filter ever loosens, a
+    # plain anti-join's NULL key would never match and an oversized
+    # NULL-user basket would evade the guard (oracle mirrors via
+    # IS NOT DISTINCT FROM; BHJ extracts null-safe equi keys, so the
+    # operator choice is unchanged — r10 PLANS evidence)
     kept = pur.join(
         F.broadcast(bots.select(F.col("user_id").alias("_bot_uid"))),
         F.col("user_id").eqNullSafe(F.col("_bot_uid")),
@@ -2972,6 +3008,10 @@ def _item_copurchase_edges(ev, max_basket: int = MAX_BASKET):
         .where(F.col("src") != F.col("dst"))
         .distinct()
         .repartition("src")
+        # count window over the partitioning the repartition just created:
+        # Catalyst sees the required hashpartitioning(src) satisfied, so
+        # this is a local per-partition sort + running count — no exchange
+        .withColumn("d", F.count(F.lit(1)).over(W.partitionBy("src")))
         .localCheckpoint(eager=True)  # consumed every iteration
     )
 
@@ -2991,25 +3031,41 @@ def q_pagerank_item_graph(spark, sf_dir):
 
     Scale (r10 audit find — this query had the SAME unbounded basket shape
     item_cooccurrence_lift was capped for, plus a FULL |b|² pair-array
-    materialization): edges/degrees now build from MAX_BASKET-capped
-    baskets (broadcast anti-join of oversized users, identical cap in the
-    oracle) with pair generation STREAMED through posexplode+explode —
-    per-row memory O(|basket|), nothing materializes the cross array. The
-    edge table is pre-partitioned by src + checkpointed so every round's
-    join reuses the layout; each round is ONE join + partial-agg shuffle on
-    the edge key; no driver state beyond the node count — the rank table
-    never leaves the cluster."""
-    edges = _item_copurchase_edges(_t(spark, sf_dir, "events"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    n_nodes = deg.count()  # scalar driver state: ONE int (graph size)
-    ranks = deg.select(
+    materialization): edges/degrees now build from MAX_BASKET-capped,
+    NULL-user-free baskets (broadcast anti-join of oversized users,
+    identical cap in the oracle) with pair generation STREAMED through
+    posexplode+explode — per-row memory O(|basket|), nothing materializes
+    the cross array.
+
+    r11 (VERDICT r10 #1): the out-degree now rides as a COLUMN of the
+    checkpointed, src-partitioned edge table (a count window over the
+    partitioning the edge build already has — local sort, zero exchange),
+    so each round is ONE join + partial-agg shuffle and the per-iteration
+    `broadcast(deg)` is GONE. That broadcast was node-count-sized — a
+    multi-GB driver-built array ×3 at a 10⁸-item corpus, the last
+    driver-side scale bound in the registry. The rank frame is the only
+    moving side of the join now: AQE broadcasts it while it is small and
+    shuffles it onto the edge partitioning once it isn't — the decision
+    scales with the data instead of being forced by the plan. No driver
+    state beyond the node count (ONE int); the rank table never leaves the
+    cluster."""
+    return pagerank_plan(_t(spark, sf_dir, "events"))
+
+
+def pagerank_plan(ev, iters: int = 3, max_basket: int = MAX_BASKET):
+    """Body of pagerank_item_graph with the event frame and cap injectable
+    so planted-NULL-user / planted-bot unit tests can run engine-vs-oracle
+    at toy scale."""
+    edges = _item_copurchase_edges(ev, max_basket=max_basket)
+    nodes = edges.select("src").distinct()  # rides the src partitioning
+    n_nodes = nodes.count()  # scalar driver state: ONE int (graph size)
+    ranks = nodes.select(
         F.col("src").alias("item"), F.lit(1000000 // n_nodes).cast("bigint").alias("r")
     )
     base = (1000000 - 850000) // n_nodes
-    for _ in range(3):
+    for _ in range(iters):
         ranks = (
             edges.join(ranks.withColumnRenamed("item", "src"), "src")
-            .join(F.broadcast(deg), "src")
             .select("dst", F.expr("r div d").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").cast("bigint").alias("s"))

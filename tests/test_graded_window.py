@@ -121,8 +121,14 @@ def test_rotation_slots_are_never_graded():
     VERDICT r8 #1 explicitly orders regrades of queries whose plan was
     rewritten after their verdict — CHANGED_SHAPE_REGRADES in queries.py
     names them with the round+reason), and (d) once the never-graded pool
-    runs dry, an oldest-verdict refresh — each refresh slot must re-certify
-    a row from the OLDEST artifact still on record, never a recent one."""
+    runs dry, an oldest-verdict refresh drained OLDEST-FIRST: a slot may
+    re-certify a row from artifact round i only if every green row from
+    rounds < i is also in this window's refresh set — no skipping over an
+    older verdict to re-certify a newer one. (Round-11 amendment: the
+    original rule admitted only the SINGLE oldest artifact, which deadlocks
+    when that artifact holds fewer rows than there are slots — round 11
+    faced 1 r2-era row + 25 r3-era rows against 17 free slots, and VERDICT
+    r10 #2 orders the whole stale pool drained as fast as slots allow.)"""
     from mini_flink_spark.queries import CHANGED_SHAPE_REGRADES
 
     prior = _previously_graded()
@@ -141,17 +147,23 @@ def test_rotation_slots_are_never_graded():
             f"refresh slots used while never-graded queries wait: "
             f"{ungraded_outside[:5]}"
         )
-        # and each refresh row must come from the OLDEST verdicts on record
+        # and refresh rows must drain the verdict pool OLDEST-FIRST: no row
+        # from round i while a green row from an earlier round is skipped
         last_round: dict[str, int] = {}
         for i, art in enumerate(_artifacts()):
             for name in art:
                 last_round[name] = i
         graded_green = [n for n in last_round if n not in regrade_ok]
-        oldest = min(last_round[n] for n in graded_green)
-        stale = [n for n in refresh if last_round[n] != oldest]
-        assert not stale, (
-            f"refresh slots must re-certify the oldest verdicts "
-            f"(round-index {oldest}); these are newer: {stale}"
+        newest_refreshed = max(last_round[n] for n in refresh)
+        skipped = [
+            n
+            for n in graded_green
+            if last_round[n] < newest_refreshed and n not in refresh
+        ]
+        assert not skipped, (
+            f"refresh drains oldest-first: the window refreshes rows from "
+            f"round-index {newest_refreshed} while these OLDER green rows "
+            f"are skipped: {skipped}"
         )
 
 
