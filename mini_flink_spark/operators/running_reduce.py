@@ -25,7 +25,7 @@ Spark renderings (SURVEY.md §4 'honest list' item 2):
 Spark 4's transformWithStateInPandas (StatefulProcessor + named ValueState —
 an even closer ValueState analogue) was evaluated and is NOT used: its driver
 worker imports google.protobuf, which this container lacks (verified: the
-query crashes in StateMessage_pb2 at pre-init; re-verified rounds 3-10 —
+query crashes in StateMessage_pb2 at pre-init; re-verified rounds 3-11 —
 `import google.protobuf` still raises ModuleNotFoundError, and the install
 ban rules out adding it, so the blocker stands; vendoring a protobuf
 runtime was considered and rejected — TWS needs real wire-format

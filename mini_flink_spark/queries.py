@@ -1202,9 +1202,9 @@ def q_ntile_quartiles(spark, sf_dir):
 # exported dicts put a curated window first. Rotation policy (VERDICT r3 #3):
 # the 15 §2 reference-surface rows and 10 flagship LLM-pipeline anchors stay
 # pinned every round; the other 25 slots rotate. Round 11's rotation: the
-# eight changed-shape regrades from the VERDICT-r10/ADVICE-r10 surgery (see
-# the dict below) and a 17-slot oldest-first refresh — the deferred r2
-# straggler plus 16 of the 25 r3-era rows. Everything else keeps
+# ten changed-shape regrades from the VERDICT-r10/ADVICE-r10 surgery (see
+# the dict below) and a 15-slot oldest-first refresh — the deferred r2
+# straggler plus 14 of the 25 r3-era rows. Everything else keeps
 # registration order after the window — nothing is removed, only reordered.
 # Round-9 rotation-policy amendment (VERDICT r8 #1 asks for exactly this):
 # the never-graded pool is now SMALLER than the 25 rotating slots, so two
@@ -1253,6 +1253,16 @@ CHANGED_SHAPE_REGRADES: dict[str, str] = {
     ),
     "quality_filter_by_source": "r11: percentile frac > 0 gate (ADVICE r10)",
     "length_outliers_iqr": "r11: percentile frac > 0 gate (ADVICE r10)",
+    # found by the round-11 fineweb 1000× probe (VERDICT r10 #4): the
+    # forced broadcast(comp) was corpus-sized on a duplicate-heavy corpus —
+    # the same driver-side bound class as pagerank's broadcast(deg)
+    "curation_pipeline_fineweb": (
+        "r11: component join unhinted (AQE decides) + text-derived scores "
+        "computed before the join so only ~40-byte rows can ever shuffle"
+    ),
+    "dedup_representatives": (
+        "r11: component join unhinted — forced broadcast(comp) removed"
+    ),
 }
 
 GRADED_WINDOW: tuple[str, ...] = (
@@ -1287,7 +1297,8 @@ GRADED_WINDOW: tuple[str, ...] = (
     # ---- round-11 rotation (VERDICT r10 #1/#2/#3 + the ADVICE r10 set) ----
     # changed-shape regrades (CHANGED_SHAPE_REGRADES above): the pagerank
     # degree fold, the three NULL-semantics consistency fixes, the two
-    # direct NULL-ts guards, and the three percentile frac-gate adopters
+    # direct NULL-ts guards, the three percentile frac-gate adopters, and
+    # the two de-broadcast fixes the 1000× probe forced
     "pagerank_item_graph",
     "item_cooccurrence_lift",
     "funnel_conversion_rates",
@@ -1296,15 +1307,19 @@ GRADED_WINDOW: tuple[str, ...] = (
     "value_percentiles_by_type",
     "quality_filter_by_source",
     "length_outliers_iqr",
+    "curation_pipeline_fineweb",
+    "dedup_representatives",
     # oldest-verdict refresh, drained OLDEST-FIRST (VERDICT r10 #2): the
-    # deferred r2 straggler, then 16 of the 25 r3-era rows — prioritized by
+    # deferred r2 straggler, then 14 of the 25 r3-era rows — prioritized by
     # (a) VERDICT r10's named list (kmeans_clusters, pii_redaction,
     # pricing_summary, asof_click_attribution, interval_join_click_purchase,
     # text_search_bm25, topn_orders_per_priority, the ann/semdedup/simhash
-    # family) and (b) proximity to round-11 code changes. The remaining 9
+    # family) and (b) proximity to round-11 code changes. The remaining 11
     # r3 rows (top_orders, join_revenue_by_segment, salted_keyed_agg,
     # shipping_priority, text_token_count, text_quality, text_langid,
-    # decontamination_check, mixture_weights) take round 12's slots.
+    # decontamination_check, mixture_weights, dedup_incremental,
+    # dedup_components) take round 12's slots — two fewer refreshes than
+    # planned because the 1000× probe's de-broadcast fixes outrank cadence.
     "string_battery",
     "kmeans_clusters",
     "pii_redaction",
@@ -1320,8 +1335,6 @@ GRADED_WINDOW: tuple[str, ...] = (
     "dedup_semantic_semdedup",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_incremental",
-    "dedup_components",
 )
 # Round-12 rotation backlog: first the 9 r3-era rows left after round 11's
 # oldest-first drain (top_orders, join_revenue_by_segment, salted_keyed_agg,

@@ -1539,14 +1539,18 @@ def q_dedup_representatives(spark, sf_dir):
     as a sampling weight — duplicates don't just vanish, their mass moves to
     the representative (loss-weighting / dedup-aware sampling both need it).
     Docs outside every near-dup pair are their own singleton group
-    (weight 1). The components frame is bounded by near-dup docs (a small
-    fraction of the corpus), so its join back to documents broadcasts."""
+    (weight 1). The components frame has one row per doc inside a near-dup
+    cluster — small on a clean corpus, corpus-scale on a duplicate-heavy
+    one — so the join back is UNHINTED (r11): AQE broadcasts it while it
+    fits and falls back to a shuffle join of pruned 8-byte doc_ids when it
+    doesn't (the forced broadcast removed here was the pagerank
+    broadcast(deg) defect class, caught by the 1000× fineweb probe)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4)
     comp = D.connected_components(pairs)
     return (
         docs.join(
-            F.broadcast(comp), docs.doc_id == comp.id, "left"
+            comp, docs.doc_id == comp.id, "left"
         )
         .select(
             F.coalesce(F.col("component"), F.col("doc_id"))
@@ -1804,16 +1808,31 @@ def q_curation_pipeline_fineweb(spark, sf_dir):
     )
     pairs = D.minhash_lsh_pairs(gated, "doc_id", "text", threshold=0.5)
     comp = D.connected_components(pairs)
+    # Text-derived scores are computed BEFORE the component join and the
+    # broadcast hint is GONE (r11, found by the 1000× probe): `comp` has
+    # one row per doc inside a near-dup cluster, which is NOT bounded — a
+    # high-dup corpus (this probe's family corpus; a 30%-dup crawl at
+    # 100 TB) makes it corpus-scale, and a forced broadcast of it is the
+    # same driver-side bound pagerank's broadcast(deg) was. Unforced,
+    # Catalyst/AQE broadcasts while comp fits the threshold and falls back
+    # to a shuffle join that moves only ~40-byte scored rows — the text
+    # column never reaches this exchange because the scores already did.
+    scored = gated.select(
+        "doc_id",
+        "lang",
+        T.quality_score("text").alias("quality"),
+        T.token_count("text").cast("bigint").alias("n_tok"),
+    )
     labeled = (
-        gated.join(F.broadcast(comp), gated.doc_id == comp.id, "left")
+        scored.join(comp, scored.doc_id == comp.id, "left")
         .select(
             F.coalesce(F.col("component"), F.col("doc_id"))
             .cast("bigint")
             .alias("group_id"),
             "doc_id",
             "lang",
-            T.quality_score("text").alias("quality"),
-            T.token_count("text").cast("bigint").alias("n_tok"),
+            "quality",
+            "n_tok",
         )
     )
     # single-pass argmax: min over struct(-quality, doc_id, ...) = highest
@@ -2922,7 +2941,14 @@ def q_streaming_stream_join(spark, sf_dir):
         "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
-    return run_stream_to_memory(out, spark, "append")
+    # state_partitions=4: the symmetric hash join keeps FOUR state stores
+    # per partition, the most instances of any query here, and this
+    # fixture's retained state is tiny (63 rows at sf0.1 — both-ends time
+    # bounds evict aggressively), so 8 partitions paid pure per-instance
+    # snapshot/commit overhead. r11 sweep at sf0.1: identical 183-row
+    # output at sp ∈ {8,4,2}; sp=4 ~2× faster per batch under session
+    # load. A production job with real retained state raises it.
+    return run_stream_to_memory(out, spark, "append", state_partitions=4)
 
 
 @register(
@@ -2967,7 +2993,12 @@ def q_streaming_session_windows(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
-    return run_stream_to_memory(sessions, spark, "complete")
+    # state_partitions=4: complete-mode session agg re-emits the whole
+    # session table per batch; the r11 sweep at sf0.1 hashed identical
+    # output at sp ∈ {8,4,2} with sp=4 ~2× faster under session load
+    # (per-instance commit overhead, not state volume — see
+    # streaming_stream_join's note)
+    return run_stream_to_memory(sessions, spark, "complete", state_partitions=4)
 
 
 # =========================================================================

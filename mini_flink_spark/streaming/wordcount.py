@@ -174,7 +174,19 @@ def run_stream_to_memory(
             else:
                 spark.conf.set(k, v)
     if converge_keys is None:
-        return spark.table(name)
+        # Copy the drained rows out of the memory sink and DROP its temp
+        # view: the sink pins every drained row on the JVM heap for the
+        # rest of the session, and a long sweep (the full-registry bench
+        # runs ~28 drains across its warm + timed passes) accumulates them
+        # into exactly the tenured residue that made late-position
+        # streaming queries bench 3-10× their clean-session time (r11
+        # finding: streaming_stream_join 31.1 s in BENCH_FULL r10 vs 3.3 s
+        # warm-isolated — the plan was never the cost). localCheckpoint
+        # blocks are ContextCleaner-evictable once the caller drops the
+        # DataFrame; a memory-sink table is not.
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
     if not os.path.exists(drain_dir):  # zero microbatches: empty source
         return spark.createDataFrame([], result.schema)
     w = Window.partitionBy(*converge_keys).orderBy(F.col("_batch_id").desc())

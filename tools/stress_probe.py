@@ -2106,7 +2106,139 @@ def probe_round10_stream_hot(spark):
     )
 
 
+def probe_round11_pagerank(spark):
+    """VERDICT r10 #1 closure evidence: the degree fold vs the retired
+    per-iteration `broadcast(deg)`. Both shapes run on the same 20× event
+    corpus (2M events, 20× user cardinality); ranks must be IDENTICAL
+    (integer micro-units — no float tolerance), and the fold must not pay
+    more shuffle or wall. The point at 100 TB isn't this wall delta — it's
+    that the old shape builds a node-count-sized broadcast ON THE DRIVER
+    three times per run (multi-GB at 10⁸ items) while the new shape ships
+    the degree inside the already-partitioned edge rows."""
+    import os
+    import tempfile
+
+    import mini_flink_spark.queries  # noqa: F401 (registry import contract)
+    from mini_flink_spark.queries_pipeline import (
+        _item_copurchase_edges,
+        pagerank_plan,
+    )
+
+    print("== round11_pagerank: degree fold vs per-iteration broadcast(deg), 20x ==")
+    path = tempfile.mkdtemp(prefix="pr20x_") + "/events.parquet"
+    dense_events(spark).write.mode("overwrite").parquet(path)
+    ev = spark.read.parquet(path)
+
+    def old_shape():
+        # the retired r10 shape, reconstructed: separate deg frame, forced
+        # node-sized broadcast every iteration
+        edges = _item_copurchase_edges(ev).drop("d")
+        deg = edges.groupBy("src").agg(
+            F.count(F.lit(1)).cast("bigint").alias("d")
+        )
+        n_nodes = deg.count()
+        ranks = deg.select(
+            F.col("src").alias("item"),
+            F.lit(1000000 // n_nodes).cast("bigint").alias("r"),
+        )
+        base = (1000000 - 850000) // n_nodes
+        for _ in range(3):
+            ranks = (
+                edges.join(ranks.withColumnRenamed("item", "src"), "src")
+                .join(F.broadcast(deg), "src")
+                .select("dst", F.expr("r div d").alias("contrib"))
+                .groupBy("dst")
+                .agg(F.sum("contrib").cast("bigint").alias("s"))
+                .select(
+                    F.col("dst").alias("item"),
+                    (F.lit(base) + F.expr("(85 * s) div 100"))
+                    .cast("bigint")
+                    .alias("r"),
+                )
+            )
+        return ranks.select("item", F.col("r").alias("rank_micros"))
+
+    results, stats = {}, {}
+    for label, build in (("old broadcast(deg)", old_shape),
+                         ("new degree column", lambda: pagerank_plan(ev))):
+        before = _stage_metrics_total(spark)
+        t0 = time.time()
+        rows = build().collect()
+        dt = time.time() - t0
+        after = _stage_metrics_total(spark)
+        results[label] = {r["item"]: r["rank_micros"] for r in rows}
+        stats[label] = {
+            "wall": dt,
+            "shuffle": after["shuffle_write"] - before["shuffle_write"],
+            "spill": after["disk_spill"] - before["disk_spill"],
+        }
+        print(
+            f"  {label}: wall={dt:.1f}s nodes={len(rows)} "
+            f"shuffle_write={stats[label]['shuffle'] / 1e6:.1f}MB "
+            f"spill={stats[label]['spill']}",
+            flush=True,
+        )
+    assert results["old broadcast(deg)"] == results["new degree column"], (
+        "rank maps diverged between the shapes"
+    )
+    assert stats["new degree column"]["wall"] < 2 * stats["old broadcast(deg)"]["wall"] + 10
+    os.system(f"rm -rf {os.path.dirname(path)}")
+
+
+def probe_round11_fineweb_1000x(spark):
+    """VERDICT r10 #4: re-certify the fineweb flagship's linear-scaling
+    claim on the CURRENT plan (the 200× evidence predates the two-phase
+    shard stage, the null-safe joins, and the rank-family hardening) and
+    push one step further: 200× (1M docs) then 1000× (5M docs) in one
+    session, with per-step shuffle/spill deltas. Linear means the 5× corpus
+    costs ~5× the shuffle and ~5× the wall, with zero spill at both
+    points."""
+    import shutil
+    import tempfile
+
+    from mini_flink_spark.queries import QUERIES
+
+    print("== round11_fineweb_1000x: curation_pipeline_fineweb at 1M and 5M docs ==")
+    out = {}
+    for families, label in ((40, "200x/1M"), (200, "1000x/5M")):
+        d = tempfile.mkdtemp(prefix=f"fw{families}_")
+        _family_docs(spark, families).write.mode("overwrite").parquet(
+            d + "/documents.parquet"
+        )
+        n_docs = spark.read.parquet(d + "/documents.parquet").count()
+        before = _stage_metrics_total(spark)
+        t0 = time.time()
+        QUERIES["curation_pipeline_fineweb"].fn(spark, d).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = time.time() - t0
+        after = _stage_metrics_total(spark)
+        out[label] = {
+            "docs": n_docs,
+            "wall": dt,
+            "shuffle": after["shuffle_write"] - before["shuffle_write"],
+            "spill": after["disk_spill"] - before["disk_spill"],
+        }
+        print(
+            f"  {label}: docs={n_docs} wall={dt:.1f}s "
+            f"shuffle_write={out[label]['shuffle'] / 1e9:.2f}GB "
+            f"disk_spill={out[label]['spill']}",
+            flush=True,
+        )
+        shutil.rmtree(d, ignore_errors=True)
+    ratio_w = out["1000x/5M"]["wall"] / out["200x/1M"]["wall"]
+    ratio_s = out["1000x/5M"]["shuffle"] / max(out["200x/1M"]["shuffle"], 1)
+    print(f"  5x corpus -> wall x{ratio_w:.2f}, shuffle x{ratio_s:.2f}", flush=True)
+    assert out["1000x/5M"]["spill"] == 0, "1000x run spilled to disk"
+    # linear band: shuffle must track the corpus (5x +/- 30%); wall gets a
+    # wider band (ambient load) but must stay clearly sub-quadratic
+    assert 3.5 <= ratio_s <= 6.5, ratio_s
+    assert ratio_w <= 10, ratio_w
+
+
 PROBES = {
+    "round11_pagerank": probe_round11_pagerank,
+    "round11_fineweb_1000x": probe_round11_fineweb_1000x,
     "round10_funnel": probe_round10_funnel,
     "round10_baskets": probe_round10_baskets,
     "round10_nslices": probe_round10_nslices,
