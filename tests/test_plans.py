@@ -420,9 +420,17 @@ def test_lm_perplexity_broadcasts_model(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_dedup_representatives_broadcasts_components(spark, sf_dir):
+def test_dedup_representatives_component_join_unhinted(spark, sf_dir):
+    """r11 contract (1000× probe finding): the components join must NOT be a
+    forced broadcast — comp is corpus-scale on a duplicate-heavy corpus.
+    The initial plan is a shuffle join of PRUNED doc_ids (no text column in
+    any exchange); AQE converts it to a broadcast at runtime when comp is
+    actually small, which is the size-scaled behavior we want pinned."""
     plan = plan_of(spark, sf_dir, "dedup_representatives")
-    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchanges and not any("text" in l.lower() for l in exchanges)
 
 
 def test_duplicate_spans_shuffles_hashes_not_text(spark, sf_dir):
