@@ -216,6 +216,17 @@ def minhash_lsh_pairs(
     join, no nested higher-order functions, at any scale. (The nested-lambda
     signature expression this replaces re-tokenized per hash function:
     64× slower at sf0.1.)
+
+    Shuffle payloads are FIXED-WIDTH (r11): the band self-join carries an
+    8-byte hash of the band string (not the ~80-char string itself), and
+    the verify joins carry 8-byte hashed-shingle arrays (not ~30-byte
+    shingle strings) — Jaccard over the hashed sets equals Jaccard over the
+    string sets except on 56-bit collisions (≈ (distinct shingles)²/2⁵⁷ —
+    negligible, and the oracle applies the IDENTICAL hash so the engines
+    can never disagree). Found by the round-11 1000× probe: once the
+    corpus outgrows the broadcast threshold these joins go sort-merge and
+    BOTH sides shuffle, so payload width is the at-scale cost — strings
+    made the verify exchange ~3.5× wider than the information it moves.
     """
     # Materialize the shingle sets once: three consumers (hash rows, verify
     # lhs/rhs) would otherwise each re-run the tokenizer pipeline — column
@@ -224,15 +235,21 @@ def minhash_lsh_pairs(
     # MLlib-style cache of the shared projection; blocks are executor-local
     # (MEMORY_AND_DISK) and freed when the RDD is GC'd. At index scale the
     # same role is played by writing the shingled corpus to a temp table.
+    # `sh_h` (distinct hashed shingles) is what the verify step ships and
+    # intersects; `sh` (strings) feeds only the signature explode, which
+    # never crosses an exchange wider than its per-seed hashes.
     base = (
         shingled(df, id_col, text_col, n)
-        .withColumn("n_sh", F.array_size("sh"))
+        .withColumn(
+            "sh_h", F.array_distinct(F.transform("sh", lambda s: portable_hash64(s)))
+        )
+        .withColumn("n_sh", F.array_size("sh_h"))
         .localCheckpoint(eager=False)
     )
     sig = minhash_sig_from_shingled(base, ["id"], k)
     banded = sig.select(
-        "id", F.explode(minhash_bands(F.col("sig"), k, bands)).alias("band")
-    )
+        "id", F.explode(minhash_bands(F.col("sig"), k, bands)).alias("band_s")
+    ).select("id", portable_hash64(F.col("band_s")).alias("band"))
     if max_bucket is not None:
         # Bucket-size cap on candidate generation: one pathological bucket
         # (boilerplate corpus slice hashing identically) emits O(b²) candidate
@@ -256,8 +273,8 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .distinct()
     )
-    lhs = base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
-    rhs = base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
+    lhs = base.select(F.col("id").alias("a"), F.col("sh_h").alias("sh_a"), F.col("n_sh").alias("na"))
+    rhs = base.select(F.col("id").alias("b"), F.col("sh_h").alias("sh_b"), F.col("n_sh").alias("nb"))
     verified = (
         cand.join(lhs, "a")
         .join(rhs, "b")
@@ -290,6 +307,11 @@ def minhash_lsh_pairs_sql(
     # pipeline once per hash index (k=16x) — measured 27s -> 0.7s at sf0.01.
     sig_from_col = minhash_sig_from_col_sql(k)
     bands_expr = minhash_bands_sql("sig", k, bands)
+    # r11 twins of the Spark side's fixed-width payloads: hashed band keys
+    # and hashed-shingle sets (list_distinct AFTER hashing on both engines
+    # so collision-merged sets have identical sizes)
+    band_h = portable_hash64_sql("band_s")
+    sh_h = f"list_distinct(list_transform(sh, s -> {portable_hash64_sql('s')}))"
     bucket_cap = (
         f"banded AS (SELECT banded0.id, banded0.band FROM banded0 JOIN "
         f"(SELECT band FROM banded0 GROUP BY band HAVING count(*) <= {max_bucket})"
@@ -302,10 +324,11 @@ WITH sh_t AS MATERIALIZED (
   SELECT {id_col} AS id, {sh} AS sh FROM {table}
 ),
 base AS MATERIALIZED (
-  SELECT id, sh, {sig_from_col} AS sig FROM sh_t WHERE len(sh) >= 1
+  SELECT id, {sh_h} AS sh_h, {sig_from_col} AS sig FROM sh_t WHERE len(sh) >= 1
 ),
 banded0 AS (
-  SELECT id, unnest({bands_expr}) AS band FROM base
+  SELECT id, {band_h} AS band
+  FROM (SELECT id, unnest({bands_expr}) AS band_s FROM base)
 ),
 {bucket_cap},
 cand AS (
@@ -314,14 +337,14 @@ cand AS (
   WHERE l.id < r.id
 )
 SELECT a, b,
-       round(len(list_intersect(x.sh, y.sh))::DOUBLE /
-             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE, 6)
+       round(len(list_intersect(x.sh_h, y.sh_h))::DOUBLE /
+             (len(x.sh_h) + len(y.sh_h) - len(list_intersect(x.sh_h, y.sh_h)))::DOUBLE, 6)
          AS jaccard
 FROM cand
 JOIN base x ON x.id = cand.a
 JOIN base y ON y.id = cand.b
-WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
-            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE, 6)
+WHERE round(len(list_intersect(x.sh_h, y.sh_h))::DOUBLE /
+            (len(x.sh_h) + len(y.sh_h) - len(list_intersect(x.sh_h, y.sh_h)))::DOUBLE, 6)
       >= {threshold}
 """
 

@@ -138,12 +138,17 @@ def _stage_neardup_quality_reps(df: DataFrame, threshold: float = 0.5) -> DataFr
     df = df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     pairs = D.minhash_lsh_pairs(df, "doc_id", "text", threshold=threshold)
     comp = D.connected_components(pairs)
-    labeled = df.join(F.broadcast(comp), df.doc_id == comp.id, "left").select(
+    # score scan-side, join unhinted (r11 — see q_curation_pipeline_fineweb:
+    # comp is corpus-scale on a duplicate-heavy corpus, so a forced
+    # broadcast is a driver-side bound; unforced, AQE broadcasts while it
+    # fits and the fallback shuffle moves only narrow scored rows)
+    scored = df.select("doc_id", T.quality_score("text").alias("q"))
+    labeled = scored.join(comp, scored.doc_id == comp.id, "left").select(
         F.coalesce(F.col("component"), F.col("doc_id"))
         .cast("bigint")
         .alias("group_id"),
         "doc_id",
-        T.quality_score("text").alias("q"),
+        "q",
     )
     kept = (
         labeled.groupBy("group_id")

@@ -1336,12 +1336,17 @@ GRADED_WINDOW: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
 )
-# Round-12 rotation backlog: first the 9 r3-era rows left after round 11's
+# Round-12 rotation backlog: first the 11 r3-era rows left after round 11's
 # oldest-first drain (top_orders, join_revenue_by_segment, salted_keyed_agg,
 # shipping_priority, text_token_count, text_quality, text_langid,
-# decontamination_check, mixture_weights — set-diff the CORRECTNESS_r*
-# artifacts as rounds 9-11 did), then the pool advances to the r4-era
-# verdicts. The r9-graded rank/cumsum adopters of r10's null-safe joins
+# decontamination_check, mixture_weights, dedup_incremental,
+# dedup_components — set-diff the CORRECTNESS_r* artifacts as rounds 9-11
+# did), then the pool advances to the r4-era verdicts. Early-refresh
+# candidates right after: the r11 minhash fixed-width-payload adopters not
+# already regraded in r11 (dedup_components [also in the r3 pool],
+# dedup_cluster_stats, dedup_lsh_recall_eval, curation_pipeline_spec) —
+# value-preserving modulo 56-bit hash collisions, oracle mirrored, all
+# re-graded green at sf0.01 in-round (r10 null-safe-join precedent). The r9-graded rank/cumsum adopters of r10's null-safe joins
 # (ccnet_perplexity_buckets, curriculum_global_rank, ntile_price_quartiles,
 # length_matched_sample, median_tokens_by_lang, length_quartiles_exact,
 # event_value_percent_rank, token_budget_shards, packed_sequence_offsets,

@@ -2187,45 +2187,70 @@ def probe_round11_pagerank(spark):
 
 def probe_round11_fineweb_1000x(spark):
     """VERDICT r10 #4: re-certify the fineweb flagship's linear-scaling
-    claim on the CURRENT plan (the 200× evidence predates the two-phase
-    shard stage, the null-safe joins, and the rank-family hardening) and
-    push one step further: 200× (1M docs) then 1000× (5M docs) in one
-    session, with per-step shuffle/spill deltas. Linear means the 5× corpus
-    costs ~5× the shuffle and ~5× the wall, with zero spill at both
-    points."""
+    claim on the CURRENT plan and push one step further: 200× (1M docs)
+    then 1000× (5M docs) in one session, with per-step shuffle/spill
+    deltas.
+
+    Both legs run with the broadcast threshold DISABLED. The first cut of
+    this probe compared default-config legs and "found" shuffle ×16.7 at
+    ×5 docs — a regime mix, not super-linearity: at ≤2M gated docs every
+    join in the pipeline fits under the 64 MB broadcast threshold (0.31 GB
+    total shuffle, all-BHJ), at 5M they flip to sort-merge and both sides
+    shuffle. At 100 TB nothing corpus-derived broadcasts, so the SMJ
+    regime IS the plan whose scaling matters — forcing it at both points
+    measures that plan's slope and surfaced two real defects on the way:
+    the forced broadcast(comp) (now unhinted) and the string-payload
+    band/verify exchanges (now 8-byte hashes; −40% shuffle, spill → 0,
+    A/B in SCALE_NOTES r11). Linear means ~5× shuffle and wall for the
+    5× corpus, zero spill at both points."""
     import shutil
     import tempfile
 
     from mini_flink_spark.queries import QUERIES
 
-    print("== round11_fineweb_1000x: curation_pipeline_fineweb at 1M and 5M docs ==")
+    print("== round11_fineweb_1000x: fineweb at 1M and 5M docs, SMJ regime ==")
+    prev = {}
+    for key in ("spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold"):
+        try:
+            prev[key] = spark.conf.get(key)
+        except Exception:  # noqa: BLE001 — unset conf
+            prev[key] = None
+        spark.conf.set(key, "-1")
     out = {}
-    for families, label in ((40, "200x/1M"), (200, "1000x/5M")):
-        d = tempfile.mkdtemp(prefix=f"fw{families}_")
-        _family_docs(spark, families).write.mode("overwrite").parquet(
-            d + "/documents.parquet"
-        )
-        n_docs = spark.read.parquet(d + "/documents.parquet").count()
-        before = _stage_metrics_total(spark)
-        t0 = time.time()
-        QUERIES["curation_pipeline_fineweb"].fn(spark, d).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        dt = time.time() - t0
-        after = _stage_metrics_total(spark)
-        out[label] = {
-            "docs": n_docs,
-            "wall": dt,
-            "shuffle": after["shuffle_write"] - before["shuffle_write"],
-            "spill": after["disk_spill"] - before["disk_spill"],
-        }
-        print(
-            f"  {label}: docs={n_docs} wall={dt:.1f}s "
-            f"shuffle_write={out[label]['shuffle'] / 1e9:.2f}GB "
-            f"disk_spill={out[label]['spill']}",
-            flush=True,
-        )
-        shutil.rmtree(d, ignore_errors=True)
+    try:
+        for families, label in ((40, "200x/1M"), (200, "1000x/5M")):
+            d = tempfile.mkdtemp(prefix=f"fw{families}_")
+            _family_docs(spark, families).write.mode("overwrite").parquet(
+                d + "/documents.parquet"
+            )
+            n_docs = spark.read.parquet(d + "/documents.parquet").count()
+            before = _stage_metrics_total(spark)
+            t0 = time.time()
+            QUERIES["curation_pipeline_fineweb"].fn(spark, d).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt = time.time() - t0
+            after = _stage_metrics_total(spark)
+            out[label] = {
+                "docs": n_docs,
+                "wall": dt,
+                "shuffle": after["shuffle_write"] - before["shuffle_write"],
+                "spill": after["disk_spill"] - before["disk_spill"],
+            }
+            print(
+                f"  {label}: docs={n_docs} wall={dt:.1f}s "
+                f"shuffle_write={out[label]['shuffle'] / 1e9:.2f}GB "
+                f"disk_spill={out[label]['spill']}",
+                flush=True,
+            )
+            shutil.rmtree(d, ignore_errors=True)
+    finally:
+        for key, val in prev.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
     ratio_w = out["1000x/5M"]["wall"] / out["200x/1M"]["wall"]
     ratio_s = out["1000x/5M"]["shuffle"] / max(out["200x/1M"]["shuffle"], 1)
     print(f"  5x corpus -> wall x{ratio_w:.2f}, shuffle x{ratio_s:.2f}", flush=True)
