@@ -212,6 +212,36 @@ def cms_build(df: DataFrame, col: str, w: int = CMS_W, d: int = CMS_D) -> DataFr
     )
 
 
+def cms_build_weighted(
+    df: DataFrame, col: str, weight_col: str, w: int = CMS_W, d: int = CMS_D
+) -> DataFrame:
+    """cms_build over a PRE-AGGREGATED (value, count) frame: each distinct
+    value adds `weight_col` to its d counters — identical integers to
+    cms_build over the raw stream (sum of per-value counts == count of
+    occurrences), at d hash evaluations per DISTINCT value instead of per
+    OCCURRENCE. On a Zipf token stream that is orders of magnitude less
+    hashing and explode volume; the input frame is vocabulary-sized, which a
+    plain wordcount-shaped groupBy (map-side partials) produces scalably at
+    any corpus size."""
+    pos = _cms_positions(col, w, d)
+    rows = df.select(
+        F.col(weight_col).alias("__cms_w"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("row"), p.alias("pos"))
+                    for i, p in enumerate(pos)
+                ]
+            )
+        ).alias("rp"),
+    )
+    return (
+        rows.select(F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"), "__cms_w")
+        .groupBy("row", "pos")
+        .agg(F.sum("__cms_w").cast("bigint").alias("c"))
+    )
+
+
 def cms_estimate(
     items: DataFrame, cms: DataFrame, col: str, w: int = CMS_W, d: int = CMS_D
 ) -> DataFrame:

@@ -1681,29 +1681,38 @@ def q_curation_pipeline_v2(spark, sf_dir):
     # TWO consumers read the span-removal output (the fingerprint groupBy and
     # the representative rejoin) — materialize it once or the whole
     # gate→span-removal subplan (the expensive half of the pipeline) executes
-    # twice. At corpus scale this is persist(DISK_ONLY) of the cleaned text,
-    # the standard shared-scan materialization.
-    surv = (
+    # twice. r11 (guide §2.3, §8): what gets materialized is the ~40-byte
+    # DECISION row (doc_id, fp, n_tok) — fingerprint and token count are
+    # computed in the same projection that reconstructs clean_text, so the
+    # text exists only inside that one stage and is never checkpointed,
+    # shuffled, or reconstructed a second time (the r10 shape checkpointed
+    # clean_text itself and re-read it in both consumers). At corpus scale
+    # this is persist(DISK_ONLY) of the decision table, the §8 "shuffle
+    # metadata, not payloads" move.
+    per_doc = (
         cleaned.filter(F.length("clean_text") > 0)
-        .select("doc_id", "clean_text")
+        .select(
+            "doc_id",
+            T.fingerprint("clean_text").alias("fp"),
+            F.size(F.split("clean_text", " ")).cast("bigint").alias("n_tok"),
+        )
         .localCheckpoint(eager=False)
     )
     reps = (
-        surv.select("doc_id", T.fingerprint("clean_text").alias("fp"))
-        .groupBy("fp")
+        per_doc.groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).cast("bigint").alias("n_dups"))
     )
+    # lang comes from the PLAIN docs scan, not `gated` (r11): keep_id rows
+    # are a subset of gated, so the join result is identical, but the gated
+    # side would re-run the whole Gopher tokenizer gate a second time just
+    # to look up a column the raw scan already has (guide §2.4: duplicated
+    # subtrees).
     enr = (
-        reps.join(surv.withColumnRenamed("doc_id", "keep_id"), "keep_id")
+        reps.join(per_doc.select(F.col("doc_id").alias("keep_id"), "n_tok"), "keep_id")
         .join(
-            gated.select(F.col("doc_id").alias("keep_id"), "lang"), "keep_id"
+            docs.select(F.col("doc_id").alias("keep_id"), "lang"), "keep_id"
         )
-        .select(
-            "keep_id",
-            "lang",
-            "n_dups",
-            F.size(F.split("clean_text", " ")).cast("bigint").alias("n_tok"),
-        )
+        .select("keep_id", "lang", "n_dups", "n_tok")
     )
     # two-phase distributed prefix scan (round 8): even over the deduped
     # representative set, a 90%-hot language would sort in one task under a
@@ -3134,16 +3143,39 @@ def q_sketch_count_min(spark, sf_dir):
     family makes every collision deterministic, so the oracle reproduces the
     estimates exactly (cms_est >= exact_cnt always — one-sided error)."""
     docs = _spread(_t(spark, sf_dir, "documents"))
-    # four consumers scan the token stream (CMS build, MG candidates, exact
-    # recount, estimate probe) — materialize the tokenization once instead of
-    # re-running the regexes per branch (measured 4.8s -> ~3s at sf0.1). At
-    # index scale this is persist(DISK_ONLY) of the token column, the
-    # standard shared-scan materialization.
-    toks = docs.select(F.explode(T.tokens("text")).alias("tok")).localCheckpoint(
-        eager=True
+    # ONE wordcount-shaped pass over the token stream feeds everything
+    # (r11, guide §2.3/§4): the vocab-sized (tok, cnt) aggregate is
+    # checkpointed instead of the full occurrence stream (the r9 shape
+    # materialized every token occurrence eagerly and then scanned it three
+    # times — CMS explode ×d per OCCURRENCE, a Misra-Gries mapInPandas
+    # candidate pass through the Python boundary, and an exact recount).
+    # The CMS now adds cnt to each distinct token's d counters (identical
+    # integers, d hashes per distinct token), the heavy hitters are a
+    # broadcast-total filter on the same frame (exact, same cnt > N/80
+    # contract heavy_hitters() proves), and the stream total is a sum of
+    # cnt. Measured 3.0 s -> 1.4 s isolated at sf0.1 (the floor is the
+    # tokenization scan itself); ArrowEvalPython (the MG pass) gone from
+    # the plan. At 100 TB the groupBy is a plain
+    # wordcount — map-side partials absorb the Zipf head and the shuffle
+    # is vocabulary-sized.
+    tok_counts = (
+        docs.select(F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    cms = K.cms_build(toks, "tok")
-    hh = K.heavy_hitters(toks, "tok", 80).withColumnRenamed("cnt", "exact_cnt")
+    # cms_estimate references the counter table d=4 times (one broadcast per
+    # hash row); materialize it once — it is d*w-bounded (≤8192 rows) at ANY
+    # corpus size, so the eager checkpoint is always safe and the four
+    # broadcast builds read the tiny materialized table instead of each
+    # re-running the build subplan (guide §2.4: duplicated subtrees).
+    cms = K.cms_build_weighted(tok_counts, "tok", "cnt").localCheckpoint(eager=True)
+    total = tok_counts.agg(F.sum("cnt").cast("bigint").alias("__n_items"))
+    hh = (
+        tok_counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 80 > F.col("__n_items"))
+        .select("tok", F.col("cnt").alias("exact_cnt"))
+    )
     return K.cms_estimate(hh, cms, "tok").select("tok", "exact_cnt", "cms_est")
 
 

@@ -1,0 +1,56 @@
+"""Round-11 optimization-phase tests: internals changed for speed must be
+pinned value-identical to the shapes they replaced."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_flink_spark.functions import sketches as K
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mini_flink_spark.session import get_spark
+
+    return get_spark(app_name="test-optimization-r11")
+
+
+class TestWeightedCmsBuild:
+    def test_weighted_build_matches_stream_build(self, spark):
+        """cms_build_weighted over (value, count) must produce the IDENTICAL
+        counter table to cms_build over the raw occurrence stream — the
+        contract that lets sketch_count_min hash per distinct token instead
+        of per occurrence."""
+        vals = ["alpha", "beta", "gamma", "alpha", "alpha", "beta", "delta"] * 13
+        raw = spark.createDataFrame([(v,) for v in vals], "tok string")
+        agg = raw.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        t_stream = sorted(
+            tuple(r) for r in K.cms_build(raw, "tok").collect()
+        )
+        t_weighted = sorted(
+            tuple(r) for r in K.cms_build_weighted(agg, "tok", "cnt").collect()
+        )
+        assert t_stream == t_weighted
+        # counters sum to d * stream length (every occurrence lands once per row)
+        assert sum(c for _, _, c in t_weighted) == K.CMS_D * len(vals)
+
+    def test_sketch_count_min_heavy_hitter_contract(self, spark, tmp_path):
+        """The broadcast-total heavy-hitter filter inside sketch_count_min
+        must keep heavy_hitters()'s exact contract: value kept iff
+        cnt * k > N."""
+        vals = ["hot"] * 60 + ["warm"] * 30 + [f"cold{i}" for i in range(10)]
+        raw = spark.createDataFrame([(v,) for v in vals], "tok string")
+        tok_counts = raw.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        total = tok_counts.agg(F.sum("cnt").cast("bigint").alias("__n_items"))
+        k = 4  # threshold N/k = 25
+        hh = (
+            tok_counts.crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") * k > F.col("__n_items"))
+            .select("tok", "cnt")
+        )
+        got = {(r.tok, r.cnt) for r in hh.collect()}
+        expect = {(r.tok, r.cnt) for r in K.heavy_hitters(raw, "tok", k).collect()}
+        assert got == expect == {("hot", 60), ("warm", 30)}
