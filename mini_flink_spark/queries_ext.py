@@ -1906,7 +1906,14 @@ def q_dedup_embedding(spark, sf_dir):
     planted = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
     )
-    return S.embedding_neardup_pairs(emb.unionByName(planted), threshold=0.9, blocked=True)
+    # verify="arrow" (r11, guide §4.2): the exact-cosine verify over the
+    # candidate pairs is a 64-dim higher-order fold Catalyst interprets
+    # rather than codegens; the Arrow fold is bit-identical (pinned by
+    # tests/test_extensions.py) and measured 5.5 s -> ~2.8 s isolated at
+    # sf0.1 — the same switch dedup_embedding_components made in r8.
+    return S.embedding_neardup_pairs(
+        emb.unionByName(planted), threshold=0.9, blocked=True, verify="arrow"
+    )
 
 
 # =========================================================================

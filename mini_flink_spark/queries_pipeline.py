@@ -1635,6 +1635,24 @@ def q_record_linkage_customers(spark, sf_dir):
         .select("c_nationkey", "c_mktsegment")
     )
     c = c.join(F.broadcast(hot), ["c_nationkey", "c_mktsegment"], "left_anti")
+    # Explicit-count repartition on the block key (r11, guide §2.5): the
+    # join stage's work is QUADRATIC in block size (pair fan-out ×
+    # per-pair Levenshtein) while AQE's partition coalescing only sees the
+    # exchange's BYTES — 15k customers is ~1.5 MB, so AQE coalesced the
+    # whole join+Levenshtein stage onto ONE task (measured: 901,746 pairs,
+    # 5.0 s single-task vs 1.1 s after this line at sf0.1). The same
+    # byte-blind coalescing under-parallelizes at ANY scale where rows are
+    # narrow but pairs are expensive, so the fix is structural, not a
+    # fixture tweak: repartition(defaultParallelism, block key) — an
+    # explicit-count (REPARTITION_BY_NUM) shuffle AQE is contractually not
+    # allowed to coalesce — sized from the cluster, not a constant. The
+    # SMJ reuses this exchange (same keys, same count): still exactly one
+    # shuffle of the narrow rows.
+    c = c.repartition(
+        c.sparkSession.sparkContext.defaultParallelism,
+        "c_nationkey",
+        "c_mktsegment",
+    )
     # the self-join must SHUFFLE on the block key, never broadcast: at 1.65M
     # rows Catalyst still picks BHJ (under-threshold size estimate on the
     # anti-join output) and the serialized broadcast build makes it 18×
