@@ -937,22 +937,31 @@ def remove_duplicate_spans(
     and the start lists; reconstruction happens in the final per-row
     projection against the doc's own token array.
 
-    The position-hash stream feeds both the inventory agg and the join side;
-    at corpus scale materialize it with
-    `.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)`
-    instead of recomputing the tokenizer twice — left unmaterialized here
-    because the recompute is cheaper at test SFs. (localCheckpoint, NOT
-    df.persist: both consumers exchange on `h`, and a cached-plan
-    InMemoryRelation defeats that exchange reuse — measured 3.5× shuffle on
-    the analogous fineweb band join, see q_curation_pipeline_fineweb.)
+    The token stream feeds the position-hash explode AND the final
+    reconstruction join, and the position-hash stream feeds both the
+    inventory agg and the join side — so both are MATERIALIZED (lazy
+    localCheckpoint, DISK_ONLY blocks): unmaterialized, the tokenizer ran 3×
+    and the span hasher 2× per query (r11, guide §2.4 duplicated subtrees —
+    measured 4.2 s → 2.9 s on curation_pipeline_v2 at sf0.1, output
+    row-identical). (localCheckpoint, NOT df.persist: both ph consumers
+    exchange on `h`, and a cached-plan InMemoryRelation defeats that
+    exchange reuse — measured 3.5× shuffle on the analogous fineweb band
+    join, see q_curation_pipeline_fineweb.) DISK_ONLY keeps the
+    corpus-token-scale blocks spill-backed rather than heap-first.
 
     `clean_text` is the *normalized* token stream re-joined — the same
     canonical form every other dedup operator keys on.
     """
-    toks = tokenized(df, id_col, text_col)
-    ph = toks.select(
-        "id", F.explode(span_pos_hashes(F.col("t"), w)).alias("z")
-    ).select("id", F.col("z.pos").alias("pos"), F.col("z.h").alias("h"))
+    from pyspark import StorageLevel
+
+    toks = tokenized(df, id_col, text_col).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
+    ph = (
+        toks.select("id", F.explode(span_pos_hashes(F.col("t"), w)).alias("z"))
+        .select("id", F.col("z.pos").alias("pos"), F.col("z.h").alias("h"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
     inv = (
         ph.groupBy("h")
         .agg(F.countDistinct("id").alias("n_docs"))

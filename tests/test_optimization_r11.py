@@ -54,3 +54,27 @@ class TestWeightedCmsBuild:
         got = {(r.tok, r.cnt) for r in hh.collect()}
         expect = {(r.tok, r.cnt) for r in K.heavy_hitters(raw, "tok", k).collect()}
         assert got == expect == {("hot", 60), ("warm", 30)}
+
+
+class TestSpanRemovalMaterialization:
+    def test_span_removal_plan_reuses_checkpoints(self, spark):
+        """remove_duplicate_spans materializes the token stream and the
+        (id, pos, hash) stream (r11): the final plan must consume those
+        checkpoints (ExistingRDD scans) instead of re-inlining the tokenizer
+        chain per consumer — the duplicated-subtree shape it replaced ran
+        the tokenizer 3x per query."""
+        from mini_flink_spark.functions import dedup as D
+
+        df = spark.createDataFrame(
+            [(i, "alpha beta gamma " * 20) for i in range(6)],
+            "doc_id bigint, text string",
+        )
+        out = D.remove_duplicate_spans(df, "doc_id", "text", w=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # tokenizer (regexp_replace) must not appear downstream of the
+        # checkpoints; the reconstruction join reads the materialized RDDs
+        assert "regexp_replace" not in plan
+        assert plan.count("ExistingRDD") >= 2
+        # and the operator still removes the planted duplicate spans
+        rows = out.collect()
+        assert all(r.clean_text == "" and r.n_removed == r.n_tokens for r in rows)
