@@ -476,26 +476,49 @@ def connected_components(
     large-star/small-star edge rewriting of Kiveris et al. "Connected
     Components in MapReduce" (SoCC'14) — same driver loop, fewer rounds.
     """
-    # checkpoint the pair list BEFORE symmetrizing: union's two branches
-    # would otherwise evaluate the (expensive) pair-generator plan twice —
-    # at scale the generator is the dominant stage, so this halves it
-    base = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint(
-        eager=True
-    )
-    sym = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.distinct().localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("u").alias("id"))
+    # Symmetrize in ONE pass via explode (r11): the former shape eagerly
+    # checkpointed the pair list and then union'd it with its flip, because
+    # union's two branches would otherwise evaluate the (expensive) pair
+    # generator twice. explode(array(edge, flipped-edge)) emits both
+    # directions from a single evaluation, so the generator runs once and
+    # the base checkpoint job disappears — one eager materialization
+    # (the distinct) instead of two.
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a).alias("u"), F.col(b).alias("v")),
+                    F.struct(F.col(b).alias("u"), F.col(a).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
-        .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    # max_iter label-UPDATING rounds are permitted, plus one final
-    # verification-only probe round: a graph that converges exactly on round
-    # max_iter (the last permitted round makes the final change) is fully
-    # correct and must be returned, not rejected — only a probe that STILL
-    # observes movement proves the budget was genuinely too small.
-    for rnd in range(max_iter + 1):
+    # Fused init + round 0 (r11): with identity labels, one min-label round
+    # yields comp(u) = least(u, min neighbor id) — computable as a single
+    # aggregation over sym, with no identity-label table, no init
+    # checkpoint, and no labels join. Identical labels to running round 0
+    # of the old loop; round 0's convergence probe is also free (a nonempty
+    # edge set always moves the larger endpoint of some edge, and an empty
+    # one yields an empty frame that round 1's probe terminates).
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("nmin"))
+        .select(
+            F.col("u").alias("id"),
+            F.least(F.col("u"), F.col("nmin")).alias("comp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # max_iter label-UPDATING rounds are permitted (the fused init above is
+    # round 0), plus one final verification-only probe round: a graph that
+    # converges exactly on round max_iter (the last permitted round makes
+    # the final change) is fully correct and must be returned, not rejected
+    # — only a probe that STILL observes movement proves the budget was
+    # genuinely too small.
+    for rnd in range(1, max_iter + 1):
         nbr_min = (
             sym.join(labels, sym.v == labels.id)
             .groupBy("u")

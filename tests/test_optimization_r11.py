@@ -78,3 +78,18 @@ class TestSpanRemovalMaterialization:
         # and the operator still removes the planted duplicate spans
         rows = out.collect()
         assert all(r.clean_text == "" and r.n_removed == r.n_tokens for r in rows)
+
+
+class TestFusedInitConnectedComponents:
+    def test_fused_init_equals_identity_round(self, spark):
+        """The r11 fused init (comp = least(u, min neighbor id) as one
+        aggregation) must equal one textbook min-label round over identity
+        labels — pinned on a graph whose fused init is NOT yet converged
+        (path 1-2-3-4-5 plus an isolated pair), so the loop still runs."""
+        from mini_flink_spark.functions import dedup as D
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "a bigint, b bigint"
+        )
+        got = {r.id: r.component for r in D.connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
