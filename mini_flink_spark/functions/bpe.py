@@ -175,12 +175,23 @@ def bpe_encode_counts(
     words = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("w")
     ).filter(F.length("w") > 0)
+    # Encode per DISTINCT word, not per occurrence (r11): the seed-state
+    # build is an interpreted per-char lambda and the replace chain runs
+    # per row, but a word's unit count depends only on the word — so the
+    # chain runs over the vocabulary (Zipf: millions of rows against a
+    # trillion-occurrence corpus) and the occurrence stream just joins the
+    # (word, units) table (unforced: broadcasts while the vocab fits,
+    # falls back to a shuffle join of 8-byte-ish rows). Identical counts
+    # by construction — the same vocabulary-not-corpus shape the learning
+    # loop already uses.
+    vocab = words.select("w").distinct()
     s = _seed_state(F.col("w"))
     for _, pair in merges:
         merged = "_" + pair.replace("_", "").replace(" ", "")
         s = F.replace(s, F.lit(pair), F.lit(merged))
+    u_tbl = vocab.select("w", F.array_size(F.split(s, " ")).alias("u"))
     return (
-        words.select(id_col, F.array_size(F.split(s, " ")).alias("u"))
+        words.join(u_tbl, "w")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),

@@ -962,11 +962,19 @@ def q_tfidf_keywords(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    df = toks.groupBy("tok").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df")
+    # tf is the single consumer of the token stream; df and n derive from tf
+    # (r11): countDistinct(doc_id) per tok over `toks` equals count(*) over
+    # tf's already-unique (doc, tok) rows, and n_docs equals tf's distinct
+    # doc_id — so the tokenizer runs ONCE instead of three times (guide
+    # §2.4 duplicated subtrees), and the materialized frame is the compact
+    # (doc, tok, tf) aggregate rather than the occurrence stream.
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    n = toks.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "tok")
         .crossJoin(F.broadcast(n))

@@ -52,6 +52,17 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # Whole-stage-codegen class cache (r11, guide §7.2/§7.3): the default
+        # 100-entry cache holds ~10 queries' worth of codegen units, so a
+        # session that plans many distinct queries (the bench's 211-query
+        # sweep; any multi-query ETL driver) recompiles classes it compiled
+        # minutes earlier — measured 0.6-0.9 s per late-registry query at
+        # sf0.1. Generated classes are small (KBs); 4096 entries covers the
+        # whole registry with headroom at negligible driver-memory cost.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
         .config("spark.ui.enabled", "false")
         # Local default: the in-memory HDFS-backed store (test state is tiny
         # and heap-speed). At 100 TB keyed state, apply rocksdb_state_conf()

@@ -93,3 +93,56 @@ class TestFusedInitConnectedComponents:
         )
         got = {r.id: r.component for r in D.connected_components(pairs).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+class TestTfidfSinglePass:
+    def test_df_and_n_derived_from_tf(self, spark):
+        """tfidf's df/n_docs now derive from the tf aggregate (r11): pinned
+        equal to the direct token-stream definitions on a frame with
+        repeated tokens and a token-less doc shape."""
+        from pyspark.sql import functions as F
+        from mini_flink_spark.functions.text import tokens
+
+        docs = spark.createDataFrame(
+            [(1, "a b a"), (2, "b c"), (3, "c c c")], "doc_id bigint, text string"
+        )
+        toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+        df_direct = {
+            (r.tok, r.df)
+            for r in toks.groupBy("tok")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .collect()
+        }
+        df_derived = {
+            (r.tok, r.df)
+            for r in tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).collect()
+        }
+        assert df_direct == df_derived
+        n_direct = toks.agg(F.countDistinct("doc_id")).collect()[0][0]
+        n_derived = tf.agg(F.countDistinct("doc_id")).collect()[0][0]
+        assert n_direct == n_derived == 3
+
+
+class TestBpeVocabEncode:
+    def test_vocab_encode_matches_occurrence_encode(self, spark):
+        """bpe_encode_counts' per-distinct-word unit table joined back to the
+        occurrence stream must give the same per-doc counts as encoding each
+        occurrence (r11) — pinned on a frame with heavy word repetition."""
+        from mini_flink_spark.functions import bpe as B
+
+        docs = spark.createDataFrame(
+            [(i, "hello world hello hello") for i in range(4)],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r.doc_id: (r.n_words, r.n_units)
+            for r in B.bpe_encode_counts(docs, docs, "doc_id", "text", rounds=2).collect()
+        }
+        # 'hello' = 5 chars, 'world' = 5 chars; 2 merges learned on the corpus
+        # shrink the top pair twice -> every doc identical
+        assert len(out) == 4 and len(set(out.values())) == 1
+        n_words, n_units = next(iter(out.values()))
+        assert n_words == 4
+        # 2 merges applied => unit count strictly below the 20-char seed
+        assert n_units < 20
