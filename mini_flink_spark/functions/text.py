@@ -116,6 +116,24 @@ def langid_sql(expr: str) -> str:
     return f"(list_min([{structs}])).lang"
 
 
+def quality_score_from_tokens(t: Column) -> Column:
+    """`quality_score` over an already-materialized token array — the same
+    expression tree with `t` substituted for tokens(col), so callers that
+    carry a token column (e.g. a Gopher gate projection) can score without
+    re-running the tokenizer. Integer counts + identical double arithmetic
+    → bit-identical to the from-text form."""
+    n = F.array_size(t).cast("double")
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    en_hits = F.size(F.filter(t, lambda w: F.array_contains(sw, w))).cast("double")
+    distinct_n = F.array_size(F.array_distinct(t)).cast("double")
+    score = (
+        F.lit(50.0) * en_hits / n
+        + F.lit(30.0) * F.least(n, F.lit(200.0)) / F.lit(200.0)
+        + F.lit(20.0) * distinct_n / n
+    )
+    return F.round(score, 4)
+
+
 def quality_score(col: Column | str) -> Column:
     """Deterministic quality heuristic in [0, 100]:
 
@@ -125,16 +143,7 @@ def quality_score(col: Column | str) -> Column:
 
     Pure integer/double arithmetic on counts → bit-identical across engines.
     """
-    t = tokens(col)
-    n = F.array_size(t).cast("double")
-    en_hits = stopword_hits(col, "en").cast("double")
-    distinct_n = F.array_size(F.array_distinct(t)).cast("double")
-    score = (
-        F.lit(50.0) * en_hits / n
-        + F.lit(30.0) * F.least(n, F.lit(200.0)) / F.lit(200.0)
-        + F.lit(20.0) * distinct_n / n
-    )
-    return F.round(score, 4)
+    return quality_score_from_tokens(tokens(col))
 
 
 def quality_score_sql(expr: str) -> str:

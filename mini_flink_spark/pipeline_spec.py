@@ -142,7 +142,9 @@ def _stage_neardup_quality_reps(df: DataFrame, threshold: float = 0.5) -> DataFr
     # comp is corpus-scale on a duplicate-heavy corpus, so a forced
     # broadcast is a driver-side bound; unforced, AQE broadcasts while it
     # fits and the fallback shuffle moves only narrow scored rows)
-    scored = df.select("doc_id", T.quality_score("text").alias("q"))
+    # two-projection token materialization (r11) — see q_curation_pipeline
+    tk = df.select("doc_id", T.tokens("text").alias("t"))
+    scored = tk.select("doc_id", T.quality_score_from_tokens(F.col("t")).alias("q"))
     labeled = scored.join(comp, scored.doc_id == comp.id, "left").select(
         F.coalesce(F.col("component"), F.col("doc_id"))
         .cast("bigint")

@@ -190,7 +190,9 @@ def q_token_count(spark, sf_dir):
 )
 def q_text_quality(spark, sf_dir):
     docs = _spread(_t(spark, sf_dir, "documents"))
-    return docs.select("doc_id", T.quality_score("text").alias("quality"))
+    # two-projection token materialization (r11) — see q_curation_pipeline
+    tk = docs.select("doc_id", T.tokens("text").alias("t"))
+    return tk.select("doc_id", T.quality_score_from_tokens(F.col("t")).alias("quality"))
 
 
 @register(
@@ -1595,10 +1597,18 @@ def q_curation_pipeline(spark, sf_dir):
     (row-group-bound, single-task) scan side AND again above — this form
     computes each score exactly once, after the exchange, in parallel."""
     docs = _spread(_t(spark, sf_dir, "documents"))
-    scored = docs.select(
+    # Tokenize once per row (r11): inlined, quality_score's three token
+    # references plus token_count each rebuild tokens(text) — the
+    # higher-order-function fallbacks block codegen CSE, so the tokenizer
+    # ran ~4× per row. Two projections (the shingled/CollapseProject
+    # pattern: `t` referenced by multiple non-trivial consumers stays
+    # materialized) make it one pass; values bit-identical (A/B'd, 2699
+    # rows equal, 1.09 → 0.89 s steady).
+    tk = docs.select("doc_id", "text", T.tokens("text").alias("t"))
+    scored = tk.select(
         "doc_id",
-        T.quality_score("text").alias("quality"),
-        T.token_count("text").alias("n_tokens"),
+        T.quality_score_from_tokens(F.col("t")).alias("quality"),
+        F.array_size("t").alias("n_tokens"),
         T.fingerprint("text").alias("fp"),
     )
     keep = (F.col("quality") >= 21.0) & (F.col("n_tokens") >= 20)
@@ -1810,9 +1820,22 @@ def q_curation_pipeline_fineweb(spark, sf_dir):
     f1, f2, f3, f4 = gopher_flags(
         mx["n_tokens"], mx["n_chars"], mx["sw_hits"], mx["n_distinct"]
     )
+    # quality and n_tok are computed HERE, from the gate's own token array
+    # (r11): `scored` below otherwise re-tokenizes every survivor 4× (the
+    # quality formula's three token references plus token_count). The
+    # from-tokens scorer is the identical expression tree over the same
+    # array, so the values are bit-equal; the checkpoint grows by two
+    # numeric columns. The filter sits below the projection, so scoring
+    # runs per SURVIVOR, not per doc.
     gated = (
         toks.filter(f1 & f2 & f3 & f4)
-        .select("doc_id", "text", "lang")
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            T.quality_score_from_tokens(F.col("t")).alias("quality"),
+            mx["n_tokens"].alias("n_tok"),
+        )
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     pairs = D.minhash_lsh_pairs(gated, "doc_id", "text", threshold=0.5)
@@ -1826,12 +1849,7 @@ def q_curation_pipeline_fineweb(spark, sf_dir):
     # Catalyst/AQE broadcasts while comp fits the threshold and falls back
     # to a shuffle join that moves only ~40-byte scored rows — the text
     # column never reaches this exchange because the scores already did.
-    scored = gated.select(
-        "doc_id",
-        "lang",
-        T.quality_score("text").alias("quality"),
-        T.token_count("text").cast("bigint").alias("n_tok"),
-    )
+    scored = gated.select("doc_id", "lang", "quality", "n_tok")
     labeled = (
         scored.join(comp, scored.doc_id == comp.id, "left")
         .select(
@@ -2050,8 +2068,10 @@ def q_quality_filter_by_source(spark, sf_dir):
     )
 
     docs = _spread(_t(spark, sf_dir, "documents"))
-    scored = docs.select(
-        "doc_id", "source", F.round(T.quality_score("text"), 6).alias("q")
+    # two-projection token materialization (r11) — see q_curation_pipeline
+    tk = docs.select("doc_id", "source", T.tokens("text").alias("t"))
+    scored = tk.select(
+        "doc_id", "source", F.round(T.quality_score_from_tokens(F.col("t")), 6).alias("q")
     )
     ranked = _range_sliced_rank(
         scored.select("source", "doc_id", "q"),

@@ -1956,7 +1956,9 @@ def preference_pairs_plan(docs, k: int = 5, salt: int | None = 32):
     sorts as S bounded tasks + one 2kS-row task instead of one 50 GB
     single-task sort. salt=None keeps the naive full-sort window (the A/B
     baseline the probe measures against)."""
-    scored = docs.select("source", "doc_id", T.quality_score("text").alias("q"))
+    # two-projection token materialization (r11) — see q_curation_pipeline
+    tk = docs.select("source", "doc_id", T.tokens("text").alias("t"))
+    scored = tk.select("source", "doc_id", T.quality_score_from_tokens(F.col("t")).alias("q"))
     top_order = [F.desc("q"), F.asc("doc_id")]
     bot_order = [F.asc("q"), F.desc("doc_id")]
     if salt is not None:
