@@ -954,8 +954,12 @@ def q_gopher_quality_flags(spark, sf_dir):
     no Python); runs map-side inside the corpus scan like the rest of text.py.
     """
     docs = _spread(_t(spark, sf_dir, "documents"))
-    mx = gopher_metrics(T.tokens("text"))
-    m = docs.select(
+    # token array materialized in its own projection (r11): inlined, each
+    # of the four metric expressions embeds its own tokenizer chain — the
+    # fineweb gate's measured pattern, applied here
+    tk = docs.select("doc_id", T.tokens("text").alias("t"))
+    mx = gopher_metrics(F.col("t"))
+    m = tk.select(
         "doc_id", *[c.alias(name) for name, c in mx.items()]
     )
     flag_wc, flag_mwl, flag_sw, flag_dr = gopher_flags(
@@ -1682,6 +1686,9 @@ def q_curation_pipeline_v2(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
+    # (r11: a tokens-projection form of this gate A/B'd dead-even — for a
+    # pure filter, predicate pushdown substitutes the alias back into the
+    # condition, so the projection buys nothing; left inline)
     mx = gopher_metrics(T.tokens("text"))
     f1, f2, f3, f4 = gopher_flags(
         mx["n_tokens"], mx["n_chars"], mx["sw_hits"], mx["n_distinct"]
@@ -2724,11 +2731,14 @@ def q_streaming_quality_filter(spark, sf_dir):
         docs, _fixture_dir("stream_gq", sf_dir), n_files=4
     )
     stream = parquet_stream(spark, fixture, "doc_id bigint, text string")
-    mx = gopher_metrics(T.tokens("text"))
+    # token array materialized in its own projection (r11) — fineweb's gate
+    # pattern on the streaming plan
+    tk = stream.select("doc_id", T.tokens("text").alias("t"))
+    mx = gopher_metrics(F.col("t"))
     f1, f2, f3, f4 = gopher_flags(
         mx["n_tokens"], mx["n_chars"], mx["sw_hits"], mx["n_distinct"]
     )
-    out = stream.filter(f1 & f2 & f3 & f4).select(
+    out = tk.filter(f1 & f2 & f3 & f4).select(
         "doc_id", mx["n_tokens"].alias("n_tokens")
     )
     return run_stream_to_memory(out, spark, "append").select("doc_id", "n_tokens")
@@ -4004,12 +4014,16 @@ def q_streaming_curation_gate_dedup(spark, sf_dir):
         docs, _fixture_dir("stream_cur", sf_dir), n_files=4
     )
     stream = parquet_stream(spark, fixture, "doc_id bigint, text string")
-    mx = gopher_metrics(T.tokens("text"))
+    # token array materialized in its own projection (r11) — fineweb's gate
+    # pattern on the streaming plan (text carried through for the
+    # fingerprint)
+    tk = stream.select("doc_id", "text", T.tokens("text").alias("t"))
+    mx = gopher_metrics(F.col("t"))
     f1, f2, f3, f4 = gopher_flags(
         mx["n_tokens"], mx["n_chars"], mx["sw_hits"], mx["n_distinct"]
     )
     grouped = (
-        stream.filter(f1 & f2 & f3 & f4)
+        tk.filter(f1 & f2 & f3 & f4)
         .select("doc_id", T.fingerprint("text").alias("fp"))
         .groupBy("fp")
         .agg(
