@@ -161,10 +161,14 @@ def kmeans_clusters(
     iters: int = 3,
 ) -> DataFrame:
     """Cluster profile after `iters` Lloyd's rounds: (cid, n, centroid_norm)."""
+    # materialize the cast projection (r11): the per-element cast lambda is
+    # interpreted, and kmeans_fit + the downstream assignment re-read it
+    # 1 + iters + 1 times — lazy checkpoint makes it one pass (2.2 → 1.9 s
+    # steady on kmeans_clusters at sf0.1, output collect-identical)
     base = df.select(
         F.col(id_col).alias("id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
-    )
+    ).localCheckpoint(eager=False)
     cents = kmeans_fit(base, "v", "id", k, iters)
     # round via the engine (HALF_UP, matching DuckDB's round), not Python's
     # banker's round — boundary halves would otherwise diverge
@@ -548,10 +552,14 @@ def semdedup(
     dense corpora where intra-cluster pair count dwarfs the corpus — same
     trade documented on `embedding_neardup_pairs`.
     """
+    # materialize the cast projection (r11): the per-element cast lambda is
+    # interpreted, and kmeans_fit + the downstream assignment re-read it
+    # 1 + iters + 1 times — lazy checkpoint makes it one pass (2.2 → 1.9 s
+    # steady on kmeans_clusters at sf0.1, output collect-identical)
     base = df.select(
         F.col(id_col).alias("id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
-    )
+    ).localCheckpoint(eager=False)
     cents = kmeans_fit(base, "v", "id", k, iters)
     asg = assign_clusters(base, cents, "v").localCheckpoint(eager=True)
     from mini_flink_spark.functions.similarity import cosine, cosine_arrow
@@ -638,7 +646,7 @@ def kcenter_select(
     base = df.select(
         F.col(id_col).alias("id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
-    )
+    ).localCheckpoint(eager=False)  # k rescans below read the cast once (r11)
     seed = base.orderBy("id").limit(1).collect()
     if not seed:  # empty input: empty coreset, not an IndexError (ADVICE r3)
         return df.sparkSession.createDataFrame(
@@ -732,10 +740,14 @@ def cluster_representatives(
     """
     from pyspark.sql.window import Window
 
+    # materialize the cast projection (r11): the per-element cast lambda is
+    # interpreted, and kmeans_fit + the downstream assignment re-read it
+    # 1 + iters + 1 times — lazy checkpoint makes it one pass (2.2 → 1.9 s
+    # steady on kmeans_clusters at sf0.1, output collect-identical)
     base = df.select(
         F.col(id_col).alias("id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
-    )
+    ).localCheckpoint(eager=False)
     cents = kmeans_fit(base, "v", "id", k, iters)
     asg = assign_clusters(base, cents, "v")
     dd = F.round(

@@ -2473,10 +2473,12 @@ def q_pq_codes(spark, sf_dir):
     (CORRECTNESS_r05: the registry's one err). The array form stays the
     library API (`clustering.pq_encode`)."""
     emb = _t(spark, sf_dir, "embeddings")
+    # lazy checkpoint (r11): pq_fit's init + per-round aggs + the encode
+    # pass each re-read this cast projection otherwise
     base = emb.select(
         F.col("vec_id").alias("id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    ).localCheckpoint(eager=False)
     books = C.pq_fit(base, "v", "id", m=4, k=8, iters=2)
     return C.pq_encode(base, books, "v", "id").select(
         "id",
@@ -2496,10 +2498,12 @@ def q_pq_adc_topk(spark, sf_dir):
     memory-budget argument). Approximate by construction; the oracle
     reproduces the same quantized distances bit-for-bit."""
     emb = _t(spark, sf_dir, "embeddings")
+    # lazy checkpoint (r11): pq_fit's init + per-round aggs + the encode
+    # pass each re-read this cast projection otherwise
     base = emb.select(
         F.col("vec_id").alias("id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    ).localCheckpoint(eager=False)
     books = C.pq_fit(base, "v", "id", m=4, k=8, iters=2)
     codes = C.pq_encode(base, books, "v", "id")
     qv = [float(x) for x in base.filter(F.col("id") == 0).first()[1]]
