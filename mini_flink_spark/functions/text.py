@@ -96,16 +96,26 @@ def stopword_hits_sql(expr: str, lang: str) -> str:
     )
 
 
-def langid(col: Column | str) -> Column:
-    """argmax over per-language stopword hit counts; deterministic tie-break
-    by language code ascending. Emits the 2-letter code."""
+def langid_from_tokens(t: Column) -> Column:
+    """`langid` over an already-materialized token array (r11): the five
+    per-language hit counts otherwise each rebuild tokens(col) — integer
+    counts over the same array, so bit-identical to the from-text form."""
+
+    def hits(lang: str) -> Column:
+        arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        return F.size(F.filter(t, lambda w: F.array_contains(arr, w)))
+
     pairs = [
-        F.struct(
-            (-stopword_hits(col, lang)).alias("neg_hits"), F.lit(lang).alias("lang")
-        )
+        F.struct((-hits(lang)).alias("neg_hits"), F.lit(lang).alias("lang"))
         for lang in sorted(LANG_STOPWORDS)
     ]
     return F.array_min(F.array(*pairs)).getField("lang")
+
+
+def langid(col: Column | str) -> Column:
+    """argmax over per-language stopword hit counts; deterministic tie-break
+    by language code ascending. Emits the 2-letter code."""
+    return langid_from_tokens(tokens(col))
 
 
 def langid_sql(expr: str) -> str:

@@ -205,7 +205,9 @@ def q_text_quality(spark, sf_dir):
 )
 def q_text_langid(spark, sf_dir):
     docs = _spread(_t(spark, sf_dir, "documents"))
-    return docs.select("doc_id", T.langid("text").alias("lang_pred"))
+    # two-projection token materialization (r11) — see q_curation_pipeline
+    tk = docs.select("doc_id", T.tokens("text").alias("t"))
+    return tk.select("doc_id", T.langid_from_tokens(F.col("t")).alias("lang_pred"))
 
 
 @register(

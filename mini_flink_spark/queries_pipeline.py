@@ -3337,10 +3337,12 @@ def q_langid_confusion_matrix(spark, sf_dir):
     Scale: langid is a pure per-row expression (zero shuffle); the matrix is
     one partial-aggregated count on a languages² key space."""
     docs = _t(spark, sf_dir, "documents")
+    # two-projection token materialization (r11) — see q_curation_pipeline
+    tk = docs.select("lang", T.tokens("text").alias("t"))
     return (
-        docs.select(
+        tk.select(
             F.col("lang").alias("label_lang"),
-            T.langid("text").alias("pred_lang"),
+            T.langid_from_tokens(F.col("t")).alias("pred_lang"),
         )
         .groupBy("label_lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))

@@ -146,3 +146,30 @@ class TestBpeVocabEncode:
         assert n_words == 4
         # 2 merges applied => unit count strictly below the 20-char seed
         assert n_units < 20
+
+
+class TestLangidFromTokens:
+    def test_from_tokens_matches_from_text(self, spark):
+        """langid_from_tokens over materialized tokens must equal langid over
+        the raw text on mixed-language rows including a tie (empty doc)."""
+        from pyspark.sql import functions as F
+        from mini_flink_spark.functions import text as T
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat and the dog is in the house"),
+                (2, "der hund ist nicht auf der couch und das ist gut"),
+                (3, "le chat est dans la maison pour que"),
+                (4, ""),
+            ],
+            "doc_id bigint, text string",
+        )
+        a = {r.doc_id: r.p for r in docs.select("doc_id", T.langid("text").alias("p")).collect()}
+        b = {
+            r.doc_id: r.p
+            for r in docs.select("doc_id", T.tokens("text").alias("t"))
+            .select("doc_id", T.langid_from_tokens(F.col("t")).alias("p"))
+            .collect()
+        }
+        assert a == b
+        assert a[1] == "en" and a[2] == "de" and a[3] == "fr"
