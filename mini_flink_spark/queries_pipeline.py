@@ -3570,9 +3570,12 @@ def q_paragraph_boilerplate(spark, sf_dir):
     toks = _spread(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array(T.tokens("text"))).alias("t")
     )
+    # ph feeds the df aggregation AND the rejoin (r11): materialize it so
+    # the tokenize+paragraph-hash chain runs once, not per consumer — the
+    # same fix as remove_duplicate_spans
     ph = toks.select(
         "doc_id", F.explode(D.paragraph_hashes(F.col("t"))).alias("h")
-    )
+    ).localCheckpoint(eager=False)
     boiler = (
         ph.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("df"))
