@@ -67,7 +67,7 @@ def run_stream_to_memory(
     spark: SparkSession,
     output_mode: str = "update",
     query_name: str | None = None,
-    state_partitions: int | None = 8,
+    state_partitions: int | None = 4,
     state_store: str | None = None,
     converge_keys: list[str] | None = None,
 ) -> DataFrame:
@@ -85,7 +85,13 @@ def run_stream_to_memory(
     54s -> 1.4s going 32 -> 4 on streaming wordcount); a production job with
     large keyed state raises it — the value is frozen into the checkpoint at
     first start, which is why it's per-query here and not session-global.
-    Pass None to keep the session's current setting.
+    Pass None to keep the session's current setting. Default 8 -> 4 (r11,
+    same-session alternating A/B over the whole family at sf0.1): every
+    per-microbatch snapshot/commit/maintenance cycle touches each instance,
+    so halving instances takes the RocksDB drains from 6.3 -> 4.3 s
+    (streaming_dedup) and 2.8 -> 2.3 s (curation_gate_dedup) and the HDFS
+    -backed ones by 0.2-0.6 s each; converged outputs are partition-count
+    -independent (grade_local green on all 14).
 
     ``state_store="rocksdb"`` runs THIS query on the RocksDB state-store
     provider (off-heap working set + SST files on local disk + changelog
