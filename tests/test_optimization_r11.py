@@ -173,3 +173,43 @@ class TestLangidFromTokens:
         }
         assert a == b
         assert a[1] == "en" and a[2] == "de" and a[3] == "fr"
+
+
+class TestStreamingStatePartitionDefault:
+    def test_drain_freezes_four_state_partitions(self, spark):
+        """§14: the run_stream_to_memory default state-partition count is 4
+        (state-store instances per microbatch track keyed-state volume, not
+        core count), asserted from the drained query's OWN runtime progress,
+        and the session's shuffle-partition conf is restored afterwards."""
+        from mini_flink_spark.streaming.wordcount import (
+            LAST_PROGRESS,
+            run_stream_to_memory,
+            wordcount_stream_update,
+        )
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        import json
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            src = f"{d}/src"
+            spark.createDataFrame(
+                [("hello world",), ("hello spark",)], "line string"
+            ).write.parquet(src)
+            stream = (
+                spark.readStream.format("parquet").schema("line string").load(src)
+            )
+            LAST_PROGRESS.clear()
+            out = run_stream_to_memory(
+                wordcount_stream_update(stream), spark, "update"
+            )
+            assert {(r.word, r["count"]) for r in out.collect()} == {
+                ("hello", 2),
+                ("world", 1),
+                ("spark", 1),
+            }
+        prog = next(reversed(LAST_PROGRESS.values()))
+        ops = prog.get("stateOperators") or []
+        assert ops, "no stateful operators in progress"
+        assert ops[0]["numShufflePartitions"] == 4, json.dumps(ops[0])
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
