@@ -98,6 +98,20 @@ def wait_for_quiet_machine(max_wait_s: float = 240.0, load_per_cpu: float = 0.25
         pass
 
 
+def read_steal_jiffies() -> int | None:
+    """Cumulative CPU-steal jiffies from /proc/stat (column 9 of the `cpu`
+    line). This host has documented random steal bursts that inflate
+    arbitrary queries 5-14x mid-sweep (VERDICT r11 adjudicated four such
+    phantom regressions); sampling steal around every timed run lets a
+    reader separate code regressions from ambient bursts."""
+    try:
+        with open("/proc/stat") as f:
+            fields = f.readline().split()
+        return int(fields[8]) if fields[0] == "cpu" and len(fields) > 8 else None
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -160,17 +174,52 @@ def main() -> None:
 
     deep_clean()  # enter the timed pass with a clean session
 
-    times: dict[str, float] = {}
-    for i, name in enumerate(names):
+    def timed_run(name: str) -> tuple[float | None, int | None]:
         fn = QUERIES[name].fn
+        s0 = read_steal_jiffies()
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            times[name] = round(time.perf_counter() - t0, 3)
+            dt = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             print(f"bench {name}: {exc}", file=sys.stderr)
-            times[name] = None
+            dt = None
+        s1 = read_steal_jiffies()
         gc.collect()  # same block-release discipline as the warm pass
+        steal = (s1 - s0) if (s0 is not None and s1 is not None) else None
+        return dt, steal
+
+    # Burst-robust headline measurement (round 12, VERDICT r11 #2): this
+    # host's random CPU-steal bursts put 5-14x phantom spikes on arbitrary
+    # queries in single-pass sweeps. The headline queries therefore run
+    # THREE full timed cycles (symmetric policy — every query reruns every
+    # cycle, never only-when-slow) and each reported number is the
+    # per-query MEDIAN of its three runs; the raw runs and the per-run
+    # steal-jiffy deltas land in BENCH_FULL.json so any residual outlier is
+    # auditable. First-cycle numbers (the pre-r12 methodology) are kept
+    # alongside in BENCH_FULL.json as run index 0. All three cycles run
+    # BEFORE the long tail so none of them pays tail-session residue; the
+    # tail (non-headline) queries stay single-run — they never feed the
+    # headline metric.
+    times: dict[str, float] = {}
+    runs: dict[str, list[float | None]] = {}
+    steals: dict[str, list[int | None]] = {}
+    for cycle in range(3):
+        for name in HEADLINE:
+            dt, steal = timed_run(name)
+            runs.setdefault(name, []).append(dt)
+            steals.setdefault(name, []).append(steal)
+        deep_clean()
+    for name in HEADLINE:
+        ok = sorted(r for r in runs[name] if r is not None)
+        times[name] = ok[len(ok) // 2] if ok else None
+
+    tail = [n for n in names if n not in set(HEADLINE)]
+    for i, name in enumerate(tail):
+        dt, steal = timed_run(name)
+        times[name] = dt
+        runs[name] = [dt]
+        steals[name] = [steal]
         if (i + 1) % 25 == 0:
             deep_clean()
 
@@ -191,6 +240,11 @@ def main() -> None:
             "sf": float(sf),
             "headline_total": total,
             "queries": times,
+            # audit trail for the 3x-median headline policy (r12): raw runs
+            # (index 0 = the pre-r12 single-pass methodology) and the
+            # /proc/stat steal-jiffy delta observed during each run
+            "headline_runs": {n: runs[n] for n in HEADLINE},
+            "headline_steal_jiffies": {n: steals[n] for n in HEADLINE},
         }, f, indent=1, sort_keys=True)
     print(json.dumps({
         "metric": "headline_queries_total_wall",

