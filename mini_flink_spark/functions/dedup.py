@@ -159,6 +159,77 @@ def minhash_sig_from_shingled(base, keys, k: int = MINHASH_K):
     )
 
 
+def minhash_sig_arrow(base, k: int = MINHASH_K):
+    """(id, sig) — the SAME signature as `minhash_sig_from_shingled(base,
+    ["id"], k)` (bit-identical values, pinned by tests/test_round12_ops.py),
+    computed on the Arrow path with per-distinct-shingle hash memoization.
+
+    Why (r12, VERDICT r11 #1): at the 2M-doc forced-SMJ probe the signature
+    stage was the single largest cost (63.8 s of pure CPU — ~1.9k CPU-s) and
+    ALL of it is the portable-hash tax: k=16 × (concat, md5, hex, conv) per
+    shingle OCCURRENCE, re-paid for every repeat of a shingle. The guide-§2.3
+    global-distinct rewrite (hash distinct shingles, join back) loses more
+    than it wins: the join re-partitions occurrences by shingle, destroying
+    the doc-locality that makes the min fold map-side (the partial aggregate
+    collapses 50×:1 before the exchange today; keyed by shingle it collapses
+    ~1:1 and the fold would shuffle ~14 GB at 2M docs). This path instead
+    memoizes WITHOUT moving anything (guide §4.2/§4.5): one mapInPandas over
+    the doc-partitioned shingle arrays, `pd.factorize` per batch (C speed)
+    to find distinct shingles, hashlib-md5 only per distinct (cached across
+    batches in the task — shingles are Zipfian, occurrence/distinct was 9.6×
+    on the bench corpus and ~25× at the probe), gather + per-doc min via
+    numpy. Same bytes hashed (shingles are ASCII by construction of
+    normalize_text; utf-8 encode == Spark's binary cast), same
+    int(hexdigest[:14], 16) fold as portable_hash64_py. Docs with empty
+    shingle sets emit no row — exactly the explode semantics.
+
+    Measured (2M-doc probe, forced SMJ): signature stage 63.8 s → see
+    OPTIMIZATION_r12.md; sf0.1 graded query flat-to-faster."""
+    import pandas as pd
+
+    seeds = [f"#{i}".encode() for i in range(k)]
+
+    def fit(batches):
+        import hashlib
+
+        import numpy as np
+
+        cache: dict[str, np.ndarray] = {}
+
+        def hash_unique(s: str) -> np.ndarray:
+            h = cache.get(s)
+            if h is None:
+                b = s.encode("utf-8")
+                h = np.array(
+                    [
+                        int(hashlib.md5(b + seed).hexdigest()[:14], 16)
+                        for seed in seeds
+                    ],
+                    dtype=np.int64,
+                )
+                cache[s] = h
+            return h
+
+        for pdf in batches:
+            lens = pdf["sh"].map(len).to_numpy()
+            keep = lens > 0
+            if not keep.any():
+                continue
+            ids = pdf["id"].to_numpy()[keep]
+            lens = lens[keep]
+            flat = np.concatenate(pdf["sh"].to_numpy()[keep])
+            codes, uniques = pd.factorize(flat)
+            table = np.empty((len(uniques), k), dtype=np.int64)
+            for u, s in enumerate(uniques):
+                table[u] = hash_unique(s)
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            sigs = np.minimum.reduceat(table[codes], offsets, axis=0)
+            yield pd.DataFrame({"id": ids, "sig": list(sigs)})
+
+    return base.select("id", "sh").mapInPandas(fit, "id long, sig array<bigint>")
+
+
 def minhash_sig_from_col_sql(k: int = MINHASH_K) -> str:
     """DuckDB twin of minhash_sig_from_shingled over a materialized `sh`
     column (inlining the shingle expression re-derives the tokenize+shingle
@@ -246,7 +317,10 @@ def minhash_lsh_pairs(
         .withColumn("n_sh", F.array_size("sh_h"))
         .localCheckpoint(eager=False)
     )
-    sig = minhash_sig_from_shingled(base, ["id"], k)
+    # r12: signature via the memoizing Arrow path — identical values to
+    # minhash_sig_from_shingled (pinned), ~10× less hash CPU at corpus scale
+    # (see minhash_sig_arrow's docstring for the measured rationale)
+    sig = minhash_sig_arrow(base, k)
     banded = sig.select(
         "id", F.explode(minhash_bands(F.col("sig"), k, bands)).alias("band_s")
     ).select("id", portable_hash64(F.col("band_s")).alias("band"))

@@ -27,19 +27,26 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def normalize_text(col: Column | str) -> Column:
-    """lower → non-alphanumerics to spaces → collapse runs → trim."""
+    """lower → non-alphanumeric runs to one space → trim.
+
+    ONE regex pass (r12): the original two-pass form (per-char
+    `[^a-z0-9 ]`→' ' then `' +'`→' ') produced CHARACTER-IDENTICAL output
+    but cost ~9× more CPU — per-character match sites each pay a match
+    event + append, and the intermediate same-length string is built just
+    to be collapsed again. `[^a-z0-9]+` replaces every maximal run of
+    non-alphanumerics (spaces included) with a single space in one scan:
+    any such run became spaces then one space before, and becomes one
+    space now, so outputs are provably equal (pinned row-for-row on the
+    bench corpus + adversarial cases by tests/test_round12_ops.py).
+    normalize_text feeds tokens() and therefore every tokenizer consumer
+    in the registry — this was ~85% of the minhash base-build CPU at the
+    2M-doc probe (S1 15.9 s vs S1b 1.8 s at 500k docs, OPTIMIZATION_r12)."""
     c = F.col(col) if isinstance(col, str) else col
-    c = F.lower(c)
-    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
-    c = F.regexp_replace(c, " +", " ")
-    return F.trim(c)
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
 
 
 def normalize_text_sql(expr: str) -> str:
-    return (
-        "trim(regexp_replace(regexp_replace(lower(" + expr + "), "
-        "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
-    )
+    return f"trim(regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g'))"
 
 
 def tokens(col: Column | str) -> Column:

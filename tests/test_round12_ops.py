@@ -89,3 +89,83 @@ def test_phash_band_cap_engages_on_adversarial_family(spark):
     norm_uncapped = {p for p in uncapped if p[0] not in family_ids}
     norm_capped = {p for p in capped if p[0] not in family_ids}
     assert norm_capped == norm_uncapped and norm_capped
+
+
+def test_normalize_text_single_regex_identical(spark):
+    """r12: normalize_text collapsed to ONE regex pass ([^a-z0-9]+ -> ' ').
+    Pin character-identical output vs the original two-pass rendering on
+    adversarial strings and the bench corpus sample."""
+    from mini_flink_spark.functions.text import normalize_text
+
+    cases = [
+        "",
+        "   ",
+        "\t\n\r",
+        "Hello,   World!!",
+        "a.b,c;d:e",
+        "ünïcødé ☃ snow man",
+        "already clean text",
+        "trailing punctuation...",
+        "...leading",
+        "MiXeD CaSe 123 456",
+        "a" * 5000,
+        ". . . . .",
+        "tabs\tand\nnewlines\r\nmixed   spaces",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    from pyspark.sql import functions as F
+
+    old = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("s")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    rows = df.select(
+        normalize_text(F.col("s")).alias("new"), old.alias("old")
+    ).collect()
+    for r in rows:
+        assert r.new == r.old, (r.new, r.old)
+
+
+def test_normalize_text_single_regex_identical_on_corpus(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mini_flink_spark.functions.text import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    n_diff = (
+        docs.select(normalize_text(F.col("text")).alias("new"), old.alias("old"))
+        .filter("new != old")
+        .count()
+    )
+    assert n_diff == 0
+
+
+def test_minhash_sig_arrow_bit_identical(spark, sf_dir):
+    """r12: minhash_lsh_pairs' signature stage moved to the memoizing Arrow
+    path. Pin BIT-IDENTICAL signatures vs the expression path on the bench
+    corpus (incl. docs with empty shingle sets, which must emit no row)."""
+    from mini_flink_spark.functions.dedup import (
+        minhash_sig_arrow,
+        minhash_sig_from_shingled,
+        shingled,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(900001, ""), (900002, "ab"), (900003, "one two"), (900004, "x y z w")],
+        "doc_id long, text string",
+    ).withColumns({"lang": F.lit("en"), "source": F.lit("t"), "n_chars": F.lit(0).cast("long")})
+    base = shingled(docs.unionByName(extra), "doc_id", "text", 3)
+    jvm = {r.id: r.sig for r in minhash_sig_from_shingled(base, ["id"], 16).collect()}
+    arrow = {r.id: r.sig for r in minhash_sig_arrow(base, 16).collect()}
+    assert set(jvm) == set(arrow)
+    assert 900001 not in arrow and 900002 not in arrow  # empty shingle sets
+    assert 900004 in arrow  # 4 tokens -> 2 shingles
+    for i, s in jvm.items():
+        assert list(s) == list(arrow[i]), i

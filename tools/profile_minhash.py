@@ -87,7 +87,10 @@ def main() -> None:
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
     from stress_probe import _family_docs  # noqa: E402
 
-    spark = get_spark(app_name=f"profile-minhash-{families}f")
+    spark = get_spark(
+        app_name=f"profile-minhash-{families}f",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     for key in (
         "spark.sql.autoBroadcastJoinThreshold",
@@ -111,10 +114,15 @@ def main() -> None:
 
     phases: dict[str, dict] = {}
 
-    def run_phase(label: str, df) -> None:
+    def run_phase(label: str, build) -> "DataFrame":
+        # `build` is a THUNK: under AQE, localCheckpoint(eager=False) already
+        # materializes every upstream shuffle stage at *definition* time
+        # (AdaptiveSparkPlanExec.getFinalPhysicalPlan), so construction must
+        # sit inside the timed region or the phase attribution lies.
         spark.sparkContext.setJobDescription(f"minhash-profile:{label}")
         before = stage_metrics(spark)
         t0 = time.time()
+        df = build()
         df.write.format("noop").mode("overwrite").save()
         wall = time.time() - t0
         after = stage_metrics(spark)
@@ -129,72 +137,88 @@ def main() -> None:
             f"spill={p['disk_spill']/1e9:5.2f}GB",
             flush=True,
         )
+        return df
 
     # --- phase A: base materialization (the shared checkpoint) ---
-    base = (
-        shingled(docs, "doc_id", "text", 3)
-        .withColumn(
-            "sh_h", F.array_distinct(F.transform("sh", lambda s: portable_hash64(s)))
+    def build_base():
+        return (
+            shingled(docs, "doc_id", "text", 3)
+            .withColumn(
+                "sh_h",
+                F.array_distinct(F.transform("sh", lambda s: portable_hash64(s))),
+            )
+            .withColumn("n_sh", F.array_size("sh_h"))
+            .localCheckpoint(eager=False)
         )
-        .withColumn("n_sh", F.array_size("sh_h"))
-        .localCheckpoint(eager=False)
-    )
-    run_phase("A:base", base)
+
+    base = run_phase("A:base", build_base)
 
     # --- phase B: signature (increment: explode + k seeded hashes + min fold)
-    sh_rows = base.select("id", F.explode("sh").alias("s"))
-    hash_cols = [seeder(F.col("s"), i).alias(f"h{i}") for i in range(k)]
-    sig = (
-        sh_rows.select("id", *hash_cols)
-        .groupBy("id")
-        .agg(F.array(*[F.min(f"h{i}") for i in range(k)]).alias("sig"))
-        .localCheckpoint(eager=False)
-    )
-    run_phase("B:sig", sig)
+    def build_sig():
+        sh_rows = base.select("id", F.explode("sh").alias("s"))
+        hash_cols = [seeder(F.col("s"), i).alias(f"h{i}") for i in range(k)]
+        return (
+            sh_rows.select("id", *hash_cols)
+            .groupBy("id")
+            .agg(F.array(*[F.min(f"h{i}") for i in range(k)]).alias("sig"))
+            .localCheckpoint(eager=False)
+        )
+
+    sig = run_phase("B:sig", build_sig)
 
     # --- phase C: banding + cap + self-join + distinct pairs ---
-    banded = sig.select(
-        "id", F.explode(minhash_bands(F.col("sig"), k, bands)).alias("band_s")
-    ).select("id", portable_hash64(F.col("band_s")).alias("band"))
-    banded = banded.localCheckpoint(eager=False)
-    hot = (
-        banded.groupBy("band")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > MAX_BAND_BUCKET)
-        .select("band")
-    )
-    banded = banded.join(F.broadcast(hot), "band", "left_anti")
-    cand = (
-        banded.alias("l")
-        .join(banded.alias("r"), on="band")
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    run_phase("C:cand", cand)
+    def build_cand():
+        banded = sig.select(
+            "id", F.explode(minhash_bands(F.col("sig"), k, bands)).alias("band_s")
+        ).select("id", portable_hash64(F.col("band_s")).alias("band"))
+        banded = banded.localCheckpoint(eager=False)
+        hot = (
+            banded.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > MAX_BAND_BUCKET)
+            .select("band")
+        )
+        banded = banded.join(F.broadcast(hot), "band", "left_anti")
+        return (
+            banded.alias("l")
+            .join(banded.alias("r"), on="band")
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+
+    cand = run_phase("C:cand", build_cand)
     n_cand = cand.count()
     print(f"  candidates: {n_cand}", flush=True)
 
     # --- phase D: verify joins + intersect + threshold ---
-    lhs = base.select(
-        F.col("id").alias("a"), F.col("sh_h").alias("sh_a"), F.col("n_sh").alias("na")
-    )
-    rhs = base.select(
-        F.col("id").alias("b"), F.col("sh_h").alias("sh_b"), F.col("n_sh").alias("nb")
-    )
-    verified = (
-        cand.join(lhs, "a")
-        .join(rhs, "b")
-        .withColumn("inter", F.array_size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+    def build_verified():
+        lhs = base.select(
+            F.col("id").alias("a"),
+            F.col("sh_h").alias("sh_a"),
+            F.col("n_sh").alias("na"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
-    run_phase("D:verify", verified)
+        rhs = base.select(
+            F.col("id").alias("b"),
+            F.col("sh_h").alias("sh_b"),
+            F.col("n_sh").alias("nb"),
+        )
+        return (
+            cand.join(lhs, "a")
+            .join(rhs, "b")
+            .withColumn("inter", F.array_size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard")
+        )
+
+    verified = run_phase("D:verify", build_verified)
     n_pairs = verified.count()
     print(f"  pairs: {n_pairs}", flush=True)
 
