@@ -1217,52 +1217,30 @@ def q_ntile_quartiles(spark, sf_dir):
 #   2. oldest-verdict refresh — remaining slots re-certify rows whose latest
 #      verdict is the OLDEST on record, so driver evidence never goes stale.
 CHANGED_SHAPE_REGRADES: dict[str, str] = {
-    # (round-9/10 entries expired: every one of them got its green driver
-    # row on the new shape in CORRECTNESS_r10 — the dict's self-expiry
-    # rule in action, VERDICT r10 residual #2)
-    # round-11 surgery — VERDICT r10 #1 + the four ADVICE r10 findings
-    "pagerank_item_graph": (
-        "r11: out-degree folded into the checkpointed src-partitioned edge "
-        "build — per-iteration node-sized broadcast(deg) eliminated "
-        "(VERDICT r10 #1); NULL-user purchases filtered on both engines "
-        "(ADVICE r10)"
+    # (round-11 entries expired: all ten got green driver rows on their new
+    # shapes in CORRECTNESS_r11 — the dict's self-expiry rule, as VERDICT
+    # r11 "Next round" #6 orders.)
+    # round-12 surgery — VERDICT r11 #1 and #5:
+    "multimodal_phash_neardup": (
+        "r12: MAX_BAND_BUCKET hot-bucket cap now ON for the graded row and "
+        "the oracle rewritten from O(n²) brute force to the banded "
+        "algorithm's DuckDB twin (cap mirrored via HAVING count(*) <= cap "
+        "over distinct signatures) — VERDICT r11 #5; losslessness at "
+        "radius 3 pinned by tests/test_round12_ops.py"
     ),
-    "item_cooccurrence_lift": (
-        "r11: NULL-user purchases filtered on both engines — GROUP BY's "
-        "NULL pseudo-basket vs the oracle's no-match equi-join pairs "
-        "(ADVICE r10)"
+    "dedup_minhash_lsh": (
+        "r12: signature stage moved to the memoizing Arrow path "
+        "(minhash_sig_arrow — pd.factorize + per-distinct-shingle md5, "
+        "bit-identical signatures pinned) — VERDICT r11 #1; pinned flagship "
+        "slot, regraded every round"
     ),
-    "funnel_conversion_rates": (
-        "r11: oracle's v CTE now excludes NULL user_id, matching the "
-        "chain's join semantics where an anonymous view never reaches r1 "
-        "(ADVICE r10, medium)"
-    ),
-    "event_transition_matrix": (
-        "r11: NULL-ts guard raises on ts IS NULL directly — the degenerate "
-        "single-timestamp branch could assign slice 1 to NULL-ts rows "
-        "before the inferred _slc check (ADVICE r10)"
-    ),
-    "event_path_trigrams": (
-        "r11: same direct NULL-ts raise as event_transition_matrix "
-        "(ADVICE r10)"
-    ),
-    "value_percentiles_by_type": (
-        "r11: percentile hi-branch gated on frac > 0 — NaN/Inf at the "
-        "neighbor rank no longer poisons an integral-position stratum "
-        "(ADVICE r10)"
-    ),
-    "quality_filter_by_source": "r11: percentile frac > 0 gate (ADVICE r10)",
-    "length_outliers_iqr": "r11: percentile frac > 0 gate (ADVICE r10)",
-    # found by the round-11 fineweb 1000× probe (VERDICT r10 #4): the
-    # forced broadcast(comp) was corpus-sized on a duplicate-heavy corpus —
-    # the same driver-side bound class as pagerank's broadcast(deg)
-    "curation_pipeline_fineweb": (
-        "r11: component join unhinted (AQE decides) + text-derived scores "
-        "computed before the join so only ~40-byte rows can ever shuffle"
-    ),
-    "dedup_representatives": (
-        "r11: component join unhinted — forced broadcast(comp) removed"
-    ),
+    # NOTE (r12, not individual entries): normalize_text collapsed to one
+    # regex pass ([^a-z0-9]+ -> ' ') with CHARACTER-IDENTICAL output
+    # (pinned row-for-row on the bench corpus by tests/test_round12_ops.py)
+    # — every tokenizer consumer's plan swaps the sub-expression but no
+    # value anywhere can change. The refresh slots below deliberately
+    # prioritize tokenizer adopters so the driver re-certifies the new
+    # expression across the text family anyway.
 }
 
 GRADED_WINDOW: tuple[str, ...] = (
@@ -1294,64 +1272,59 @@ GRADED_WINDOW: tuple[str, ...] = (
     "gopher_quality_flags",
     "curation_pipeline_v2",
     "bpe_learn_merges",
-    # ---- round-11 rotation (VERDICT r10 #1/#2/#3 + the ADVICE r10 set) ----
-    # changed-shape regrades (CHANGED_SHAPE_REGRADES above): the pagerank
-    # degree fold, the three NULL-semantics consistency fixes, the two
-    # direct NULL-ts guards, the three percentile frac-gate adopters, and
-    # the two de-broadcast fixes the 1000× probe forced
-    "pagerank_item_graph",
-    "item_cooccurrence_lift",
-    "funnel_conversion_rates",
-    "event_transition_matrix",
-    "event_path_trigrams",
-    "value_percentiles_by_type",
-    "quality_filter_by_source",
-    "length_outliers_iqr",
-    "curation_pipeline_fineweb",
-    "dedup_representatives",
-    # oldest-verdict refresh, drained OLDEST-FIRST (VERDICT r10 #2): the
-    # deferred r2 straggler, then 14 of the 25 r3-era rows — prioritized by
-    # (a) VERDICT r10's named list (kmeans_clusters, pii_redaction,
-    # pricing_summary, asof_click_attribution, interval_join_click_purchase,
-    # text_search_bm25, topn_orders_per_priority, the ann/semdedup/simhash
-    # family) and (b) proximity to round-11 code changes. The remaining 11
-    # r3 rows (top_orders, join_revenue_by_segment, salted_keyed_agg,
-    # shipping_priority, text_token_count, text_quality, text_langid,
-    # decontamination_check, mixture_weights, dedup_incremental,
-    # dedup_components) take round 12's slots — two fewer refreshes than
-    # planned because the 1000× probe's de-broadcast fixes outrank cadence.
-    "string_battery",
-    "kmeans_clusters",
-    "pii_redaction",
-    "pricing_summary",
-    "asof_click_attribution",
-    "interval_join_click_purchase",
-    "text_search_bm25",
-    "topn_orders_per_priority",
-    "ann_recall_eval",
-    "ann_topk_bruteforce",
-    "ann_topk_ivf",
-    "pq_adc_topk",
-    "dedup_semantic_semdedup",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
+    # ---- round-12 rotation (VERDICT r11 #1/#5/#6) ----
+    # changed-shape regrade (CHANGED_SHAPE_REGRADES above): the phash band
+    # cap + banded oracle. (dedup_minhash_lsh's Arrow-signature reshape is
+    # regraded through its PINNED flagship slot above.)
+    "multimodal_phash_neardup",
+    # oldest-verdict refresh, drained OLDEST-FIRST (VERDICT r11 #6): ALL 11
+    # remaining r3-era rows (the set VERDICT names — nothing older than r4
+    # remains after this window grades)...
+    "top_orders",
+    "join_revenue_by_segment",
+    "salted_keyed_agg",
+    "shipping_priority",
+    "text_token_count",
+    "text_quality",
+    "text_langid",
+    "decontamination_check",
+    "mixture_weights",
+    "dedup_incremental",
+    "dedup_components",
+    # ...then the pool advances to the r4-era verdicts; the 13 slots left
+    # go to the r4 rows closest to round-12's code changes first (the
+    # single-regex normalize_text adopters and minhash/Arrow-signature
+    # consumers: curation_pipeline_spec, paragraph_boilerplate,
+    # dedup_containment, dedup_intradoc_blocks, winnowing_fingerprints,
+    # url_canonical_dedup, text_search_bm25_persisted, source_overlap_matrix,
+    # dsir_importance_weights), then cadence (ann_topk_ivf_persisted,
+    # coreset_kcenter, dedup_embedding_components, forecast_revenue). The 10
+    # r4 rows left over (market_share, order_priority_checking,
+    # profit_by_nation_year, promo_revenue_share, retention_cohorts,
+    # scd2_user_state_history, stats_moments_battery, window_fn_battery,
+    # hybrid_search_rrf, volume_shipping) head round 13's queue.
+    "curation_pipeline_spec",
+    "paragraph_boilerplate",
+    "dedup_containment",
+    "dedup_intradoc_blocks",
+    "winnowing_fingerprints",
+    "url_canonical_dedup",
+    "text_search_bm25_persisted",
+    "source_overlap_matrix",
+    "dsir_importance_weights",
+    "ann_topk_ivf_persisted",
+    "coreset_kcenter",
+    "dedup_embedding_components",
+    "forecast_revenue",
 )
-# Round-12 rotation backlog: first the 11 r3-era rows left after round 11's
-# oldest-first drain (top_orders, join_revenue_by_segment, salted_keyed_agg,
-# shipping_priority, text_token_count, text_quality, text_langid,
-# decontamination_check, mixture_weights, dedup_incremental,
-# dedup_components — set-diff the CORRECTNESS_r* artifacts as rounds 9-11
-# did), then the pool advances to the r4-era verdicts. Early-refresh
-# candidates right after: the r11 minhash fixed-width-payload adopters not
-# already regraded in r11 (dedup_components [also in the r3 pool],
-# dedup_cluster_stats, dedup_lsh_recall_eval, curation_pipeline_spec) —
-# value-preserving modulo 56-bit hash collisions, oracle mirrored, all
-# re-graded green at sf0.01 in-round (r10 null-safe-join precedent). The r9-graded rank/cumsum adopters of r10's null-safe joins
-# (ccnet_perplexity_buckets, curriculum_global_rank, ntile_price_quartiles,
-# length_matched_sample, median_tokens_by_lang, length_quartiles_exact,
-# event_value_percent_rank, token_budget_shards, packed_sequence_offsets,
-# curation_pipeline_fineweb) stay value-preserving on non-null keys
-# (16-query sf0.01 re-grade green in r10) and queue behind the oldest pool.
+# Round-13 rotation backlog (updated r12): the 10 r4-era rows left after
+# round 12's drain (market_share, order_priority_checking,
+# profit_by_nation_year, promo_revenue_share, retention_cohorts,
+# scd2_user_state_history, stats_moments_battery, window_fn_battery,
+# hybrid_search_rrf, volume_shipping — set-diff the CORRECTNESS_r*
+# artifacts as rounds 9-12 did), then the pool advances to the r5-era
+# verdicts. The r12 CHANGED_SHAPE_REGRADES entries self-expire once
+# CORRECTNESS_r12 shows green rows on the new shapes.
 
 
 def _ordered_names() -> list[str]:
