@@ -189,6 +189,12 @@ def minhash_sig_arrow(base, k: int = MINHASH_K):
 
     seeds = [f"#{i}".encode() for i in range(k)]
 
+    # Python workers live inside spark.executor.memoryOverhead (guide §5):
+    # an unbounded memo over a 100 TB task's distinct shingles would be the
+    # classic exit-137. Epoch-clear at 1M entries (~300 MB worst case) —
+    # Zipfian shingles keep the hit rate high across epochs.
+    CACHE_MAX = 1_000_000
+
     def fit(batches):
         import hashlib
 
@@ -199,6 +205,8 @@ def minhash_sig_arrow(base, k: int = MINHASH_K):
         def hash_unique(s: str) -> np.ndarray:
             h = cache.get(s)
             if h is None:
+                if len(cache) >= CACHE_MAX:
+                    cache.clear()
                 b = s.encode("utf-8")
                 h = np.array(
                     [
